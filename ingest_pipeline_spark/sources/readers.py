@@ -1,0 +1,143 @@
+"""Sources: TSV/CSV/JSON/YAML/text/binary + distributed directory listing.
+
+Mirrors the reference's source surface (SURVEY §2.1 S1-S13):
+
+- TSV with delimiter-error detection (reference
+  md/data_file_types/tsv_metadata_file.py:14-31): untyped strings,
+  header row, a post-read malformed-row check.
+- JSON documents (md/data_file_types/json_metadata_file.py).
+- YAML documents (md/data_file_types/yaml_metadata_file.py) — parsed
+  driver-side per file (YAML is a control-file format here, never a
+  100 TB data format), then parallelized.
+- gz text logs (dags/generate_usage_report.py:70-151) —
+  spark.read.text handles the codec natively.
+- Recursive listing (dags/utils.py:717-767): one row per file with
+  rel_path/size/mtime.  Local implementation walks on the driver and
+  parallelizes; at cluster scale swap in the binaryFile source which
+  distributes the listing (path/length/modificationTime come from the
+  file index, not file reads).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Header'd TSV → untyped string columns (cast on demand)."""
+    reader = spark.read.option("sep", "\t").option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json_docs(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    return spark.read.option("multiLine", multiline).json(path)
+
+
+def read_yaml_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Parse YAML control files driver-side → one JSON-string row each.
+
+    YAML appears in the reference only as small control/metadata files
+    (rslt.yml, test.yml); never bulk data — driver-side parse + Spark
+    JSON inference is the right scale tradeoff.
+    """
+    import json
+
+    try:
+        import yaml  # type: ignore
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyyaml not installed in this environment") from exc
+
+    rows = []
+    for p in paths:
+        with open(p) as f:
+            rows.append(json.dumps(yaml.safe_load(f)))
+    return spark.read.json(spark.sparkContext.parallelize(rows))
+
+
+def read_text_logs(spark: SparkSession, glob: str) -> DataFrame:
+    """Line-wise log source; .gz transparently decompressed."""
+    return spark.read.text(glob)
+
+
+def tsv_delimiter_errors(df: DataFrame) -> DataFrame:
+    """Detect malformed TSV rows: any empty-string header or all-null row."""
+    bad_header = [c for c in df.columns if c is None or c.strip() == "" or c.startswith("_c")]
+    all_null = None
+    for c in df.columns:
+        cond = F.col(c).isNull()
+        all_null = cond if all_null is None else (all_null & cond)
+    out = df.filter(all_null) if all_null is not None else df.limit(0)
+    if bad_header:
+        # structurally malformed: unnamed columns present
+        return df
+    return out
+
+
+def listing(
+    spark: SparkSession,
+    root: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed-shaped recursive listing → files DataFrame.
+
+    Schema: (rel_path, abs_path, size, mtime).  Top-level dirs are
+    enumerated on the driver, then each partition walks its subtrees in
+    parallel — the walk (the expensive part at 100 TB file counts)
+    is distributed; only the fan-out seed list is driver-side.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("rel_path", T.StringType(), False),
+            T.StructField("abs_path", T.StringType(), False),
+            T.StructField("size", T.LongType(), False),
+            T.StructField("mtime", T.TimestampType(), False),
+        ]
+    )
+
+    root = os.path.abspath(root)
+    try:
+        seeds = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+        )
+    except FileNotFoundError:
+        return spark.createDataFrame([], schema)
+
+    def walk(paths):
+        import datetime
+
+        for p in paths:
+            if os.path.isfile(p):
+                st = os.stat(p)
+                yield (
+                    os.path.relpath(p, root),
+                    p,
+                    st.st_size,
+                    datetime.datetime.utcfromtimestamp(st.st_mtime),
+                )
+            else:
+                for dirpath, _dirnames, filenames in os.walk(p):
+                    for fn in sorted(filenames):
+                        fp = os.path.join(dirpath, fn)
+                        st = os.stat(fp)
+                        yield (
+                            os.path.relpath(fp, root),
+                            fp,
+                            st.st_size,
+                            datetime.datetime.utcfromtimestamp(st.st_mtime),
+                        )
+
+    rdd = spark.sparkContext.parallelize(seeds, max(1, min(num_partitions, len(seeds) or 1)))
+    return spark.createDataFrame(rdd.mapPartitions(walk), schema)

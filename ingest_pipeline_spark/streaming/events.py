@@ -1,0 +1,98 @@
+"""Structured-Streaming restatement of the reference's event model.
+
+The reference's "streams" are Airflow event triggers (SURVEY §2.10):
+request intake → keyed job trigger (T1), run_id dedup / exactly-once
+(T2, reference plugins/hubmap_api/endpoint.py:370-372), dynamic
+fan-out (T3), polling on terminal states (T4), stateful per-entity
+status machine (T6).  Spark mapping: readStream over the requests /
+events table, watermarked dedup + windowed aggregation, foreachBatch
+dispatch.
+
+These helpers run a streaming query synchronously over a parquet
+directory (Trigger.AvailableNow semantics via processAllAvailable) so
+batch tests can drive the exact streaming plan; in production the same
+plan reads Kafka/files continuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window per-key counts + value sums (streaming-safe plan).
+
+    Works on both batch and streaming DataFrames: watermark is applied
+    only when the input is streaming.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "sum_value",
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once intake: drop duplicate ids within the watermark.
+
+    Mirrors the reference's run_id dedup (T2).  State is bounded by the
+    watermark — at 100 TB/day the dedup state holds only the horizon.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark([id_col])
+    return src.dropDuplicates([id_col])
+
+
+def run_stream_once(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    transform,
+    query_name: str = "stream_out",
+) -> DataFrame:
+    """Drive a streaming transform over a parquet dir to completion.
+
+    Returns the materialized result (memory sink) as a batch DataFrame.
+    """
+    src = spark.readStream.schema(schema).parquet(parquet_path)
+    out = transform(src)
+    mode = "append" if out.isStreaming and not _has_agg(out) else "complete"
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    return "Aggregate" in plan

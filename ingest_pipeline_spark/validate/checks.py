@@ -1,0 +1,80 @@
+"""Data-quality constraint engine.
+
+The reference validates documents against YAML JSON-Schemas
+(reference dags/schema_utils.py:12-20) plus ad-hoc asserts
+(md/data_collection_types/generic_metadatatsv_data_collection.py:77-115)
+and cross-file consistency checks
+(akoya_codex_data_collection.py:163-249).  Spark restatement: each
+check is a boolean *violation* column expression; all checks for a
+table evaluate in ONE aggregation pass —
+``sum(when(violation,1))`` per check — so a 100-check battery over
+100 TB is still a single scan with map-side partial aggregation.
+
+Error-report aggregation (per-type counts) mirrors
+dags/scan_and_begin_processing.py:148-151.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """A named violation predicate: true ⇒ the row violates the rule."""
+
+    name: str
+    violation: Column
+
+
+def violation_counts(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """One-pass violation counts: (check_name, n_violations, n_rows).
+
+    Single scan, no shuffle beyond the final 1-row aggregate.
+    """
+    aggs = [
+        F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(c.name)
+        for c in checks
+    ]
+    wide = df.agg(F.count(F.lit(1)).alias("__n_rows"), *aggs)
+    names = F.array(*[F.lit(c.name) for c in checks])
+    counts = F.array(*[F.col(c.name) for c in checks])
+    return wide.select(
+        F.explode(F.arrays_zip(names.alias("check_name"), counts.alias("n_violations"))).alias("z"),
+        F.col("__n_rows"),
+    ).select(
+        F.col("z.check_name").alias("check_name"),
+        F.col("z.n_violations").alias("n_violations"),
+        F.col("__n_rows").alias("n_rows"),
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check], fail_on_violation: bool = False) -> DataFrame:
+    """Evaluate checks; optionally raise if any violation exists."""
+    report = violation_counts(df, checks)
+    if fail_on_violation:
+        bad = report.filter(F.col("n_violations") > 0).collect()
+        if bad:
+            details = ", ".join(f"{r.check_name}={r.n_violations}" for r in bad)
+            raise ValueError(f"DQ check failures: {details}")
+    return report
+
+
+def route_violations(df: DataFrame, checks: list[Check]) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (clean, errors-with-reason) — error-sink routing.
+
+    errors carries an array column `violated_checks` naming every
+    failed rule for the row.
+    """
+    flags = F.array(
+        *[F.when(c.violation, F.lit(c.name)) for c in checks]
+    )
+    tagged = df.withColumn(
+        "violated_checks", F.filter(flags, lambda x: x.isNotNull())
+    )
+    clean = tagged.filter(F.size("violated_checks") == 0).drop("violated_checks")
+    errors = tagged.filter(F.size("violated_checks") > 0)
+    return clean, errors

@@ -1,0 +1,72 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison.
+
+Canonicalizes both result sets (columns sorted by name, rows sorted,
+every value rendered to a canonical string) and asserts equality —
+an order-insensitive value-hash match, like CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+from ingest_pipeline_spark.tables import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for t in TABLE_NAMES:
+        conn.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return conn
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, (datetime.date,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    conn = duckdb_conn(sf_dir)
+    rel = conn.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+    conn.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = canon_rows(spark_cols, spark_rows)
+    d = canon_rows(duck_cols, duck_rows)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"value mismatch; first diffs: {diffs}")
