@@ -40,19 +40,22 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     toks = tokenize_ws(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    # guard: sequence(1,0) would DESCEND in Spark; short docs → empty set
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """Character n-grams of the normalized text → array<string>."""
     s = normalize_text(col)
     ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(s, i, n))
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    return F.when(
+        ln >= n, F.transform(idx, lambda i: F.substring(s, i, n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint_md5(col: Column) -> Column:
@@ -108,8 +111,14 @@ def langid_scores(col: Column) -> dict[str, Column]:
     """Per-language marker-hit-ratio scores (n-gram-free heuristic)."""
     toks = tokenize_ws(normalize_text(col))
     safe = F.greatest(F.size(toks), F.lit(1))
+
+    def marker_pred(markers: tuple[str, ...]):
+        # single-arg lambda required: extra (default) params would be
+        # mis-detected as higher-order-function arity by PySpark
+        return lambda t: t.isin(*markers)
+
     return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))).cast("double")
+        lang: F.size(F.filter(toks, marker_pred(markers))).cast("double")
         / safe.cast("double")
         for lang, markers in LANG_MARKERS.items()
     }

@@ -70,18 +70,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as array<long> of length num_hashes.
 
-    Shingles are computed once per row; each signature slot is the min
-    seeded-hash over the shingle set — all inside one projection, no
-    explode, no shuffle.
+    Plan shape: explode distinct shingles → 16 min-aggregations in ONE
+    groupBy on id (map-side partial min keeps the shuffle tiny).  An
+    all-in-one-projection variant (array of array_min(transform(...)))
+    recomputes the shingle array per slot after projection collapse —
+    measured 80× slower; the explode+agg shape is the scalable one.
+    Docs with fewer than shingle_k tokens have no shingles and are
+    absent from the output (they cannot be minhashed).
     """
-    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
-    slots = F.array(
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    agg = sh.groupBy("id").agg(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: _slot_hash(s, i)))
+            F.min(_slot_hash(F.col("shingle"), i)).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), slots.alias("signature"))
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -103,6 +114,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # docs with < shingle_k tokens have no shingles → null slots; they
+    # cannot be minhashed and must not band (null keys would concat to
+    # "" and pair every short doc with every other short doc)
+    sigs = sigs.filter(F.col("signature")[0].isNotNull())
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -187,29 +202,29 @@ def simhash_signatures(
     """SimHash signature: per-bit majority vote over token hashes.
 
     bit_j(doc) = 1 if more token-hashes have bit j set than not.
-    Expressed entirely with array ops (no UDF): one seeded hash per
-    token, then a per-bit vote via filter+size.  Default 32 bits keeps
-    the signature in a long and the oracle SQL tractable.
+    Plan: explode distinct tokens → one seeded hash per token → 32
+    bit-count sums + count in ONE groupBy (map-side partial agg), then
+    the signature is assembled from the vote columns.  Docs with no
+    tokens are absent from the output.  Default 32 bits keeps the
+    signature in a long and the oracle SQL tractable.
     """
-    toks = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
-    hashes = F.transform(toks, lambda t: _slot_hash(t, 0))
-    n = F.size(hashes)
+    th = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
+            "tok"
+        ),
+    ).select("id", _slot_hash(F.col("tok"), 0).alias("h"))
+    ones = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
+        for j in range(bits)
+    ]
+    agg = th.groupBy("id").agg(F.count("*").alias("_n"), *ones)
     bits_set = [
-        (
-            F.size(
-                F.filter(
-                    hashes,
-                    lambda h, j=j: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                )
-            )
-            * 2
-            > n
-        ).cast("long")
-        * F.lit(1 << j)
+        ((F.col(f"_o{j}") * 2 > F.col("_n")).cast("long") * F.lit(1 << j))
         for j in range(bits)
     ]
     sig = sum(bits_set[1:], bits_set[0])
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

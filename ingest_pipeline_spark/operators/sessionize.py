@@ -21,12 +21,17 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Assign session_id per key; gap > gap_seconds starts a new session.
 
     Output: input columns + session_id (long, 1-based per key).
+    tiebreak_col makes ordering deterministic under equal timestamps.
     """
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)

@@ -705,3 +705,707 @@ def slice_id_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.select(
         "id", F.explode(expand_slice_ids(F.col("id"))).alias("expanded_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Validation / consistency (SURVEY §2.9) + sessionization + graph (§2.3 J8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validation_battery",
+    """
+    SELECT 'n_chars_mismatch' AS check_name,
+           SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS n_violations,
+           COUNT(*) AS n_rows FROM documents
+    UNION ALL
+    SELECT 'unknown_lang',
+           SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END),
+           COUNT(*) FROM documents
+    UNION ALL
+    SELECT 'negative_doc_id',
+           SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END), COUNT(*) FROM documents
+    UNION ALL
+    SELECT 'empty_text',
+           SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END),
+           COUNT(*) FROM documents
+    """,
+)
+def validation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ constraint battery (V1-V4): 4 checks, ONE scan, one-row agg.
+
+    The violation_counts engine turns an arbitrary check list into a
+    single aggregation pass — at 100 TB a 100-check battery still
+    reads the table once.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    checks = [
+        Check("n_chars_mismatch", F.length("text") != F.col("n_chars")),
+        Check("unknown_lang", ~F.col("lang").isin("en", "de", "es", "fr", "zh")),
+        Check("negative_doc_id", F.col("doc_id") < 0),
+        Check("empty_text", F.length(F.trim(F.col("text"))) == 0),
+    ]
+    return violation_counts(docs, checks)
+
+
+@register(
+    "cross_file_consistency",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN ABS(l_extendedprice - l_quantity * p_retailprice)
+                         <= 1e-5 * GREATEST(ABS(l_extendedprice),
+                                            ABS(l_quantity * p_retailprice))
+                    THEN 1 ELSE 0 END) AS n_consistent
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def cross_file_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant-equality consistency check (V3, §2.8 math).
+
+    Mirrors the reference's metadata-vs-experiment.json float compare
+    with relative tolerance 1e-5 (akoya_codex_data_collection.py:43-47);
+    double comparisons only — no accumulation — so exact across engines.
+    """
+    t = _t(spark, sf_dir)
+    lhs = F.col("l_extendedprice")
+    rhs = F.col("l_quantity") * F.col("p_retailprice")
+    ok = F.abs(lhs - rhs) <= F.lit(1e-5) * F.greatest(F.abs(lhs), F.abs(rhs))
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_consistent"),
+        )
+    )
+
+
+@register(
+    "coercion_functions",
+    """
+    WITH raw(s_bool, s_ts) AS (VALUES
+      ('TRUE',  '2020-01-01 12:00:00'),
+      (' yes ', '2020-01-01 12:00'),
+      ('0',     '01/02/2020 08:30:00'),
+      ('T',     '2020-03-04'),
+      ('nope',  '2020-01-01T06:07:08'))
+    SELECT s_bool,
+           UPPER(TRIM(s_bool)) IN ('TRUE','T','1','Y','YES') AS as_bool,
+           COALESCE(
+             TRY_STRPTIME(s_ts, '%Y-%m-%d %H:%M:%S'),
+             TRY_STRPTIME(s_ts, '%Y-%m-%d %H:%M'),
+             TRY_STRPTIME(s_ts, '%m/%d/%Y %H:%M:%S'),
+             TRY_STRPTIME(s_ts, '%m/%d/%Y %H:%M'),
+             TRY_STRPTIME(s_ts, '%Y-%m-%dT%H:%M:%S'),
+             TRY_STRPTIME(s_ts, '%Y-%m-%d')) AS as_ts
+    FROM raw
+    """,
+)
+def coercion_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-coercion surface: truthy-bool + multi-format timestamp parse.
+
+    Reference: utils.py:1542-1549 (__is_true) and
+    akoya_codex_data_collection.py:14-33 (translate_timestamp).
+    """
+    from .functions.scalars import parse_bool, parse_timestamp_multi
+
+    raw = spark.createDataFrame(
+        [
+            ("TRUE", "2020-01-01 12:00:00"),
+            (" yes ", "2020-01-01 12:00"),
+            ("0", "01/02/2020 08:30:00"),
+            ("T", "2020-03-04"),
+            ("nope", "2020-01-01T06:07:08"),
+        ],
+        "s_bool string, s_ts string",
+    )
+    return raw.select(
+        "s_bool",
+        parse_bool(F.col("s_bool")).alias("as_bool"),
+        parse_timestamp_multi(F.col("s_ts")).alias("as_ts"),
+    )
+
+
+@register(
+    "conditional_rewrite",
+    """
+    SELECT doc_id,
+           CASE WHEN REGEXP_MATCHES(source, '^src1')
+                     AND REGEXP_MATCHES(lang, '^(de|es)$')
+                THEN UPPER(lang) ELSE lang END AS lang_fixed
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-gated special-case rewrite (P9/F4).
+
+    Mirrors split_and_create.py's SPECIAL_CASE_TRANSFORMATIONS: a fix
+    applied only when a parent attribute matches a pattern.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    gated = F.col("source").rlike("^src1") & F.col("lang").rlike("^(de|es)$")
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.when(gated, F.upper(F.col("lang"))).otherwise(F.col("lang")).alias(
+            "lang_fixed"
+        ),
+    )
+
+
+@register(
+    "sessionize_users",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (A9): 30-min inactivity splits sessions.
+
+    lag+cumsum over one (user, ts) window ordering — single shuffle.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "graph_bfs_descendants",
+    """
+    WITH roots AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS uuid
+                   FROM customer WHERE c_custkey < 50),
+    d1 AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS uuid
+           FROM orders WHERE o_custkey < 50),
+    d2 AS (SELECT 'l' || CAST(l_orderkey AS VARCHAR) || '_'
+                      || CAST(l_linenumber AS VARCHAR) AS uuid
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey < 50)
+    SELECT 0 AS depth, COUNT(DISTINCT uuid) AS n_nodes FROM roots
+    UNION ALL SELECT 1, COUNT(DISTINCT uuid) FROM d1
+    UNION ALL SELECT 2, COUNT(DISTINCT uuid) FROM d2
+    """,
+)
+def graph_bfs_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-graph BFS (J8): customer→order→lineitem as entity DAG.
+
+    Exercises descendants_bfs (iterative self-join, bounded depth,
+    early exit) over a synthetic edges table; per-depth node counts.
+    """
+    from .operators.graph import descendants_bfs
+
+    t = _t(spark, sf_dir)
+    c2o = t["orders"].select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("parent_uuid"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("child_uuid"),
+    )
+    o2l = t["lineitem"].select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("parent_uuid"),
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("child_uuid"),
+    )
+    edges = c2o.unionByName(o2l)
+    roots = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 50)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("uuid"))
+    )
+    reach = descendants_bfs(edges, roots, max_depth=2)
+    return reach.groupBy("depth").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: dedup family (BASELINE-mandated, 100 TB-first)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: documents augmented with exact duplicates (every
+# doc_id % 10 == 0 re-added under id+1000000) so dedup paths produce
+# non-trivial matches on otherwise-duplicate-free synthetic data.
+_AUG = """
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    WITH {_AUG}
+    SELECT MD5(text) AS digest, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM aug GROUP BY MD5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (O5 + LLM-dedup): hash-groupBy.
+
+    One shuffle keyed by the md5 digest; min-id representative keeps
+    the result deterministic.
+    """
+    return exact_dedup(_aug_docs(spark, sf_dir), "text", "doc_id").withColumnsRenamed(
+        {"id": "keep_id"}
+    )
+
+
+@register(
+    "dedup_fingerprint_docs",
+    f"""
+    WITH {_AUG},
+    aug2 AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT doc_id + 2000000,
+             ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 10 = 5),
+    norm AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x <> '') AS toks
+      FROM aug2)
+    SELECT MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' ')) AS fingerprint,
+           COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM norm GROUP BY 1
+    """,
+)
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: order/duplication-insensitive token-set key.
+
+    Catches shuffled near-copies exact hashing misses — verified here
+    by injecting token-reversed copies (doc_id%10==5 → +2000000).
+    """
+    aug = _aug_docs(spark, sf_dir)
+    reversed_copies = (
+        _t(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+        )
+    )
+    aug2 = aug.unionByName(reversed_copies)
+    return fingerprint_dedup(aug2, "text", "doc_id").withColumnsRenamed(
+        {"id": "keep_id"}
+    )
+
+
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 2)) t(i)
+      WHERE LEN(tk) >= 3)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    hashes AS (
+      SELECT doc_id, seed,
+             MIN(CAST('0x' || SUBSTR(MD5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8)
+                      AS BIGINT)) AS h
+      FROM sh, UNNEST(GENERATE_SERIES(0, 15)) s(seed)
+      GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, LIST(h ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, ARRAY_TO_STRING(sig[b*4+1:b*4+4], '_') AS band_key
+      FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) bb(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (16 hashes × 4 bands).
+
+    shingle→minhash→band→bucket-join; only bucket collisions are ever
+    materialized (no O(n²)).  The md5-derived hash family makes every
+    signature bit reproducible in any engine.
+    """
+    pairs = minhash_lsh_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.8 via inverted-index join.
+
+    Docs meet only through shared shingles; at 100 TB add
+    doc-frequency capping of hot shingles (stop-shingle removal) to
+    bound the largest bucket — semantics preserved for near-dup use.
+    """
+    return ngram_jaccard_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", shingle_k=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toksd AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5('0:' || tok), 1, 8) AS BIGINT) AS h
+      FROM toksd),
+    votes AS (
+      SELECT doc_id, j,
+             SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+      FROM th, UNNEST(GENERATE_SERIES(0, 31)) jj(j)
+      GROUP BY doc_id, j)
+    SELECT doc_id,
+           SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (32-bit majority vote over token hashes).
+
+    Near-pair retrieval uses chunk banding (simhash_near_pairs);
+    signatures themselves are the oracle-checked unit.
+    """
+    from .operators.dedup import simhash_signatures
+
+    docs = _t(spark, sf_dir)["documents"]
+    return simhash_signatures(docs, "text", "doc_id").withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qv, cv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+               / (SQRT(LIST_REDUCE(LIST_TRANSFORM(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+                * SQRT(LIST_REDUCE(LIST_TRANSFORM(cv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))),
+               6) AS cosine_sim
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 20 query vectors.
+
+    Exact ANN baseline: broadcast the query side, fold dot products
+    JVM-side (zip_with+aggregate, left-to-right like the oracle's
+    list_reduce), round to 6 dp so the ranking key is bit-identical,
+    then one window on query_id.  The LSH-bucketed variant
+    (similarity_lsh_buckets) is the 100 TB path.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x,y) -> x+y)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+              * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+             6) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x,y) -> x+y)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+              * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+             6) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.9) with label blocking.
+
+    Blocking on the label column mirrors production near-dup at scale:
+    pairs only form inside a block (here: class label; in a real
+    corpus: LSH bucket — see lsh_bucket_candidates), never O(n²)
+    across the corpus.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "label", "embedding")
+    pairs = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> ''))
+             AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                AS DOUBLE) / GREATEST(LENGTH(text), 1) AS digit_ratio,
+           CAST(LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                  x -> x <> ''),
+                  x -> LIST_CONTAINS(['the','and','of','to','a','in','is','for','on','with'],
+                                     LOWER(x)))) AS DOUBLE)
+             / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                            x -> x <> '')), 1) AS stopword_ratio
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (LLM text analysis): pure column math.
+
+    Each ratio is a single division of exact ints — bit-identical in
+    any engine; the whole feature block is one projection, no shuffle.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    feats = quality_features(F.col("text"))
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid_confusion",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x <> '') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','and','of','is','with'], x))) AS DOUBLE)
+          / GREATEST(LEN(toks), 1) AS s_en,
+        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','und','die','das','mit'], x))) AS DOUBLE)
+          / GREATEST(LEN(toks), 1) AS s_de,
+        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','que','con'], x))) AS DOUBLE)
+          / GREATEST(LEN(toks), 1) AS s_es,
+        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','les','des','avec'], x))) AS DOUBLE)
+          / GREATEST(LEN(toks), 1) AS s_fr,
+        CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['de5','shi4','zai4','he2','le5'], x))) AS DOUBLE)
+          / GREATEST(LEN(toks), 1) AS s_zh
+      FROM norm),
+    pred AS (
+      SELECT lang,
+             CASE WHEN GREATEST(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                  WHEN s_zh = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+                  WHEN s_fr = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                  WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                  WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM scored)
+    SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word ratios, argmax with
+    deterministic tiebreak) → confusion matrix vs the labeled lang."""
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        docs.select("lang", langid_best(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_token_fingerprint",
+    """
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> ''))
+             AS n_tokens,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting (LLM text analysis)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equivalent batch queries (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_counts",
+    """
+    SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-type counts (T5): the exact plan the
+    Structured-Streaming variant runs (see streaming.events); batch
+    and stream share semantics, differing only in trigger."""
+    from .streaming.events import windowed_event_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    return windowed_event_counts(ev, window_len="1 hour")
+
+
+@register(
+    "stream_dedup_run_ids",
+    """
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_run_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once intake dedup (T2): duplicate delivery collapses.
+
+    Batch shape of dropDuplicatesWithinWatermark — the union-with-self
+    models at-least-once redelivery.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.unionByName(ev)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )

@@ -48,4 +48,8 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     # test data's events.ts is parquet TIMESTAMP(NANOS); see tables.load_table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # size shuffles to cores (the 200 default over-parallelizes local runs)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     return spark
