@@ -1,0 +1,99 @@
+"""Entity status state machine as batch MERGE with transition validation.
+
+Restates the reference's StatusChanger/EntityUpdater
+(dags/status_change/status_manager.py:95-381) and the Statuses enum +
+ENTITY_STATUS_MAP (dags/status_change/status_utils.py:48-126):
+
+- per-entity status column with a fixed allowed-transition table;
+- updates arrive as (uuid, new_status, run_id) rows;
+- invalid transitions are rejected (routed to an error output, the
+  Spark analog of the reference raising on bad transitions);
+- idempotent under redelivery: updates dedup on (uuid, run_id) and the
+  latest valid update per uuid wins deterministically (V6/T2/T6).
+
+Plan shape: broadcast the transition rules (tiny), one shuffle on uuid
+for the latest-update window, one left join back to entities — MERGE
+semantics without requiring a table format (Delta's MERGE INTO drops
+in unchanged where available).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# dataset lifecycle per the reference's Statuses enum (status_utils.py:48-90)
+ALLOWED_TRANSITIONS: list[tuple[str, str]] = [
+    ("new", "processing"),
+    ("new", "invalid"),
+    ("processing", "qa"),
+    ("processing", "error"),
+    ("processing", "invalid"),
+    ("qa", "published"),
+    ("qa", "processing"),
+    ("error", "processing"),
+    ("invalid", "processing"),
+]
+
+
+def transitions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ALLOWED_TRANSITIONS, "from_status string, to_status string"
+    )
+
+
+def apply_status_updates(
+    entities: DataFrame,
+    updates: DataFrame,
+    spark: SparkSession,
+    uuid_col: str = "uuid",
+    status_col: str = "status",
+) -> tuple[DataFrame, DataFrame]:
+    """MERGE updates into entities; returns (updated_entities, rejected).
+
+    updates: (uuid, new_status, run_id).  Dedup on (uuid, run_id),
+    choose the last update per uuid by (run_id) order, validate the
+    transition against the broadcast rules, apply valid ones.
+    rejected carries a reject_reason column.
+    """
+    deduped = updates.dropDuplicates([uuid_col, "run_id"])
+    w = Window.partitionBy(uuid_col).orderBy(F.desc("run_id"))
+    latest = (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cur = entities.select(
+        F.col(uuid_col), F.col(status_col).alias("__cur_status")
+    )
+    rules = transitions_df(spark)
+    checked = (
+        latest.join(cur, uuid_col, "left")
+        .join(
+            F.broadcast(rules),
+            (F.lower(F.col("__cur_status")) == F.col("from_status"))
+            & (F.lower(F.col("new_status")) == F.col("to_status")),
+            "left",
+        )
+        .withColumn(
+            "reject_reason",
+            F.when(F.col("__cur_status").isNull(), F.lit("unknown_entity"))
+            .when(F.col("new_status").isNull(), F.lit("null_status"))
+            .when(F.col("to_status").isNull(), F.lit("illegal_transition")),
+        )
+    )
+    valid = checked.filter(F.col("reject_reason").isNull()).select(
+        uuid_col, F.lower(F.col("new_status")).alias("__next_status")
+    )
+    rejected = checked.filter(F.col("reject_reason").isNotNull()).select(
+        uuid_col, "new_status", "run_id", "__cur_status", "reject_reason"
+    )
+    updated = (
+        entities.join(valid, uuid_col, "left")
+        .withColumn(
+            status_col, F.coalesce(F.col("__next_status"), F.col(status_col))
+        )
+        .drop("__next_status")
+    )
+    return updated, rejected

@@ -1409,3 +1409,289 @@ def stream_dedup_run_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Status machine, reports, multimodal plumbing, remaining §2 surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "status_state_machine",
+    """
+    WITH ent AS (
+      SELECT c_custkey AS uuid,
+             CASE c_custkey % 5 WHEN 0 THEN 'new' WHEN 1 THEN 'processing'
+                  WHEN 2 THEN 'qa' WHEN 3 THEN 'error' ELSE 'invalid' END AS status
+      FROM customer),
+    upd AS (
+      SELECT o_custkey AS uuid,
+             CASE o_orderkey % 5 WHEN 0 THEN 'processing' WHEN 1 THEN 'qa'
+                  WHEN 2 THEN 'published' WHEN 3 THEN 'invalid' ELSE 'error' END
+               AS new_status,
+             o_orderkey AS run_id
+      FROM orders),
+    latest AS (
+      SELECT uuid, new_status FROM (
+        SELECT uuid, new_status,
+               ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY run_id DESC) AS rn
+        FROM upd) WHERE rn = 1),
+    rules(f, t) AS (VALUES
+      ('new','processing'), ('new','invalid'),
+      ('processing','qa'), ('processing','error'), ('processing','invalid'),
+      ('qa','published'), ('qa','processing'),
+      ('error','processing'), ('invalid','processing')),
+    valid AS (
+      SELECT l.uuid, l.new_status
+      FROM latest l JOIN ent e USING (uuid)
+                    JOIN rules r ON e.status = r.f AND l.new_status = r.t)
+    SELECT COALESCE(v.new_status, e.status) AS status, COUNT(*) AS n
+    FROM ent e LEFT JOIN valid v USING (uuid)
+    GROUP BY 1
+    """,
+)
+def status_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status state machine MERGE (V6/T6): latest valid update wins.
+
+    Entities seeded from customer, updates from orders; illegal
+    transitions are rejected by the broadcast transition-rules join —
+    output is the resulting status census.
+    """
+    from .operators.status_machine import apply_status_updates
+
+    t = _t(spark, sf_dir)
+    ent = t["customer"].select(
+        F.col("c_custkey").alias("uuid"),
+        (F.col("c_custkey") % 5)
+        .cast("int")
+        .alias("_m"),
+    ).select(
+        "uuid",
+        F.element_at(
+            F.array(
+                F.lit("new"), F.lit("processing"), F.lit("qa"), F.lit("error"),
+                F.lit("invalid"),
+            ),
+            F.col("_m") + 1,
+        ).alias("status"),
+    )
+    upd = t["orders"].select(
+        F.col("o_custkey").alias("uuid"),
+        F.element_at(
+            F.array(
+                F.lit("processing"), F.lit("qa"), F.lit("published"),
+                F.lit("invalid"), F.lit("error"),
+            ),
+            (F.col("o_orderkey") % 5).cast("int") + 1,
+        ).alias("new_status"),
+        F.col("o_orderkey").alias("run_id"),
+    )
+    updated, _rejected = apply_status_updates(ent, upd, spark)
+    return updated.groupBy("status").agg(F.count("*").alias("n"))
+
+
+@register(
+    "report_customer_survey",
+    """
+    SELECT c_custkey, c_name, n_name, r_name,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           o.last_order,
+           COALESCE(o.total_spend, 0.0) AS total_spend
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+                        MAX(o_orderdate) AS last_order,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          AS total_spend
+                 FROM orders GROUP BY o_custkey) o
+        ON o_custkey = c_custkey
+    """,
+)
+def report_customer_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-style wide report (§2.1 S14 shape + O1 sort + J3/J4/P14)."""
+    from .reports.survey import customer_survey
+
+    t = _t(spark, sf_dir)
+    return customer_survey(t["customer"], t["nation"], t["region"], t["orders"])
+
+
+@register(
+    "report_log_mining",
+    """
+    WITH lines AS (
+      SELECT 'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type AS line
+      FROM events)
+    SELECT CAST(REGEXP_EXTRACT(line, 'user=(\\d+)', 1) AS BIGINT) AS user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN REGEXP_EXTRACT(line, 'type=(\\w+)', 1) = 'error'
+                    THEN 1 ELSE 0 END) AS n_errors
+    FROM lines GROUP BY 1
+    """,
+)
+def report_log_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-report log mining (S13/A9/V8): regex field extraction over
+    raw text lines, then per-user aggregation with an error battery."""
+    from .reports.survey import usage_report
+
+    ev = _t(spark, sf_dir)["events"]
+    lines = ev.select(
+        F.concat(
+            F.lit("user="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+        ).alias("line")
+    )
+    return usage_report(lines)
+
+
+@register(
+    "multimodal_stub_features",
+    """
+    WITH pos AS (
+      SELECT doc_id, i, ORD(SUBSTR(text, i, 1)) AS b
+      FROM documents, UNNEST(GENERATE_SERIES(1, LENGTH(text))) t(i)
+      WHERE doc_id < 100)
+    SELECT doc_id AS asset_id,
+           CAST(LENGTH(MAX(text2)) AS BIGINT) AS byte_len,
+           CAST(COALESCE(SUM(CASE WHEN (i-1) % 4 = 0 THEN b END), 0) % 997 AS DOUBLE) AS f0,
+           CAST(COALESCE(SUM(CASE WHEN (i-1) % 4 = 1 THEN b END), 0) % 997 AS DOUBLE) AS f1,
+           CAST(COALESCE(SUM(CASE WHEN (i-1) % 4 = 2 THEN b END), 0) % 997 AS DOUBLE) AS f2,
+           CAST(COALESCE(SUM(CASE WHEN (i-1) % 4 = 3 THEN b END), 0) % 997 AS DOUBLE) AS f3
+    FROM (SELECT doc_id, i, b, text AS text2
+          FROM pos JOIN documents USING (doc_id))
+    GROUP BY doc_id
+    """,
+)
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (S9 + LLM multimodal columns): binary media
+    column → mapInPandas feature extraction (deterministic stub).
+
+    The binary column, Arrow batching, and UDF signature are the real
+    production shape; only the codec inside is fake (byte-sum features)
+    — decode_media raises NotImplementedError by design.
+    """
+    from .operators.multimodal import decode_stub_features, documents_as_assets
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    feats = decode_stub_features(documents_as_assets(docs), feat_dim=4)
+    return feats.select(
+        "asset_id",
+        "byte_len",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
+
+
+@register(
+    "filter_membership_floor",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE (user_id IN (1, 2, 3, 4, 5) OR event_type IN ('error', 'signup'))
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def filter_membership_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column membership + timestamp floor (P6) — the usage
+    report's endpoint/date pre-filter, pushed down to the scan."""
+    ev = _t(spark, sf_dir)["events"]
+    return ev.filter(
+        (F.col("user_id").isin(1, 2, 3, 4, 5) | F.col("event_type").isin("error", "signup"))
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "rules_join_routing",
+    """
+    SELECT CASE WHEN REGEXP_MATCHES(source, '^src1[0-9]') THEN 'tier1x'
+                WHEN REGEXP_MATCHES(source, '^src[0-9]$') THEN 'short'
+                ELSE 'other' END AS route,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def rules_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing rules via broadcast rlike-join + min_by first-match
+    resolution (P11/W1 physical strategy 2 — rules-as-data)."""
+    from .rules.engine import rules_broadcast_join
+
+    docs = _t(spark, sf_dir)["documents"]
+    rules = [
+        Rule("^src1[0-9]", "tier1x"),
+        Rule("^src[0-9]$", "short"),
+    ]
+    routed = rules_broadcast_join(
+        docs, spark, "source", rules, out_col="route", default="other"
+    )
+    return routed.groupBy("route").agg(F.count("*").alias("n"))
+
+
+@register(
+    "provenance_concat",
+    """
+    WITH prov(uuid, prev, new_entries) AS (VALUES
+      (1, ['salmon:v1', 'other:v0', 'multiome:v2'], ['salmon:v3']),
+      (2, ['foo:v1'],                               ['bar:v2']),
+      (3, [],                                       ['salmon:v9']))
+    SELECT uuid,
+           LIST_CONCAT(
+             LIST_FILTER(prev, x -> REGEXP_MATCHES(x, 'salmon|multiome')),
+             new_entries) AS dag_provenance
+    FROM prov
+    """,
+)
+def provenance_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-list concatenation with keyword filtering (G2).
+
+    Mirrors dags/utils.py:1443-1483: keep prior-revision entries whose
+    origin matches a keyword set, then append the new run's entries.
+    """
+    prov = spark.createDataFrame(
+        [
+            (1, ["salmon:v1", "other:v0", "multiome:v2"], ["salmon:v3"]),
+            (2, ["foo:v1"], ["bar:v2"]),
+            (3, [], ["salmon:v9"]),
+        ],
+        "uuid int, prev array<string>, new_entries array<string>",
+    )
+    return prov.select(
+        "uuid",
+        F.concat(
+            F.filter(F.col("prev"), lambda x: x.rlike("salmon|multiome")),
+            F.col("new_entries"),
+        ).alias("dag_provenance"),
+    )
+
+
+@register(
+    "text_list_parsing",
+    """
+    WITH raw(id, s) AS (VALUES
+      (1, '[alpha, beta, gamma]'),
+      (2, '''one'',''two'''),
+      (3, 'x; y ;z'),
+      (4, '[]'))
+    SELECT id, u.tok
+    FROM (SELECT id,
+                 LIST_FILTER(
+                   LIST_TRANSFORM(
+                     STRING_SPLIT_REGEX(REGEXP_REPLACE(s, '[\\[\\]''\"]', '', 'g'),
+                                        '[,;]'),
+                     x -> TRIM(x)),
+                   x -> x <> '') AS toks
+          FROM raw) r, UNNEST(r.toks) u(tok)
+    """,
+)
+def text_list_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracketed text-list parsing (P13): strip quotes/brackets, split
+    on , or ;, trim, drop empties, explode to rows."""
+    from .functions.scalars import parse_text_list
+
+    raw = spark.createDataFrame(
+        [(1, "[alpha, beta, gamma]"), (2, "'one','two'"), (3, "x; y ;z"), (4, "[]")],
+        "id int, s string",
+    )
+    return raw.select("id", F.explode(parse_text_list(F.col("s"))).alias("tok"))

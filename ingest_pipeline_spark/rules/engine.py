@@ -82,7 +82,7 @@ def rules_broadcast_join(
     rdf = rules_df(spark, rules)
     joined = df.join(
         F.broadcast(rdf),
-        F.col(col_name).rlike(F.col("pattern")),
+        F.regexp_like(F.col(col_name), F.col("pattern")),
         "left",
     )
     group_cols = [c for c in df.columns]

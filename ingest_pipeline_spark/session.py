@@ -22,6 +22,8 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # test data's events.ts is parquet TIMESTAMP(NANOS); see tables.load_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -76,7 +76,19 @@ def run_stream_once(
     """Drive a streaming transform over a parquet dir to completion.
 
     Returns the materialized result (memory sink) as a batch DataFrame.
+    FileStreamSource requires a directory; a single-file path is staged
+    into a temp dir via symlink.
     """
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(
+            os.path.abspath(parquet_path),
+            os.path.join(staged, os.path.basename(parquet_path)),
+        )
+        parquet_path = staged
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(src)
     mode = "append" if out.isStreaming and not _has_agg(out) else "complete"

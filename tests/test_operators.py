@@ -1,0 +1,172 @@
+"""Unit tests for library operators not covered by the oracle registry."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ingest_pipeline_spark.functions.scalars import (
+    parse_bool,
+    parse_timestamp_multi,
+    tolerant_float_eq,
+    tolerant_ts_eq,
+)
+from ingest_pipeline_spark.operators.dedup import simhash_near_pairs
+from ingest_pipeline_spark.operators.graph import ancestors_bfs, latest_child
+from ingest_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_candidates,
+)
+from ingest_pipeline_spark.operators.status_machine import apply_status_updates
+from ingest_pipeline_spark.operators.windows import first_match_by_priority
+from ingest_pipeline_spark.validate.checks import Check, route_violations
+
+
+def test_parse_timestamp_tz_suffix(spark):
+    """[Zone] suffix converts the naive parse from that zone to UTC.
+
+    Mirrors translate_timestamp's `2020-01-01 12:00[US/Eastern]` case
+    (reference akoya_codex_data_collection.py:49-57).
+    """
+    df = spark.createDataFrame(
+        [("2020-01-01 12:00:00[US/Eastern]",), ("2020-01-01 12:00:00",)], "s string"
+    )
+    rows = df.select(parse_timestamp_multi(F.col("s")).alias("ts")).collect()
+    # EST is UTC-5 → noon Eastern == 17:00 UTC
+    assert rows[0].ts == datetime.datetime(2020, 1, 1, 17, 0, 0)
+    assert rows[1].ts == datetime.datetime(2020, 1, 1, 12, 0, 0)
+
+
+def test_parse_bool_and_tolerances(spark):
+    df = spark.createDataFrame([("Y", 1.0, 1.0000001), ("no", 1.0, 1.5)], "s string, a double, b double")
+    out = df.select(
+        parse_bool(F.col("s")).alias("b"),
+        tolerant_float_eq(F.col("a"), F.col("b")).alias("feq"),
+    ).collect()
+    assert [r.b for r in out] == [True, False]
+    assert [r.feq for r in out] == [True, False]
+    ts = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1, 12), datetime.datetime(2020, 1, 1, 12, 59))],
+        "a timestamp, b timestamp",
+    )
+    assert ts.select(tolerant_ts_eq(F.col("a"), F.col("b")).alias("ok")).first().ok
+
+
+def test_ancestors_bfs(spark):
+    edges = spark.createDataFrame(
+        [("donor1", "sample1"), ("sample1", "ds1"), ("ds1", "derived1")],
+        "parent_uuid string, child_uuid string",
+    )
+    roots = spark.createDataFrame([("derived1",)], "uuid string")
+    got = {
+        (r.uuid, r.depth) for r in ancestors_bfs(edges, roots, max_depth=5).collect()
+    }
+    assert got == {("derived1", 0), ("ds1", 1), ("sample1", 2), ("donor1", 3)}
+
+
+def test_latest_child(spark):
+    edges = spark.createDataFrame(
+        [("p1", "c1"), ("p1", "c2")], "parent_uuid string, child_uuid string"
+    )
+    ents = spark.createDataFrame(
+        [
+            ("c1", "published", datetime.datetime(2024, 1, 1)),
+            ("c2", "published", datetime.datetime(2024, 2, 1)),
+        ],
+        "uuid string, status string, last_modified timestamp",
+    )
+    rows = latest_child(edges, ents, status_filter=["published"]).collect()
+    assert len(rows) == 1 and rows[0].uuid == "c2"
+
+
+def test_status_machine_rejects(spark):
+    ents = spark.createDataFrame([(1, "new"), (2, "qa")], "uuid int, status string")
+    upd = spark.createDataFrame(
+        [
+            (1, "published", 10),  # illegal from new
+            (2, "published", 11),  # legal
+            (3, "qa", 12),  # unknown entity
+        ],
+        "uuid int, new_status string, run_id int",
+    )
+    updated, rejected = apply_status_updates(ents, upd, spark)
+    status = {r.uuid: r.status for r in updated.collect()}
+    assert status == {1: "new", 2: "published"}
+    reasons = {r.uuid: r.reject_reason for r in rejected.collect()}
+    assert reasons == {1: "illegal_transition", 3: "unknown_entity"}
+
+
+def test_status_machine_idempotent_redelivery(spark):
+    ents = spark.createDataFrame([(1, "qa")], "uuid int, status string")
+    upd = spark.createDataFrame(
+        [(1, "published", 10), (1, "published", 10)],  # duplicate delivery
+        "uuid int, new_status string, run_id int",
+    )
+    updated, rejected = apply_status_updates(ents, upd, spark)
+    assert updated.first().status == "published"
+    assert rejected.count() == 0
+
+
+def test_first_match_by_priority(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "low"), ("a", 9, "high"), ("b", 5, "only")],
+        "item string, priority int, payload string",
+    )
+    got = {
+        r.item: r.payload
+        for r in first_match_by_priority(df, ["item"], "priority", "payload").collect()
+    }
+    assert got == {"a": "high", "b": "only"}
+
+
+def test_simhash_near_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_buckets_and_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    buckets = lsh_bucket_candidates(emb, num_planes=4)
+    rows = buckets.collect()
+    assert len(rows) == 50
+    assert all(len(r.bucket) == 4 and set(r.bucket) <= {"0", "1"} for r in rows)
+    # identical vectors always share a bucket → near-dup finds them
+    dup = emb.limit(5)
+    both = dup.unionByName(
+        dup.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
+    )
+    pairs = embedding_near_dup_pairs(both, threshold=0.999, num_planes=4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert all((v, v + 1000) in found for v in [r.vec_id for r in dup.collect()])
+
+
+def test_cosine_topk_small(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=1)
+    row = out.first()
+    assert row.query_id == 0 and row.neighbor_id == 1
+
+
+def test_route_violations(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "xx")], "id int, lang string")
+    checks = [Check("bad_lang", ~F.col("lang").isin("en", "de"))]
+    clean, errors = route_violations(df, checks)
+    assert [r.id for r in clean.collect()] == [1]
+    err = errors.first()
+    assert err.id == 2 and err.violated_checks == ["bad_lang"]
