@@ -1695,3 +1695,124 @@ def text_list_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id int, s string",
     )
     return raw.select("id", F.explode(parse_text_list(F.col("s"))).alias("tok"))
+
+
+@register(
+    "agg_distinct_sets",
+    """
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(*) > COUNT(DISTINCT c_name) AS has_name_collision
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set accumulation + collision check (A6/A7).
+
+    collect_set is sorted before concat so the value is deterministic
+    under any partitioning (never rely on accumulation order).
+    """
+    c = _t(spark, sf_dir)["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
+        (F.count("*") > F.countDistinct("c_name")).alias("has_name_collision"),
+    )
+
+
+@register(
+    "array_set_ops",
+    """
+    WITH t(id, a, b) AS (VALUES
+      (1, ['x','y','z'], ['y']),
+      (2, ['p'],         ['p','q']),
+      (3, [],            ['r']))
+    SELECT id,
+           LIST_SORT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))) AS a_minus_b,
+           LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS a_union_b,
+           LIST_SORT(LIST_FILTER(a, x -> LIST_CONTAINS(b, x))) AS a_intersect_b
+    FROM t
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-level set operations (U2/U3): except/union/intersect.
+
+    The reference's cc-minus-contacts and VOLATILE_NOTES filtering
+    (dags/utils.py:2110-2112, tools/new_dataset_survey.py:22-26).
+    """
+    t = spark.createDataFrame(
+        [(1, ["x", "y", "z"], ["y"]), (2, ["p"], ["p", "q"]), (3, [], ["r"])],
+        "id int, a array<string>, b array<string>",
+    )
+    return t.select(
+        "id",
+        F.array_sort(F.array_except(F.col("a"), F.col("b"))).alias("a_minus_b"),
+        F.array_sort(F.array_union(F.col("a"), F.col("b"))).alias("a_union_b"),
+        F.array_sort(F.array_intersect(F.col("a"), F.col("b"))).alias(
+            "a_intersect_b"
+        ),
+    )
+
+
+@register(
+    "similarity_lsh_buckets",
+    """
+    WITH planes AS (
+      SELECT p, LIST_TRANSFORM(GENERATE_SERIES(0, 63),
+               i -> CAST(('0x' || SUBSTR(MD5('h' || CAST(p AS VARCHAR) || ':'
+                                          || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) AS plane
+      FROM UNNEST(GENERATE_SERIES(0, 3)) t(p)),
+    dots AS (
+      SELECT vec_id, p,
+             LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, plane),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+               AS d
+      FROM embeddings, planes WHERE vec_id < 100)
+    SELECT vec_id AS id,
+           STRING_AGG(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+             AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path).
+
+    Hyperplanes are md5-derived (seed, component) values — fully
+    reproducible in SQL, no RNG state — so even the LSH *bucketing*
+    is oracle-checked, not just rows-counted.  At 100 TB: bucket is
+    the shuffle key; expected population n/2^planes, md5-uniform.
+    """
+    from .operators.similarity import lsh_bucket_candidates
+
+    emb = _t(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 100)
+    return lsh_bucket_candidates(emb, num_planes=4, dim=64)
+
+
+@register("source_listing", None)
+def source_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed directory listing (S1/S2) — rows-only check.
+
+    No SQL oracle: DuckDB has no filesystem-walk relation.  The
+    operator itself is unit-tested (tests/test_sources_streaming.py);
+    here it lists the sf_dir and classifies files with the first-match
+    rules engine (P10 over the listing).
+    """
+    from .sources.readers import listing
+
+    files = listing(spark, sf_dir)
+    rules = [Rule(r"\.parquet$", "parquet"), Rule(r"\.tsv$", "tsv")]
+    return (
+        files.select(
+            "rel_path",
+            "size",
+            first_match_case(F.col("rel_path"), rules, default="other").alias(
+                "file_type"
+            ),
+        )
+        .groupBy("file_type")
+        .agg(F.count("*").alias("n_files"))
+    )

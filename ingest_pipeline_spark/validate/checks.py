@@ -63,6 +63,41 @@ def run_checks(df: DataFrame, checks: list[Check], fail_on_violation: bool = Fal
     return report
 
 
+class CheckRegistry:
+    """Named check-factory registry (SURVEY §2.11 F3, §2.9 V5).
+
+    The reference loads validation/diagnostic plugins by scanning a
+    directory for subclasses (diagnostic_plugin.py:113-150,
+    export_and_backup_plugin.py:29-60).  Spark restatement: register
+    factories ``(DataFrame) -> list[Check]`` under a name; a battery
+    run composes every applicable factory into ONE violation_counts
+    pass over the table.
+    """
+
+    def __init__(self) -> None:
+        self._factories: dict[str, object] = {}
+
+    def register(self, name: str):
+        def deco(fn):
+            self._factories[name] = fn
+            return fn
+
+        return deco
+
+    def names(self) -> list[str]:
+        return sorted(self._factories)
+
+    def build(self, df: DataFrame, include: list[str] | None = None) -> list[Check]:
+        names = include if include is not None else self.names()
+        checks: list[Check] = []
+        for n in names:
+            checks.extend(self._factories[n](df))
+        return checks
+
+    def run(self, df: DataFrame, include: list[str] | None = None) -> DataFrame:
+        return violation_counts(df, self.build(df, include))
+
+
 def route_violations(df: DataFrame, checks: list[Check]) -> tuple[DataFrame, DataFrame]:
     """Split rows into (clean, errors-with-reason) — error-sink routing.
 
