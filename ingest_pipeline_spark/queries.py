@@ -1037,8 +1037,9 @@ _SHINGLE_CTE = """
     {_SHINGLE_CTE},
     hashes AS (
       SELECT doc_id, seed,
-             MIN(CAST('0x' || SUBSTR(MD5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8)
-                      AS BIGINT)) AS h
+             MIN((CAST('0x' || SUBSTR(MD5(shingle), 1, 8) AS BIGINT)
+                  + seed * CAST('0x' || SUBSTR(MD5(shingle), 9, 8) AS BIGINT))
+                 % 4294967296) AS h
       FROM sh, UNNEST(GENERATE_SERIES(0, 15)) s(seed)
       GROUP BY doc_id, seed),
     sigs AS (SELECT doc_id, LIST(h ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
@@ -1054,8 +1055,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (16 hashes × 4 bands).
 
     shingle→minhash→band→bucket-join; only bucket collisions are ever
-    materialized (no O(n²)).  The md5-derived hash family makes every
-    signature bit reproducible in any engine.
+    materialized (no O(n²)).  Slot hashes are (h1 + i*h2) mod 2^32
+    from ONE md5 per shingle (2-universal composition) — every
+    signature bit reproducible in any engine with md5.
     """
     pairs = minhash_lsh_pairs(
         _aug_docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4
