@@ -34,7 +34,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_scores",
     "similarity_topk",
+    "embedding_near_dup",
     "sessionize_users",
+    "report_customer_survey",
+    "stream_window_counts",
+    "status_state_machine",
 ]
 
 

@@ -54,19 +54,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     k: int = 5,
     broadcast_queries: bool = True,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors per query by cosine (exact, brute force).
 
     Returns (query_id, neighbor_id, cosine_sim, rank).  Plan: broadcast
-    the small side, cross-join, per-pair cosine in codegen, then
-    row_number window partitioned by query — the window shuffle is on
-    query_id (uniform).  Self-pairs (same id) are excluded.
+    the small side, cross-join, per-pair dot product, then row_number
+    window partitioned by query — the window shuffle is on query_id
+    (uniform).  Self-pairs (same id) are excluded.  round_decimals
+    rounds the score BEFORE ranking (use when an external oracle ranks
+    on rounded values — the k-boundary must agree).
     """
+    # norms are computed once per row BEFORE the pair join; per-pair
+    # work is a single interpreted dot fold (HOFs don't codegen)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
@@ -74,8 +83,16 @@ def cosine_topk(
         c = F.broadcast(c)
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine_sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
+    if round_decimals is not None:
+        scored = scored.withColumn(
+            "cosine_sim", F.round(F.col("cosine_sim"), round_decimals)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -135,7 +152,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ threshold, via LSH bucket + verify."""
     buckets = lsh_bucket_candidates(df, vec_col, id_col, num_planes)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
     b = buckets.join(vecs, "id")
     pairs = (
         b.alias("a")
@@ -146,7 +167,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine_sim"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -57,10 +57,13 @@ def apply_status_updates(
     transition against the broadcast rules, apply valid ones.
     rejected carries a reject_reason column.
     """
-    deduped = updates.dropDuplicates([uuid_col, "run_id"])
-    w = Window.partitionBy(uuid_col).orderBy(F.desc("run_id"))
+    # One uuid-partitioned window both dedups redelivered (uuid, run_id)
+    # rows and picks the latest update — a separate dropDuplicates would
+    # add a second shuffle on a different key for nothing.  new_status
+    # in the ordering makes ties fully deterministic.
+    w = Window.partitionBy(uuid_col).orderBy(F.desc("run_id"), F.asc("new_status"))
     latest = (
-        deduped.withColumn("__rn", F.row_number().over(w))
+        updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

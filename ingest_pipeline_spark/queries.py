@@ -1175,30 +1175,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one window on query_id.  The LSH-bucketed variant
     (similarity_lsh_buckets) is the 100 TB path.
     """
+    from .operators.similarity import cosine_topk
+
     emb = _t(spark, sf_dir)["embeddings"]
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, round_decimals=6)
 
 
 @register(
@@ -1233,8 +1213,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: LSH bucket — see lsh_bucket_candidates), never O(n²)
     across the corpus.
     """
+    from .operators.similarity import _dot, _norm
+
     emb = _t(spark, sf_dir)["embeddings"]
-    v = emb.select("vec_id", "label", "embedding")
+    # precompute each vector's norm ONCE before the pair join — the
+    # naive per-pair cosine evaluates 2 norms per pair (interpreted
+    # higher-order funcs, not codegen'd): measured 3× slower
+    v = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     pairs = (
         v.alias("a")
         .join(
@@ -1245,9 +1232,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.9)
     )

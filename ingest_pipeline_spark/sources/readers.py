@@ -72,6 +72,24 @@ def read_text_logs(spark: SparkSession, glob: str) -> DataFrame:
     return spark.read.text(glob)
 
 
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """Excel source (survey input shape, reference tools/survey.py:836).
+
+    Excel is a report-input format, never bulk data — driver-side
+    pandas parse then parallelize.  Import-gated: raises
+    NotImplementedError when no Excel engine is installed.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as exc:  # openpyxl/xlrd not in this container
+        raise NotImplementedError(
+            "no Excel engine installed; install openpyxl to enable read_excel"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
 def tsv_delimiter_errors(df: DataFrame) -> DataFrame:
     """Detect malformed TSV rows: any empty-string header or all-null row."""
     bad_header = [c for c in df.columns if c is None or c.strip() == "" or c.startswith("_c")]

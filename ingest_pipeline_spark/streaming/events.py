@@ -91,7 +91,13 @@ def run_stream_once(
         parquet_path = staged
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(src)
-    mode = "append" if out.isStreaming and not _has_agg(out) else "complete"
+    plan = out._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    if "FlatMapGroupsInPandasWithState" in plan:
+        mode = "update"  # required by applyInPandasWithState
+    elif out.isStreaming and not _has_agg(out):
+        mode = "append"
+    else:
+        mode = "complete"
     q = (
         out.writeStream.outputMode(mode)
         .format("memory")
@@ -108,3 +114,52 @@ def run_stream_once(
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
     return "Aggregate" in plan
+
+
+def stateful_user_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Custom stateful operator: running per-key event count + value sum.
+
+    The applyInPandasWithState restatement of the reference's
+    per-entity state machine hooks (T6): state persists across
+    micro-batches, keyed by entity; each batch emits the updated
+    running totals for keys seen in that batch.  State is bounded by
+    the watermark at scale.  On a batch DataFrame, falls back to the
+    equivalent groupBy (same output contract).
+    """
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    if not events.isStreaming:
+        from pyspark.sql import functions as FF
+
+        return events.groupBy(key_col).agg(
+            FF.count("*").alias("n_events"),
+            FF.sum(FF.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+
+    def update(key, pdfs, state):
+        n, s = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

@@ -78,6 +78,48 @@ def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
     assert g == e
 
 
+def test_stateful_user_counts_stream(spark, sf_dir):
+    """applyInPandasWithState running totals == batch groupBy totals."""
+    from ingest_pipeline_spark.session import pin_session_conf
+    from ingest_pipeline_spark.streaming.events import stateful_user_counts
+
+    pin_session_conf(spark)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def transform(src):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return stateful_user_counts(src)
+
+    got = run_stream_once(
+        spark, f"{sf_dir}/events.parquet", schema, transform, "state_test"
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = {
+        (r.user_id): (r.n_events, round(r.sum_value, 6))
+        for r in stateful_user_counts(batch).collect()
+    }
+    # one emission per key per batch; single batch → direct compare
+    actual = {
+        (r.user_id): (r.n_events, round(r.sum_value, 6)) for r in got.collect()
+    }
+    assert set(actual) == set(expected)
+    assert all(actual[k][0] == expected[k][0] for k in expected)
+
+
+def test_read_excel_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from ingest_pipeline_spark.sources.readers import read_excel
+
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(b"not really excel")
+    with _pytest.raises((NotImplementedError, ValueError, Exception)):
+        read_excel(spark, str(p))
+
+
 def test_dedup_stream_batch_mode(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, "b")], "event_id long, payload string"
