@@ -143,6 +143,108 @@ def lsh_bucket_candidates(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: KMeans centroids + per-vector cluster id.
+
+    The inverted-file ANN scale path: search only the probe clusters
+    instead of the corpus.  Returns (assignments DF with `cluster`,
+    fitted KMeans model).  Deterministic under a fixed seed.
+    """
+    if n_clusters < 2:
+        raise ValueError(
+            f"ivf_index needs n_clusters >= 2 (got {n_clusters}); "
+            "for a single cell use cosine_topk (exact) instead"
+        )
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        "id", "vec", F.col("prediction").alias("cluster")
+    )
+    return assigned, model
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: search only the n_probe nearest clusters.
+
+    Plan: assign corpus to clusters once (the index build, amortized
+    across queries at scale); per query pick the n_probe closest
+    centroids (driver-side tiny loop over k centroids), then the
+    scoring join carries an equi-condition on cluster — a bucketed
+    join instead of a full cross product.  Recall tested vs the exact
+    brute force in tests/.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    assigned, model = ivf_index(corpus, vec_col, id_col, n_clusters, seed)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    # probe-cluster selection as a column expression: cosine to each
+    # centroid (literal arrays), take top n_probe cluster ids
+    def centroid_cos(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(x) for x in c])
+        return _dot(F.col("q_vec"), arr) / (F.col("q_nrm") * F.lit(sum(x * x for x in c) ** 0.5))
+
+    scored_centroids = F.array(
+        *[
+            F.struct(centroid_cos(c).alias("s"), F.lit(i).alias("c"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    probes = F.slice(F.array_sort(scored_centroids, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)), 1, n_probe)
+    q_probed = q.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda p: p["c"]))
+    )
+
+    c = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        _norm(F.col("vec")).alias("c_nrm"),
+        "cluster",
+    )
+    pairs = (
+        F.broadcast(q_probed)
+        .join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

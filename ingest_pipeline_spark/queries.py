@@ -1807,3 +1807,35 @@ def source_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_type")
         .agg(F.count("*").alias("n_files"))
     )
+
+
+@register(
+    "upload_integrity",
+    """
+    WITH declared(source) AS (VALUES
+      ('src0'), ('src1'), ('src2'), ('src_missing_a'), ('src_missing_b')),
+    actual AS (SELECT DISTINCT source FROM documents)
+    SELECT 'missing_declared' AS op, COUNT(*) AS n FROM (
+      SELECT source FROM declared EXCEPT SELECT source FROM actual)
+    UNION ALL
+    SELECT 'unexpected_present', COUNT(*) FROM (
+      SELECT source FROM actual EXCEPT SELECT source FROM declared)
+    """,
+)
+def upload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-upload integrity invariants (V7): declared-vs-actual
+    anti-join in both directions (listed files exist; nothing
+    undeclared present).  Reference split_and_create.py:204-236."""
+    docs = _t(spark, sf_dir)["documents"]
+    declared = spark.createDataFrame(
+        [("src0",), ("src1",), ("src2",), ("src_missing_a",), ("src_missing_b",)],
+        "source string",
+    )
+    actual = docs.select("source").distinct()
+    missing = declared.subtract(actual).agg(F.count("*").alias("n")).select(
+        F.lit("missing_declared").alias("op"), "n"
+    )
+    unexpected = actual.subtract(declared).agg(F.count("*").alias("n")).select(
+        F.lit("unexpected_present").alias("op"), "n"
+    )
+    return missing.unionByName(unexpected)
