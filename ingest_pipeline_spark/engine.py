@@ -1,0 +1,88 @@
+"""Orchestration shell: request intake → dedup → routing → job dispatch.
+
+Restates the reference's ingest entry point (SURVEY §3.1):
+plugins/hubmap_api/endpoint.py:312-390 parses a request, mints
+run_id = "{submission}_{process}_{ts}", dedups against existing runs,
+and triggers the DAG selected by the ingest/workflow map; the
+downstream fan-out joins (collectiontype, assay_type) against
+workflow_map.yml (dags/utils.py:1924-1938).
+
+Spark restatement — a pure DataFrame pipeline, batch or foreachBatch:
+
+  requests(provider, submission_id, process, ts)
+    → run_id minting (deterministic md5 — idempotent under retry)
+    → dropDuplicates(run_id)            (T2 exactly-once)
+    → first-match routing join          (P11 rules engine)
+    → job rows (run_id, dag_id, queue)  → dispatcher sink
+
+The same `route_requests` runs inside a Structured-Streaming
+foreachBatch for continuous intake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rules.engine import Rule, first_match_case
+
+# process-name → DAG routing rules (ingest_map shape, first match wins)
+DEFAULT_PROCESS_RULES: list[Rule] = [
+    Rule(r"^mock\.", "mock_ingest"),
+    Rule(r"\.rnaseq$", "salmon_rnaseq"),
+    Rule(r"\.codex$", "codex_cytokit"),
+    Rule(r"^scan\.", "scan_and_begin_processing"),
+]
+
+# queue routing per dag (resource_map shape)
+DEFAULT_QUEUE_RULES: list[Rule] = [
+    Rule(r"^codex", "gpu000_q1"),
+    Rule(r".*", "general"),
+]
+
+
+def mint_run_ids(requests: DataFrame) -> DataFrame:
+    """Deterministic run ids: md5(provider:submission:process:ts).
+
+    Identical redelivered requests mint identical ids — the dedup key
+    for exactly-once intake (the reference asks "The request happened
+    twice?" by querying existing DagRuns; here it's a dropDuplicates).
+    """
+    return requests.withColumn(
+        "run_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("provider"),
+                F.col("submission_id"),
+                F.col("process"),
+                F.col("ts").cast("string"),
+            )
+        ),
+    )
+
+
+def route_requests(
+    requests: DataFrame,
+    process_rules: list[Rule] | None = None,
+    queue_rules: list[Rule] | None = None,
+) -> DataFrame:
+    """Full intake pipeline → dispatchable job rows.
+
+    Output: (run_id, provider, submission_id, process, dag_id, queue);
+    requests whose process matches no rule get dag_id='unroutable' and
+    should flow to the error sink, mirroring the reference's 400
+    response for unknown process types.
+    """
+    minted = mint_run_ids(requests).dropDuplicates(["run_id"])
+    process_rules = process_rules or DEFAULT_PROCESS_RULES
+    queue_rules = queue_rules or DEFAULT_QUEUE_RULES
+    lowered = F.lower(F.col("process"))
+    routed = minted.withColumn(
+        "dag_id", first_match_case(lowered, process_rules, default="unroutable")
+    ).withColumn(
+        "queue", first_match_case(F.col("dag_id"), queue_rules, default="general")
+    )
+    return routed.select(
+        "run_id", "provider", "submission_id", "process", "dag_id", "queue"
+    )

@@ -1839,3 +1839,77 @@ def upload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("unexpected_present").alias("op"), "n"
     )
     return missing.unionByName(unexpected)
+
+
+@register(
+    "request_intake_routing",
+    """
+    WITH req AS (
+      SELECT 'prov' || CAST(user_id % 3 AS VARCHAR) AS provider,
+             'sub' || CAST(event_id AS VARCHAR) AS submission_id,
+             CASE event_type WHEN 'click'  THEN 'scan.begin'
+                             WHEN 'view'   THEN 'assay.rnaseq'
+                             WHEN 'signup' THEN 'assay.codex'
+                             WHEN 'error'  THEN 'mock.devtest'
+                             ELSE 'unknown.thing' END AS process,
+             ts
+      FROM events
+      UNION ALL
+      SELECT 'prov' || CAST(user_id % 3 AS VARCHAR),
+             'sub' || CAST(event_id AS VARCHAR),
+             CASE event_type WHEN 'click'  THEN 'scan.begin'
+                             WHEN 'view'   THEN 'assay.rnaseq'
+                             WHEN 'signup' THEN 'assay.codex'
+                             WHEN 'error'  THEN 'mock.devtest'
+                             ELSE 'unknown.thing' END,
+             ts
+      FROM events),                       -- duplicate delivery of EVERY request
+    minted AS (
+      SELECT DISTINCT
+             MD5(provider || ':' || submission_id || ':' || process || ':'
+                 || STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f')) AS run_id,
+             process
+      FROM req),
+    routed AS (
+      SELECT run_id,
+             CASE WHEN REGEXP_MATCHES(LOWER(process), '^mock\\.')   THEN 'mock_ingest'
+                  WHEN REGEXP_MATCHES(LOWER(process), '\\.rnaseq$') THEN 'salmon_rnaseq'
+                  WHEN REGEXP_MATCHES(LOWER(process), '\\.codex$')  THEN 'codex_cytokit'
+                  WHEN REGEXP_MATCHES(LOWER(process), '^scan\\.')   THEN 'scan_and_begin_processing'
+                  ELSE 'unroutable' END AS dag_id
+      FROM minted)
+    SELECT dag_id,
+           CASE WHEN REGEXP_MATCHES(dag_id, '^codex') THEN 'gpu000_q1'
+                ELSE 'general' END AS queue,
+           COUNT(*) AS n_jobs
+    FROM routed GROUP BY 1, 2
+    """,
+)
+def request_intake_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orchestration intake pipeline (§3.1, T1-T3): request → run-id
+    minting → exactly-once dedup (every request delivered twice here)
+    → first-match DAG + queue routing → per-route job census."""
+    from .engine import route_requests
+
+    ev = _t(spark, sf_dir)["events"]
+    req = ev.select(
+        F.concat(F.lit("prov"), (F.col("user_id") % 3).cast("string")).alias(
+            "provider"
+        ),
+        F.concat(F.lit("sub"), F.col("event_id").cast("string")).alias(
+            "submission_id"
+        ),
+        F.element_at(
+            F.create_map(
+                F.lit("click"), F.lit("scan.begin"),
+                F.lit("view"), F.lit("assay.rnaseq"),
+                F.lit("signup"), F.lit("assay.codex"),
+                F.lit("error"), F.lit("mock.devtest"),
+                F.lit("purchase"), F.lit("unknown.thing"),
+            ),
+            F.col("event_type"),
+        ).alias("process"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    jobs = route_requests(req.unionByName(req))
+    return jobs.groupBy("dag_id", "queue").agg(F.count("*").alias("n_jobs"))
