@@ -45,6 +45,17 @@ def customer_survey(
     )
 
 
+def order_columns(df: DataFrame, weights: dict[str, int]) -> DataFrame:
+    """Weighted output-column ordering (O2, reference tools/survey.py:52-63).
+
+    Columns with weights sort by (weight, name); unweighted columns go
+    in the alphabetic middle at weight 0.  Pure projection-order logic
+    — no data movement.
+    """
+    ordered = sorted(df.columns, key=lambda c: (weights.get(c, 0), c))
+    return df.select(*ordered)
+
+
 def usage_report(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """Parse `user=<id> type=<t>` lines; per-user event and error counts."""
     parsed = lines.select(
