@@ -1913,3 +1913,32 @@ def request_intake_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs = route_requests(req.unionByName(req))
     return jobs.groupBy("dag_id", "queue").agg(F.count("*").alias("n_jobs"))
+
+
+@register(
+    "quality_percentiles",
+    """
+    SELECT lang,
+           ROUND(QUANTILE_CONT(n_chars, 0.5), 6) AS p50_chars,
+           ROUND(QUANTILE_CONT(n_chars, 0.9), 6) AS p90_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group — the quality-cutoff selection step of
+    a training-data pipeline (drop docs below p50 length etc.).
+
+    Spark `percentile` == SQL QUANTILE_CONT (linear interpolation);
+    rounded to 6 dp to absorb any interpolation last-bit noise.  At
+    100 TB swap in `percentile_approx` (t-digest, bounded memory) —
+    exact percentile requires a per-group sort.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
