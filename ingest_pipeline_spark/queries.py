@@ -1942,3 +1942,57 @@ def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "session_durations",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT)
+               AS duration_s,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           SUM(duration_s) AS total_duration_s,
+           MAX(duration_s) AS longest_s,
+           SUM(n_events) AS n_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval accumulation per entity (A9, §2.8 intervals): the
+    CPU/GPU-seconds rollup shape (reference dags/extra_utils.py:
+    196-240) — per-session durations summed per key."""
+    from .operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir)["events"]
+    s = sessionize(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+    per_session = s.groupBy("user_id", "session_id").agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+        F.count("*").alias("n_events"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("duration_s").alias("total_duration_s"),
+        F.max("duration_s").alias("longest_s"),
+        F.sum("n_events").alias("n_events"),
+    )

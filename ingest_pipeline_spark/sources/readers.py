@@ -90,18 +90,41 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
     return spark.createDataFrame(pdf)
 
 
-def tsv_delimiter_errors(df: DataFrame) -> DataFrame:
-    """Detect malformed TSV rows: any empty-string header or all-null row."""
-    bad_header = [c for c in df.columns if c is None or c.strip() == "" or c.startswith("_c")]
+def tsv_delimiter_report(df: DataFrame) -> dict:
+    """Delimiter-error detection for a header'd TSV read.
+
+    Mirrors the reference's checks (md/data_file_types/
+    tsv_metadata_file.py:14-31): a wrong delimiter shows up as (a)
+    unnamed/auto-generated header columns (`_c0`…) or empty header
+    names, (b) a lone column whose header embeds another delimiter
+    (the whole header failed to split), or (c) rows where every
+    declared column is null.  Returns {"bad_header_cols": [...],
+    "suspected_delimiter": str|None, "n_all_null_rows": int,
+    "n_rows": int} — one aggregation pass.
+    """
+    bad_header = [
+        c for c in df.columns if c is None or c.strip() == "" or c.startswith("_c")
+    ]
+    suspected = None
+    if len(df.columns) == 1:
+        for cand in (",", ";", "|"):
+            if cand in df.columns[0]:
+                suspected = cand
+                break
     all_null = None
     for c in df.columns:
         cond = F.col(c).isNull()
         all_null = cond if all_null is None else (all_null & cond)
-    out = df.filter(all_null) if all_null is not None else df.limit(0)
-    if bad_header:
-        # structurally malformed: unnamed columns present
-        return df
-    return out
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(all_null, 1).otherwise(0)).alias("n_all_null"),
+    ).first()
+    return {
+        "bad_header_cols": bad_header,
+        "suspected_delimiter": suspected,
+        "n_all_null_rows": int(agg.n_all_null or 0),
+        "n_rows": int(agg.n_rows),
+    }
 
 
 def listing(

@@ -33,6 +33,39 @@ def test_tsv_roundtrip(spark, tmp_path):
     assert rows == {("a", 1), ("b\tc", 2)}
 
 
+def test_tsv_delimiter_report(spark, tmp_path):
+    from ingest_pipeline_spark.sources.readers import tsv_delimiter_report
+
+    good = tmp_path / "good.tsv"
+    good.write_text("a\tb\n1\t2\n3\t4\n")
+    rep = tsv_delimiter_report(read_tsv(spark, str(good)))
+    assert rep == {
+        "bad_header_cols": [],
+        "suspected_delimiter": None,
+        "n_all_null_rows": 0,
+        "n_rows": 2,
+    }
+
+    # comma-separated file read as TSV → one unsplit column whose
+    # header still contains the real delimiter
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("a,b\n1,2\n,\n")
+    rep2 = tsv_delimiter_report(read_tsv(spark, str(bad)))
+    assert rep2["suspected_delimiter"] == ","
+    assert rep2["n_rows"] == 2
+
+
+def test_yaml_docs(spark, tmp_path):
+    from ingest_pipeline_spark.sources.readers import read_yaml_docs
+
+    p = tmp_path / "rslt.yml"
+    p.write_text("collectiontype: codex\nassay_type: CODEX\nchannels:\n  - DAPI\n  - CD4\n")
+    df = read_yaml_docs(spark, [str(p)])
+    row = df.first()
+    assert row.collectiontype == "codex"
+    assert list(row.channels) == ["DAPI", "CD4"]
+
+
 def test_json_docs(spark, tmp_path):
     p = tmp_path / "doc.json"
     p.write_text('{"metadata": {"assay": "codex"}, "files": [{"rel_path": "x"}]}')
