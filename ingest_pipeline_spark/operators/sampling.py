@@ -1,0 +1,45 @@
+"""Sampling operators for dataset curation.
+
+- stratified_sample: per-stratum fractions via `sampleBy` (Bernoulli
+  per row, seed-deterministic) — the curation step that rebalances a
+  corpus by language/source before training.
+- reservoir-style fixed-N per stratum: window by random order — exact
+  output size when a hard cap matters (sampleBy only hits fractions
+  in expectation).
+
+Both are single-pass; the fixed-N variant costs one shuffle on the
+stratum key.  Seeded `rand()` makes runs reproducible, which is the
+requirement for auditable training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling; strata not listed are dropped."""
+    return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def fixed_n_per_stratum(
+    df: DataFrame, stratum_col: str, n: int, seed: int = 42, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, seed-deterministic.
+
+    Random order comes from seeded rand(); the tiebreak keeps the
+    selection stable when rand values collide.
+    """
+    order = [F.rand(seed).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

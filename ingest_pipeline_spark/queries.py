@@ -1996,3 +1996,96 @@ def session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("duration_s").alias("longest_s"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "curation_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> ''))
+               AS n_tokens,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, text FROM toks
+      WHERE n_tokens BETWEEN 20 AND 200 AND punct_ratio < 0.10),
+    deduped AS (
+      SELECT MD5(text) AS digest, lang, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM kept GROUP BY MD5(text), lang)
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_dups) - COUNT(*) AS n_dups_removed
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality filter → exact dedup →
+    per-language census — the whole pipeline is one Catalyst plan
+    (filter pushes into the scan; dedup and census are two shuffles).
+    This is the end-to-end shape a 100 TB curation run takes.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    feats = quality_features(F.col("text"))
+    kept = docs.select(
+        "doc_id", "lang", "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+    ).filter(
+        F.col("n_tokens").between(20, 200) & (F.col("punct_ratio") < 0.10)
+    )
+    deduped = kept.groupBy(F.md5("text").alias("digest"), F.col("lang")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        (F.sum("n_dups") - F.count("*")).alias("n_dups_removed"),
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    """
+    WITH toksd AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0))),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5('0:' || tok), 1, 8) AS BIGINT) AS h
+      FROM toksd),
+    votes AS (
+      SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+      FROM th, UNNEST(GENERATE_SERIES(0, 31)) jj(j)
+      GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY doc_id),
+    chunked AS (
+      SELECT doc_id, simhash, c,
+             (simhash >> (c * 8)) & 255 AS chunk_val
+      FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) cc(c)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+      FROM chunked a JOIN chunked b
+        ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs via chunk banding (pigeonhole: Hamming ≤ 3 over
+    4 chunks ⇒ ≥1 chunk equal) + exact Hamming verify — signatures AND
+    retrieval both oracle-checked on the duplicate-augmented corpus."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", bits=32, max_hamming=3, chunks=4
+    )

@@ -163,6 +163,39 @@ def test_cosine_topk_small(spark):
     assert row.query_id == 0 and row.neighbor_id == 1
 
 
+def test_stratified_sampling(spark, sf_dir):
+    from ingest_pipeline_spark.operators.sampling import (
+        fixed_n_per_stratum,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    langs = {r.lang for r in frac.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # unlisted strata dropped
+    # deterministic under the same seed
+    a = sorted(r.doc_id for r in frac.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, seed=7).collect()
+    )
+    assert a == b
+
+    capped = fixed_n_per_stratum(docs, "lang", 5, seed=7, tiebreak_col="doc_id")
+    per = {
+        r.lang: r.n
+        for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 5 for n in per.values())
+    # deterministic selection
+    c1 = sorted(r.doc_id for r in capped.collect())
+    c2 = sorted(
+        r.doc_id
+        for r in fixed_n_per_stratum(docs, "lang", 5, seed=7, tiebreak_col="doc_id").collect()
+    )
+    assert c1 == c2
+
+
 def test_route_violations(spark):
     df = spark.createDataFrame([(1, "en"), (2, "xx")], "id int, lang string")
     checks = [Check("bad_lang", ~F.col("lang").isin("en", "de"))]
