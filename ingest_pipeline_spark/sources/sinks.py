@@ -26,6 +26,31 @@ def write_json(df: DataFrame, path: str, single_file: bool = False, mode: str = 
     out.write.mode(mode).json(path)
 
 
+def pipe_partitions(df: DataFrame, command: list[str], to_line=None):
+    """Opaque external-process task (SURVEY §2.11 F6).
+
+    The reference shells out to cwltool/docker per pipeline stage
+    (dags/utils.py:274-335, salmon_rnaseq.py:257-295); the engine
+    models such stages as partition-wise pipes: each partition's rows
+    are serialized to lines, streamed through `command`'s stdin, and
+    the process's stdout lines come back as an RDD[str].  The
+    bioinformatics inside stays opaque — the engine provides transport,
+    parallelism, and provenance (record the command in the run
+    manifest).
+
+    to_line: row → str serializer (default: tab-joined str values).
+    Returns an RDD of output lines; wrap with spark.read/createDataFrame
+    downstream as needed.  checkCode=True: a non-zero exit fails the
+    task loudly — the default (silently yielding zero rows on a crashed
+    process) is data loss.
+    """
+    if to_line is None:
+        def to_line(row):
+            return "\t".join("" if v is None else str(v) for v in row)
+
+    return df.rdd.map(to_line).pipe(" ".join(command), checkCode=True)
+
+
 def rest_batch_sink(
     df: DataFrame,
     post_fn,

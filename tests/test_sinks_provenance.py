@@ -42,6 +42,20 @@ def test_run_manifest_and_stamp(spark):
     assert all(r.run_id == "run42" for r in stamped)
 
 
+def test_pipe_partitions_external_process(spark):
+    """F6: rows stream through an external command per partition."""
+    from ingest_pipeline_spark.sources.sinks import pipe_partitions
+
+    df = spark.range(100).repartition(4)
+    out = pipe_partitions(df, ["wc", "-l"]).collect()
+    # one count line per partition, totals to the row count
+    assert sum(int(x.strip()) for x in out) == 100
+    # transform-style command: upper-case each line
+    names = spark.createDataFrame([("a",), ("b",)], "name string").coalesce(1)
+    up = sorted(pipe_partitions(names, ["tr", "a-z", "A-Z"]).collect())
+    assert up == ["A", "B"]
+
+
 def test_check_registry_battery(spark):
     reg = CheckRegistry()
 
