@@ -2045,6 +2045,67 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column null/distinct/min/max stats.
+
+    The data-profiling step of any ingest QA pass.  All columns
+    profile in ONE scan (a single wide aggregate, exploded to rows) —
+    at 100 TB the profile costs one pass regardless of column count.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_orderstatus", "o_custkey"]
+    wide = o.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
     "dedup_simhash_pairs",
     """
     WITH toksd AS (
