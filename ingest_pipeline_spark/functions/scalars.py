@@ -76,13 +76,23 @@ def expand_slice_ids(col: Column) -> Column:
     ``F.explode`` for the row-generating (UDTF-shaped) form.
     """
     base = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 1)
-    lo = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 2)
-    hi = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 3)
+    lo_s = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 2)
+    hi_s = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 3)
+    # guard the casts: regexp_extract yields '' on no-match, and ANSI
+    # mode (Spark 4 default) errors on cast('' as int)
+    lo = F.when(lo_s != "", lo_s.cast("int"))
+    hi = F.when(hi_s != "", hi_s.cast("int"))
     expanded = F.transform(
-        F.sequence(lo.cast("int"), hi.cast("int")),
+        F.sequence(lo, hi),
         lambda n: F.concat(base, F.lit("-"), n.cast("string")),
     )
-    return F.when(lo == "", F.array(col)).otherwise(expanded)
+    # inverted range (lo > hi) → empty, matching the reference's
+    # range(n1, n2+1) semantics; Spark sequence() would DESCEND instead
+    return (
+        F.when(lo.isNull(), F.array(col))
+        .when(lo <= hi, expanded)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def is_uuid(col: Column) -> Column:

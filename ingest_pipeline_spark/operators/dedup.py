@@ -151,11 +151,9 @@ def minhash_lsh_pairs(
     bucket sizes stay balanced and AQE handles any residual skew.
     """
     rows_per_band = num_hashes // bands
+    # docs with < shingle_k tokens yield no shingle rows and are already
+    # absent from minhash_signatures' groupBy output — no null guard needed
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # docs with < shingle_k tokens have no shingles → null slots; they
-    # cannot be minhashed and must not band (null keys would concat to
-    # "" and pair every short doc with every other short doc)
-    sigs = sigs.filter(F.col("signature")[0].isNotNull())
     banded = sigs.select(
         "id",
         F.posexplode(

@@ -33,6 +33,7 @@ def descendants_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> D
         F.col("uuid").alias("root_uuid"), F.col("uuid"), F.lit(0).alias("depth")
     )
     result = frontier
+    cached: list = []
     for depth in range(1, max_depth + 1):
         frontier = (
             frontier.join(edges, frontier.uuid == edges.parent_uuid)
@@ -44,11 +45,18 @@ def descendants_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> D
             .distinct()
         )
         frontier = frontier.cache()
+        cached.append(frontier)
         if frontier.isEmpty():
             break
         result = result.unionByName(frontier)
-    # keep min depth per (root, node) — a node can be reachable 2 ways
-    return result.groupBy("root_uuid", "uuid").agg(F.min("depth").alias("depth"))
+    # materialize before releasing the frontier caches (they feed the
+    # union); leaving them cached would pin storage memory per call
+    # min depth per (root, node) — a node can be reachable 2 ways
+    out = result.groupBy("root_uuid", "uuid").agg(F.min("depth").alias("depth"))
+    out = out.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    return out
 
 
 def ancestors_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> DataFrame:

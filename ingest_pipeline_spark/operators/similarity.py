@@ -131,7 +131,11 @@ def lsh_bucket_candidates(
     near-duplicate candidates; expected bucket population n/2^planes.
     """
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col))).first()[0]
+        head = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if head is None or head["d"] is None or head["d"] < 0:
+            # empty input (or null first vector): no buckets to assign
+            return df.sparkSession.createDataFrame([], "id long, bucket string")
+        dim = head["d"]
     sign_bits = []
     for j in range(num_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j)])

@@ -971,9 +971,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle keyed by the md5 digest; min-id representative keeps
     the result deterministic.
     """
-    return exact_dedup(_aug_docs(spark, sf_dir), "text", "doc_id").withColumnsRenamed(
-        {"id": "keep_id"}
-    )
+    return exact_dedup(_aug_docs(spark, sf_dir), "text", "doc_id")
 
 
 @register(
@@ -1013,9 +1011,7 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aug2 = aug.unionByName(reversed_copies)
-    return fingerprint_dedup(aug2, "text", "doc_id").withColumnsRenamed(
-        {"id": "keep_id"}
-    )
+    return fingerprint_dedup(aug2, "text", "doc_id")
 
 
 _SHINGLE_CTE = """
@@ -1541,7 +1537,7 @@ def report_log_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pos AS (
       SELECT doc_id, i, ORD(SUBSTR(text, i, 1)) AS b
       FROM documents, UNNEST(GENERATE_SERIES(1, LENGTH(text))) t(i)
-      WHERE doc_id < 100)
+      WHERE doc_id < 100 AND LENGTH(text) > 0)
     SELECT doc_id AS asset_id,
            CAST(LENGTH(MAX(text2)) AS BIGINT) AS byte_len,
            CAST(COALESCE(SUM(CASE WHEN (i-1) % 4 = 0 THEN b END), 0) % 997 AS DOUBLE) AS f0,
@@ -1559,11 +1555,17 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The binary column, Arrow batching, and UDF signature are the real
     production shape; only the codec inside is fake (byte-sum features)
-    — decode_media raises NotImplementedError by design.
+    — decode_media raises NotImplementedError by design.  The oracle
+    compares via per-character ORD sums, which equals the utf-8 byte
+    sums only for ASCII text (true of the synthetic corpus); empty
+    docs are excluded on both sides (the SQL's GENERATE_SERIES(1,0)
+    would silently drop them while mapInPandas emits a row).
     """
     from .operators.multimodal import decode_stub_features, documents_as_assets
 
-    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    docs = _t(spark, sf_dir)["documents"].filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
     feats = decode_stub_features(documents_as_assets(docs), feat_dim=4)
     return feats.select(
         "asset_id",

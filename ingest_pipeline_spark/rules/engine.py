@@ -80,15 +80,18 @@ def rules_broadcast_join(
     broadcast nested-loop join stays map-side.
     """
     rdf = rules_df(spark, rules)
-    joined = df.join(
+    # synthesize a per-row key: grouping by the data columns alone would
+    # collapse duplicate input rows into one output row
+    keyed = df.withColumn("__row_id", F.monotonically_increasing_id())
+    joined = keyed.join(
         F.broadcast(rdf),
         F.regexp_like(F.col(col_name), F.col("pattern")),
         "left",
     )
-    group_cols = [c for c in df.columns]
+    group_cols = ["__row_id", *df.columns]
     resolved = joined.groupBy(*group_cols).agg(
         F.min_by("payload", "priority").alias(out_col)
-    )
+    ).drop("__row_id")
     if default is not None:
         resolved = resolved.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
     return resolved

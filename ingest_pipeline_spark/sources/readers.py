@@ -159,15 +159,18 @@ def listing(
     def walk(paths):
         import datetime
 
+        # tz-aware UTC: naive datetimes would be re-interpreted in the
+        # worker's OS timezone by TimestampType.toInternal, shifting
+        # every mtime on non-UTC hosts
+        def mtime_utc(st):
+            return datetime.datetime.fromtimestamp(
+                st.st_mtime, tz=datetime.timezone.utc
+            )
+
         for p in paths:
             if os.path.isfile(p):
                 st = os.stat(p)
-                yield (
-                    os.path.relpath(p, root),
-                    p,
-                    st.st_size,
-                    datetime.datetime.utcfromtimestamp(st.st_mtime),
-                )
+                yield (os.path.relpath(p, root), p, st.st_size, mtime_utc(st))
             else:
                 for dirpath, _dirnames, filenames in os.walk(p):
                     for fn in sorted(filenames):
@@ -177,7 +180,7 @@ def listing(
                             os.path.relpath(fp, root),
                             fp,
                             st.st_size,
-                            datetime.datetime.utcfromtimestamp(st.st_mtime),
+                            mtime_utc(st),
                         )
 
     rdd = spark.sparkContext.parallelize(seeds, max(1, min(num_partitions, len(seeds) or 1)))

@@ -44,11 +44,15 @@ def pipe_partitions(df: DataFrame, command: list[str], to_line=None):
     task loudly — the default (silently yielding zero rows on a crashed
     process) is data loss.
     """
+    import shlex
+
     if to_line is None:
         def to_line(row):
             return "\t".join("" if v is None else str(v) for v in row)
 
-    return df.rdd.map(to_line).pipe(" ".join(command), checkCode=True)
+    # shlex.join: rdd.pipe re-tokenizes with shlex.split, so args with
+    # spaces/quotes (awk programs, sed exprs) must be quoted to survive
+    return df.rdd.map(to_line).pipe(shlex.join(command), checkCode=True)
 
 
 def rest_batch_sink(
