@@ -2108,6 +2108,47 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_components",
+    """
+    WITH RECURSIVE chain_pairs(id_a, id_b) AS (
+      SELECT doc_id, doc_id + 1000000 FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id + 2000000 FROM documents WHERE doc_id % 20 = 0),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM chain_pairs
+      UNION SELECT id_b, id_a FROM chain_pairs),
+    reach(id, origin) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.origin FROM reach r JOIN sym s ON s.u = r.id),
+    comp AS (SELECT id, MIN(origin) AS component FROM reach GROUP BY id)
+    SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly (iterative algorithm class): near-dup
+    pairs → connected components via min-label propagation → canonical
+    id + cluster census.
+
+    The pair graph here is 3-node chains (doc → copy → copy-of-copy, a
+    transitive duplication the pairwise step alone can't group).  The
+    oracle reproduces components with a recursive CTE — the driver
+    hash-checks an iterative distributed algorithm end-to-end.
+    """
+    from .operators.components import dedup_cluster_census
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") % 20 == 0)
+    hop1 = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    hop2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+    )
+    return dedup_cluster_census(hop1.unionByName(hop2))
+
+
+@register(
     "dedup_simhash_pairs",
     """
     WITH toksd AS (

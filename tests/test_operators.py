@@ -163,6 +163,28 @@ def test_cosine_topk_small(spark):
     assert row.query_id == 0 and row.neighbor_id == 1
 
 
+def test_connected_components(spark):
+    from ingest_pipeline_spark.operators.components import connected_components
+
+    # two clusters: a 4-cycle {1,2,3,4} and a pair {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # long chain needs several propagation rounds; too-low max_iter raises
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    all_zero = {r.component for r in connected_components(chain).collect()}
+    assert all_zero == {0}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)
+
+
 def test_stratified_sampling(spark, sf_dir):
     from ingest_pipeline_spark.operators.sampling import (
         fixed_n_per_stratum,
