@@ -79,9 +79,10 @@ def expand_slice_ids(col: Column) -> Column:
     lo_s = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 2)
     hi_s = F.regexp_extract(col, r"^(.*)-(\d+)_(\d+)$", 3)
     # guard the casts: regexp_extract yields '' on no-match, and ANSI
-    # mode (Spark 4 default) errors on cast('' as int)
-    lo = F.when(lo_s != "", lo_s.cast("int"))
-    hi = F.when(hi_s != "", hi_s.cast("int"))
+    # mode (Spark 4 default) errors on cast('' as int); long closes the
+    # CAST_OVERFLOW hole for indices beyond int32
+    lo = F.when(lo_s != "", lo_s.cast("long"))
+    hi = F.when(hi_s != "", hi_s.cast("long"))
     expanded = F.transform(
         F.sequence(lo, hi),
         lambda n: F.concat(base, F.lit("-"), n.cast("string")),

@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint + the RDD ids it pinned.
+
+    Dataset.unpersist() does NOT release localCheckpoint blocks (they
+    are RDD-level persists, not CacheManager entries — verified
+    empirically); freeing them needs SparkContext.unpersistRDD on the
+    ids the checkpoint introduced.
+    """
+    sc = df.sparkSession.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}  # noqa: SLF001
+    out = df.localCheckpoint(eager=True)
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}  # noqa: SLF001
+    return out, after - before
+
+
+def _release(df: DataFrame, rdd_ids: set[int]) -> None:
+    sc = df.sparkSession.sparkContext
+    for rid in rdd_ids:
+        try:
+            sc._jsc.sc().unpersistRDD(rid, False)  # noqa: SLF001
+        except Exception:
+            pass  # already cleaned by ContextCleaner
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -31,52 +55,55 @@ def connected_components(
     component = min node id of the node's connected component.
     Raises if max_iter rounds don't converge (pathological diameter).
     """
-    sym = (
+    sym, sym_ids = _ckpt_tracked(
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # localCheckpoint each round, not cache(): cache truncates execution
     # but NOT the logical plan, so per-round analysis cost compounds —
     # the canonical iterative-Spark trap (measured ~20 s/round by round
     # 8 with cache; constant ~1 s/round with checkpointing)
-    labels = (
+    labels, label_ids = _ckpt_tracked(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("__changed"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.id)
+                .groupBy("u")
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .localCheckpoint(eager=True)
+            updated, new_ids = _ckpt_tracked(
+                labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce(F.col("nbr_min"), F.col("component"))
+                        < F.col("component")
+                    ).alias("__changed"),
+                )
+            )
+            n_changed = updated.filter(F.col("__changed")).count()
+            # release the superseded round's checkpoint blocks — leaving
+            # it to GC pins up to max_iter label-table copies
+            _release(labels, label_ids)
+            labels, label_ids = updated.drop("__changed"), new_ids
+            if n_changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        n_changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
-    )
+    finally:
+        _release(sym, sym_ids)
 
 
 def dedup_cluster_census(

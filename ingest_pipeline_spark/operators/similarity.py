@@ -131,9 +131,15 @@ def lsh_bucket_candidates(
     near-duplicate candidates; expected bucket population n/2^planes.
     """
     if dim is None:
-        head = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if head is None or head["d"] is None or head["d"] < 0:
-            # empty input (or null first vector): no buckets to assign
+        # infer from the first NON-NULL vector: .first() alone would let
+        # a null leading row silently discard the whole dataset
+        head = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if head is None or head["d"] is None or head["d"] <= 0:
+            # genuinely no usable vectors: no buckets to assign
             return df.sparkSession.createDataFrame([], "id long, bucket string")
         dim = head["d"]
     sign_bits = []

@@ -687,8 +687,8 @@ def map_fallback_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts AS (
       SELECT id,
              REGEXP_EXTRACT(id, '^(.*)-(\\d+)_(\\d+)$', 1) AS base,
-             TRY_CAST(REGEXP_EXTRACT(id, '^(.*)-(\\d+)_(\\d+)$', 2) AS INT) AS lo,
-             TRY_CAST(REGEXP_EXTRACT(id, '^(.*)-(\\d+)_(\\d+)$', 3) AS INT) AS hi
+             TRY_CAST(REGEXP_EXTRACT(id, '^(.*)-(\\d+)_(\\d+)$', 2) AS BIGINT) AS lo,
+             TRY_CAST(REGEXP_EXTRACT(id, '^(.*)-(\\d+)_(\\d+)$', 3) AS BIGINT) AS hi
       FROM ids)
     SELECT id, base || '-' || CAST(n AS VARCHAR) AS expanded_id
       FROM parts, UNNEST(GENERATE_SERIES(lo, hi)) AS t(n) WHERE lo IS NOT NULL

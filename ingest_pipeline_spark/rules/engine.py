@@ -88,9 +88,12 @@ def rules_broadcast_join(
         F.regexp_like(F.col(col_name), F.col("pattern")),
         "left",
     )
-    group_cols = ["__row_id", *df.columns]
-    resolved = joined.groupBy(*group_cols).agg(
-        F.min_by("payload", "priority").alias(out_col)
+    # group on the fixed-width row id alone; data columns ride as
+    # any_value aggregates (identical within a group) instead of
+    # inflating the shuffle key with wide payloads
+    resolved = joined.groupBy("__row_id").agg(
+        *[F.any_value(F.col(c)).alias(c) for c in df.columns],
+        F.min_by("payload", "priority").alias(out_col),
     ).drop("__row_id")
     if default is not None:
         resolved = resolved.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
