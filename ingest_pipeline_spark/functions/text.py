@@ -124,6 +124,44 @@ def langid_scores(col: Column) -> dict[str, Column]:
     }
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hashes(df, text_col: str, id_col: str, k: int = 8):
+    """Per-document polynomial rolling hashes of char k-grams.
+
+    hash(i) = Σ_j ord(s[i+j]) · B^j  (mod P) over the normalized text —
+    the Rabin-Karp fingerprint family.  Plan: explode positions to rows
+    (one shuffle-free Generate), then the k ascii terms are plain
+    column arithmetic in codegen — NOT a higher-order-function fold
+    (interpreted, measured slow).  Returns (id, pos, rhash).
+    Deterministic and reproducible in ANSI SQL (ORD + arithmetic).
+    """
+    from pyspark.sql import functions as F
+
+    s = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), s.alias("__s"), F.length(s).alias("__n")
+    ).filter(F.col("__n") >= k)
+    pos = base.select(
+        "id",
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("pos"),
+    )
+    terms = [
+        # ascii() is int32: cast before multiplying by ~1e9 constants
+        # or ANSI mode raises ARITHMETIC_OVERFLOW
+        F.ascii(F.col("__s").substr(F.col("pos") + j, F.lit(1))).cast("long")
+        * F.lit(pow(ROLLING_BASE, j, ROLLING_MOD))
+        for j in range(k)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return pos.select("id", "pos", F.pmod(total, F.lit(ROLLING_MOD)).alias("rhash"))
+
+
 def langid_best(col: Column) -> Column:
     """Argmax language (lexicographic tiebreak); 'und' when all scores 0."""
     scores = langid_scores(col)

@@ -2108,6 +2108,53 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_hash",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS s
+      FROM documents WHERE doc_id < 200),
+    pos AS (
+      SELECT doc_id, s, i
+      FROM norm, UNNEST(GENERATE_SERIES(1, LENGTH(s) - 7)) t(i)
+      WHERE LENGTH(s) >= 8),
+    hashes AS (
+      SELECT doc_id,
+             ( CAST(ORD(SUBSTR(s, i + 0, 1)) AS BIGINT) * 1
+             + CAST(ORD(SUBSTR(s, i + 1, 1)) AS BIGINT) * 257
+             + CAST(ORD(SUBSTR(s, i + 2, 1)) AS BIGINT) * 66049
+             + CAST(ORD(SUBSTR(s, i + 3, 1)) AS BIGINT) * 16974593
+             + CAST(ORD(SUBSTR(s, i + 4, 1)) AS BIGINT) * 362470373
+             + CAST(ORD(SUBSTR(s, i + 5, 1)) AS BIGINT) * 154885210
+             + CAST(ORD(SUBSTR(s, i + 6, 1)) AS BIGINT) * 805498697
+             + CAST(ORD(SUBSTR(s, i + 7, 1)) AS BIGINT) * 13163680) % 1000000007
+               AS rhash
+      FROM pos)
+    SELECT doc_id,
+           MIN(rhash) AS min_hash,
+           COUNT(DISTINCT rhash) AS n_distinct_hashes
+    FROM hashes GROUP BY doc_id
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin-Karp char-8-grams).
+
+    min-hash + distinct-count per doc — the winnowing-style fingerprint
+    base.  The oracle's B^j constants are pow(257, j, 1e9+7), matching
+    the Spark side's precomputed literals exactly.
+    """
+    from .functions.text import rolling_hashes
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    rh = rolling_hashes(docs, "text", "doc_id", k=8)
+    return rh.groupBy(F.col("id").alias("doc_id")).agg(
+        F.min("rhash").alias("min_hash"),
+        F.countDistinct("rhash").alias("n_distinct_hashes"),
+    )
+
+
+@register(
     "dedup_cluster_components",
     """
     WITH RECURSIVE chain_pairs(id_a, id_b) AS (
