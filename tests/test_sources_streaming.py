@@ -75,6 +75,37 @@ def test_json_docs(spark, tmp_path):
     assert row.files[0].rel_path == "x"
 
 
+def test_filelisting_datasource(spark, tmp_path):
+    """Custom Python Data Source: partition-per-subtree distributed walk."""
+    from ingest_pipeline_spark.sources.listing_datasource import register
+
+    register(spark)
+    (tmp_path / "ds1" / "sub").mkdir(parents=True)
+    (tmp_path / "ds2").mkdir()
+    (tmp_path / "ds1" / "a.tiff").write_bytes(b"xx")
+    (tmp_path / "ds1" / "sub" / "b.txt").write_bytes(b"yyy")
+    (tmp_path / "ds2" / "c.tiff").write_bytes(b"zzzz")
+
+    df = spark.read.format("filelisting").option("path", str(tmp_path)).load()
+    got = {r.rel_path: r.size for r in df.collect()}
+    assert got == {"ds1/a.tiff": 2, "ds1/sub/b.txt": 3, "ds2/c.tiff": 4}
+    # planning: one input partition per top-level dir
+    assert df.rdd.getNumPartitions() == 2
+
+    flt = (
+        spark.read.format("filelisting")
+        .option("path", str(tmp_path))
+        .option("pattern", r"\.tiff$")
+        .load()
+    )
+    assert sorted(r.rel_path for r in flt.collect()) == ["ds1/a.tiff", "ds2/c.tiff"]
+
+    missing = (
+        spark.read.format("filelisting").option("path", str(tmp_path / "no")).load()
+    )
+    assert missing.count() == 0
+
+
 def test_listing_walk(spark, tmp_path):
     (tmp_path / "ds1").mkdir()
     (tmp_path / "ds1" / "a.txt").write_text("aaa")
