@@ -70,21 +70,20 @@ def apply_status_updates(
     cur = entities.select(
         F.col(uuid_col), F.col(status_col).alias("__cur_status")
     )
-    rules = transitions_df(spark)
-    checked = (
-        latest.join(cur, uuid_col, "left")
-        .join(
-            F.broadcast(rules),
-            (F.lower(F.col("__cur_status")) == F.col("from_status"))
-            & (F.lower(F.col("new_status")) == F.col("to_status")),
-            "left",
-        )
-        .withColumn(
-            "reject_reason",
-            F.when(F.col("__cur_status").isNull(), F.lit("unknown_entity"))
-            .when(F.col("new_status").isNull(), F.lit("null_status"))
-            .when(F.col("to_status").isNull(), F.lit("illegal_transition")),
-        )
+    # transition check compiled to an OR-chain expression: the enum is
+    # fixed and tiny, so a broadcast rules-join (createDataFrame + one
+    # more join) buys nothing over pure codegen.  rules_broadcast_join
+    # remains the pattern for rules-as-runtime-data.
+    cur_l = F.lower(F.col("__cur_status"))
+    new_l = F.lower(F.col("new_status"))
+    allowed = F.lit(False)
+    for f_st, t_st in ALLOWED_TRANSITIONS:
+        allowed = allowed | ((cur_l == f_st) & (new_l == t_st))
+    checked = latest.join(cur, uuid_col, "left").withColumn(
+        "reject_reason",
+        F.when(F.col("__cur_status").isNull(), F.lit("unknown_entity"))
+        .when(F.col("new_status").isNull(), F.lit("null_status"))
+        .when(~allowed, F.lit("illegal_transition")),
     )
     valid = checked.filter(F.col("reject_reason").isNull()).select(
         uuid_col, F.lower(F.col("new_status")).alias("__next_status")
