@@ -139,8 +139,14 @@ def lsh_bucket_candidates(
             .first()
         )
         if head is None or head["d"] is None or head["d"] <= 0:
-            # genuinely no usable vectors: no buckets to assign
-            return df.sparkSession.createDataFrame([], "id long, bucket string")
+            # genuinely no usable vectors: no buckets to assign.  Derive
+            # the empty schema from the actual id column type so the
+            # empty path unions/joins cleanly with the normal path.
+            return (
+                df.select(F.col(id_col).alias("id"))
+                .limit(0)
+                .withColumn("bucket", F.lit(""))
+            )
         dim = head["d"]
     sign_bits = []
     for j in range(num_planes):

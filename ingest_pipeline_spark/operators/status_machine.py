@@ -67,8 +67,13 @@ def apply_status_updates(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # __exists marker distinguishes a missing entity from one whose
+    # status column is NULL — both have __cur_status NULL after the
+    # left join, but only the former is unknown_entity
     cur = entities.select(
-        F.col(uuid_col), F.col(status_col).alias("__cur_status")
+        F.col(uuid_col),
+        F.col(status_col).alias("__cur_status"),
+        F.lit(True).alias("__exists"),
     )
     # transition check compiled to an OR-chain expression: the enum is
     # fixed and tiny, so a broadcast rules-join (createDataFrame + one
@@ -81,7 +86,8 @@ def apply_status_updates(
         allowed = allowed | ((cur_l == f_st) & (new_l == t_st))
     checked = latest.join(cur, uuid_col, "left").withColumn(
         "reject_reason",
-        F.when(F.col("__cur_status").isNull(), F.lit("unknown_entity"))
+        F.when(F.col("__exists").isNull(), F.lit("unknown_entity"))
+        .when(F.col("__cur_status").isNull(), F.lit("null_current_status"))
         .when(F.col("new_status").isNull(), F.lit("null_status"))
         .when(~allowed, F.lit("illegal_transition")),
     )

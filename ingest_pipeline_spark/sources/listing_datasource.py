@@ -35,10 +35,20 @@ class FileListingDataSource(DataSource):
         return FileListingReader(self.options)
 
 
-class _DirPartition(InputPartition):
-    def __init__(self, root: str, seed: str):
+class _ListPartition(InputPartition):
+    """A batch of seeds: plain files are emitted directly, directories
+    are recursively walked.  Batching top-level files (instead of one
+    partition per file) keeps a flat 100k-file root from planning 100k
+    single-file tasks, and two-level directory seeding keeps one giant
+    subtree from becoming a single straggler partition."""
+
+    def __init__(self, root: str, files: list, dirs: list):
         self.root = root
-        self.seed = seed
+        self.files = files
+        self.dirs = dirs
+
+
+_FILES_PER_PARTITION = 4096
 
 
 class FileListingReader(DataSourceReader):
@@ -52,28 +62,56 @@ class FileListingReader(DataSourceReader):
         import os
 
         root = os.path.abspath(self.root)
-        try:
-            seeds = sorted(
-                os.path.join(root, d) for d in os.listdir(root)
-            )
-        except FileNotFoundError:
-            seeds = []
-        if not seeds:
-            # empty/missing root: single no-op partition keeps the scan valid
-            return [_DirPartition(root, "")]
-        return [_DirPartition(root, s) for s in seeds]
+        parts = []
 
-    def read(self, partition: _DirPartition):
+        def split_level(path):
+            """Return (files, dirs) directly under path; [] on error."""
+            files, dirs = [], []
+            try:
+                with os.scandir(path) as it:
+                    for e in it:
+                        try:
+                            if e.is_dir(follow_symlinks=False):
+                                dirs.append(e.path)
+                            else:
+                                files.append(e.path)
+                        except OSError:
+                            continue
+            except OSError:
+                pass
+            return sorted(files), sorted(dirs)
+
+        files, dirs = split_level(root)
+        for i in range(0, len(files), _FILES_PER_PARTITION):
+            parts.append(_ListPartition(root, files[i : i + _FILES_PER_PARTITION], []))
+        # expand one more level so a single huge subtree fans out
+        for d in dirs:
+            sub_files, sub_dirs = split_level(d)
+            for i in range(0, len(sub_files), _FILES_PER_PARTITION):
+                parts.append(
+                    _ListPartition(root, sub_files[i : i + _FILES_PER_PARTITION], [])
+                )
+            for sd in sub_dirs:
+                parts.append(_ListPartition(root, [], [sd]))
+        if not parts:
+            # empty/missing root: single no-op partition keeps the scan valid
+            parts = [_ListPartition(root, [], [])]
+        return parts
+
+    def read(self, partition: _ListPartition):
         import datetime
         import os
         import re
 
-        if not partition.seed:
-            return
         rx = re.compile(self.pattern) if self.pattern else None
 
         def emit(fp: str):
-            st = os.stat(fp)
+            # files can vanish (or be broken symlinks) between planning
+            # and read; skip rather than failing the whole task
+            try:
+                st = os.stat(fp)
+            except OSError:
+                return None
             return (
                 os.path.relpath(fp, partition.root),
                 fp,
@@ -83,16 +121,19 @@ class FileListingReader(DataSourceReader):
                 ),
             )
 
-        seed = partition.seed
-        if os.path.isfile(seed):
-            if rx is None or rx.search(seed):
-                yield emit(seed)
-            return
-        for dirpath, _dirnames, filenames in os.walk(seed):
-            for fn in sorted(filenames):
-                fp = os.path.join(dirpath, fn)
-                if rx is None or rx.search(fp):
-                    yield emit(fp)
+        for fp in partition.files:
+            if rx is None or rx.search(fp):
+                row = emit(fp)
+                if row is not None:
+                    yield row
+        for seed in partition.dirs:
+            for dirpath, _dirnames, filenames in os.walk(seed):
+                for fn in sorted(filenames):
+                    fp = os.path.join(dirpath, fn)
+                    if rx is None or rx.search(fp):
+                        row = emit(fp)
+                        if row is not None:
+                            yield row
 
 
 def register(spark) -> None:

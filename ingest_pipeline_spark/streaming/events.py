@@ -134,7 +134,7 @@ def stateful_user_counts(
     import pandas as pd
 
     out_schema = "user_id long, n_events long, sum_value double"
-    state_schema = "n long, s double"
+    state_schema = "n long, s string"
 
     if not events.isStreaming:
         from pyspark.sql import functions as FF
@@ -147,13 +147,21 @@ def stateful_user_counts(
         )
 
     def update(key, pdfs, state):
-        n, s = state.get() if state.exists else (0, 0.0)
+        # accumulate in Decimal (stored as string state) so the
+        # streaming path is bit-identical to the batch decimal-sum
+        # fallback — float accumulation would drift in low-order bits
+        from decimal import ROUND_HALF_UP, Decimal
+
+        cent = Decimal("0.01")
+        n, s = state.get() if state.exists else (0, "0")
+        acc = Decimal(s)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            for v in pdf["value"]:
+                acc += Decimal(repr(float(v))).quantize(cent, rounding=ROUND_HALF_UP)
+        state.update((n, str(acc)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
         )
 
     return (

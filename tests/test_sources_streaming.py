@@ -89,8 +89,17 @@ def test_filelisting_datasource(spark, tmp_path):
     df = spark.read.format("filelisting").option("path", str(tmp_path)).load()
     got = {r.rel_path: r.size for r in df.collect()}
     assert got == {"ds1/a.tiff": 2, "ds1/sub/b.txt": 3, "ds2/c.tiff": 4}
-    # planning: one input partition per top-level dir
-    assert df.rdd.getNumPartitions() == 2
+    # planning: two-level seeding — ds1's files, ds1/sub subtree, ds2's
+    # files each get a partition (a flat 100k-file root is batched, a
+    # giant subtree fans out one level deeper)
+    assert df.rdd.getNumPartitions() == 3
+
+    # a broken symlink must be skipped, not fail the task
+    os.symlink(str(tmp_path / "gone"), str(tmp_path / "ds2" / "dangling"))
+    again = spark.read.format("filelisting").option("path", str(tmp_path)).load()
+    assert sorted(r.rel_path for r in again.collect()) == [
+        "ds1/a.tiff", "ds1/sub/b.txt", "ds2/c.tiff",
+    ]
 
     flt = (
         spark.read.format("filelisting")
