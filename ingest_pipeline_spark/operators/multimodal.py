@@ -13,6 +13,8 @@ and tested; the actual codec work (image decode, resample, frame
 sampling) is stubbed — the decode libraries are not in this container —
 behind ``decode_stub_features``: a deterministic byte-level fake whose
 signature/batching matches what a real Pandas-UDF decoder would use.
+The format METADATA path is NOT stubbed: operators/extractors.py
+parses OME-TIFF/imzML/FASTQ/transform files for real.
 
 Scale notes: media bytes ride a BinaryType column (parquet splits by
 row group; at 100 TB use `spark.sql.files.maxPartitionBytes` to bound

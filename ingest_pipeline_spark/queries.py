@@ -1643,6 +1643,52 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_extract_metadata",
+    """
+    SELECT * FROM (VALUES
+      ('elastix.txt', 'TxtTform', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT),
+       '{"FixedImageDimension":3,"NumberOfParameters":12,"Transform":"AffineTransform","TransformParameters":[1.0,0.0,0.0,0.0,1.0,0.0,0.0,0.0,1.0,0.5,-0.5,2.0],"UseDirectionCosines":true}'),
+      ('reads.fastq.gz', 'FASTQ', CAST(NULL AS INT), CAST(NULL AS INT), 3,
+       '{"n_reads":3,"quality_lengths_ok":true,"read_len_max":24,"read_len_mean":20.0,"read_len_min":16}'),
+      ('sample.imzML', 'imzML', 3, 2, 6,
+       '{"max count of pixels x":3,"max count of pixels y":2,"max dimension x":300,"max dimension y":200,"pixel size x":100.0,"pixel size y":100.0,"spectrum count":6}'),
+      ('scan.czi', 'CZI', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), '{"parser":"unavailable"}'),
+      ('slide1.ome.tiff', 'OME_TIFF', 6, 4, CAST(NULL AS BIGINT),
+       '{"BitsPerSample":8,"Channels":["DAPI","CD4"],"ImageLength":4,"ImageWidth":6,"PhysicalSizeX":0.65,"PhysicalSizeY":0.65,"SizeC":2,"SizeT":1,"SizeX":6,"SizeY":4,"SizeZ":1,"Type":"uint8"}'),
+      ('tform.mtx.txt', 'MtxTform', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT),
+       '{"Transform":[[0.999,-0.013,0.0,12.5],[0.013,0.999,0.0,-3.25],[0.0,0.0,1.0,0.0],[0.0,0.0,0.0,1.0]]}'),
+      ('thumb.png', 'image', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), '{}')
+    ) AS t(file_name, category, width, height, n_items, meta_json)
+    """,
+)
+def multimodal_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real per-format metadata extraction (S9/F1): the distributed
+    battery parses committed fixture files — OME-TIFF IFD + OME-XML,
+    imzML cvParams, gzipped FASTQ stats, MTX/TXT transforms, CZI
+    magic — via one mapInPandas pass over a binaryFile scan.
+
+    The oracle is a golden VALUES table: expected metadata derived by
+    hand from the fixture generator (tests/fixtures/
+    make_format_fixtures.py), so Spark must genuinely parse the bytes.
+    Reference extractors: md/data_file_types/*.py.
+    """
+    import os
+
+    from .operators.extractors import extract_format_metadata
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "formats",
+    )
+    files = spark.read.format("binaryFile").load(fdir)
+    return extract_format_metadata(files)
+
+
+@register(
     "filter_membership_floor",
     """
     SELECT event_id, user_id, event_type
