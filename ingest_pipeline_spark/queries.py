@@ -1689,6 +1689,163 @@ def multimodal_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_validate_documents",
+    """
+    SELECT '$.uuid: required' AS rule,
+           COUNT(*) FILTER (WHERE o_orderkey % 37 = 0) AS n_violations FROM orders
+    UNION ALL SELECT '$.status: required',
+           COUNT(*) FILTER (WHERE o_orderkey % 17 = 0) FROM orders
+    UNION ALL SELECT '$.files: required', CAST(0 AS BIGINT)
+    UNION ALL SELECT '$.files: minItems',
+           COUNT(*) FILTER (WHERE o_orderkey % 11 = 0) FROM orders
+    UNION ALL SELECT '$.files[*].rel_path: required',
+           COUNT(*) FILTER (WHERE o_orderkey % 11 <> 0 AND o_orderkey % 29 = 0) FROM orders
+    UNION ALL SELECT '$.files[*].rel_path: minLength',
+           COUNT(*) FILTER (WHERE o_orderkey % 11 <> 0 AND o_orderkey % 23 = 0) FROM orders
+    UNION ALL SELECT '$.files[*].size: minimum',
+           COUNT(*) FILTER (WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0) FROM orders
+    UNION ALL SELECT '$.priority: minimum',
+           COUNT(*) FILTER (WHERE o_orderkey % 19 <> 0 AND o_orderkey % 9 = 0) FROM orders
+    UNION ALL SELECT '$.priority: maximum',
+           COUNT(*) FILTER (WHERE o_orderkey % 19 <> 0 AND o_orderkey % 9 IN (7, 8)) FROM orders
+    UNION ALL SELECT '$.status: enum',
+           COUNT(*) FILTER (WHERE o_orderkey % 17 <> 0 AND o_orderkey % 13 = 0) FROM orders
+    UNION ALL SELECT '$.uuid: pattern',
+           COUNT(*) FILTER (WHERE o_orderkey % 37 <> 0 AND o_orderkey % 31 = 0) FROM orders
+    """,
+)
+def schema_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level JSON-Schema validation (V1): a jsonschema subset
+    compiled to recursive predicates over a nested struct column,
+    evaluated as ONE scan + single-row aggregate.
+
+    Documents are synthesized from orders with violations seeded at
+    known modular positions; the oracle recounts each rule with plain
+    FILTER predicates.  Reference: dags/schema_utils.py:12-20 +
+    schemata/dataset_metadata_schema.yml.
+    """
+    from .validate.jsonschema import schema_violation_counts
+
+    doc_schema = {
+        "type": "object",
+        "required": ["uuid", "status", "files"],
+        "properties": {
+            "uuid": {"type": "string", "pattern": "^[0-9a-f]{32}$"},
+            "status": {
+                "type": "string",
+                "enum": ["new", "processing", "qa", "published", "error", "invalid"],
+            },
+            "priority": {"type": "integer", "minimum": 0, "maximum": 5},
+            "files": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "object",
+                    "required": ["rel_path"],
+                    "properties": {
+                        "rel_path": {"type": "string", "minLength": 1},
+                        "size": {"type": "integer", "minimum": 0},
+                    },
+                },
+            },
+        },
+    }
+    o = _t(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    uuid = (
+        F.when(k % 37 == 0, F.lit(None).cast("string"))
+        .when(k % 31 == 0, F.concat(F.md5(k.cast("string")), F.lit("Z")))
+        .otherwise(F.md5(k.cast("string")))
+    )
+    status = (
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .when(k % 13 == 0, F.lit("bogus"))
+        .otherwise(
+            F.element_at(
+                F.array(
+                    F.lit("new"), F.lit("processing"), F.lit("qa"),
+                    F.lit("published"), F.lit("error"),
+                ),
+                (k % 5).cast("int") + 1,
+            )
+        )
+    )
+    priority = F.when(k % 19 == 0, F.lit(None).cast("int")).otherwise(
+        (k % 9).cast("int") - 1
+    )
+    file1 = F.struct(
+        F.when(k % 23 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("data/"), F.col("o_orderpriority"))
+        ).alias("rel_path"),
+        ((k % 7).cast("int") - 1).alias("size"),
+    )
+    file2 = F.struct(
+        F.when(k % 29 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("extra.bin"))
+        .alias("rel_path"),
+        F.lit(1).alias("size"),
+    )
+    arr = F.array(file1, file2)
+    files = F.when(k % 11 == 0, F.slice(arr, 1, 0)).otherwise(arr)
+    docs = o.select(
+        F.struct(
+            uuid.alias("uuid"),
+            status.alias("status"),
+            priority.alias("priority"),
+            files.alias("files"),
+        ).alias("doc")
+    )
+    return schema_violation_counts(docs, "doc", doc_schema)
+
+
+@register(
+    "collection_type_inference",
+    """
+    SELECT c_custkey AS dataset_id,
+           CASE WHEN c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_custkey % 5 = 0
+                  THEN 'AKOYA_CODEX'
+                WHEN c_custkey % 11 = 0 THEN 'IMS'
+                WHEN c_custkey % 7 = 0 THEN 'OME_TIFF_COLLECTION'
+                WHEN c_custkey % 13 = 0 THEN 'FASTQ'
+                WHEN c_custkey % 3 = 0 THEN 'GENERIC_METADATATSV'
+           END AS collection_type
+    FROM customer
+    WHERE c_custkey % 3 = 0 OR c_custkey % 7 = 0
+       OR c_custkey % 11 = 0 OR c_custkey % 13 = 0
+    """,
+)
+def collection_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-type inference from directory shape (F2/S2): all of a
+    type's probe patterns must match in the dataset's listing; highest
+    match_priority wins.
+
+    The listing is synthesized per customer with files seeded at known
+    modular positions; the oracle replays the priority cascade as a
+    CASE (AKOYA_CODEX 1.0 > IMS 0.6 > OME_TIFF 0.5 > FASTQ 0.4 >
+    GENERIC_METADATATSV 0.0).  Reference: md/metadata_extract.py:24-47,
+    akoya_codex_data_collection.py:70-122.
+    """
+    from .operators.collection_types import infer_collection_types
+
+    c = _t(spark, sf_dir)["customer"]
+    d = F.col("c_custkey")
+    files = F.array(
+        F.lit("data.txt"),
+        F.when(d % 2 == 0, F.lit("src_0/experiment.json")),
+        F.when(d % 3 == 0, F.lit("x-metadata.tsv")),
+        F.when(d % 5 == 0, F.lit("src_0/segmentation.json")),
+        F.when(d % 7 == 0, F.lit("slide.ome.tiff")),
+        F.when(d % 11 == 0, F.lit("sample.imzML")),
+        F.when(d % 13 == 0, F.lit("reads.fastq.gz")),
+    )
+    listing = (
+        c.select(d.alias("dataset_id"), F.explode(files).alias("rel_path"))
+        .filter(F.col("rel_path").isNotNull())
+    )
+    return infer_collection_types(listing, spark)
+
+
+@register(
     "filter_membership_floor",
     """
     SELECT event_id, user_id, event_type

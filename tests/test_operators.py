@@ -225,3 +225,30 @@ def test_route_violations(spark):
     assert [r.id for r in clean.collect()] == [1]
     err = errors.first()
     assert err.id == 2 and err.violated_checks == ["bad_lang"]
+
+
+def test_collection_type_inference(spark):
+    """F2: all probes must match; max priority wins; no-match absent."""
+    from ingest_pipeline_spark.operators.collection_types import (
+        infer_collection_types,
+    )
+
+    lst = spark.createDataFrame(
+        [
+            (1, "x-metadata.tsv"),
+            (1, "src_0/experiment.json"),
+            (1, "src_0/segmentation.json"),
+            (1, "slide.ome.tiff"),  # AKOYA(1.0) + GENERIC(0.0) + OME(0.5)
+            (2, "only.notes"),      # matches nothing
+            (3, "a.fastq"),
+            (3, "b.imzML"),         # IMS(0.6) beats FASTQ(0.4)
+            (4, "x-metadata.tsv"),
+            (4, "src_0/experiment.json"),  # AKOYA partial: 2 of 3 probes
+        ],
+        "dataset_id long, rel_path string",
+    )
+    got = {
+        r.dataset_id: r.collection_type
+        for r in infer_collection_types(lst, spark).collect()
+    }
+    assert got == {1: "AKOYA_CODEX", 3: "IMS", 4: "GENERIC_METADATATSV"}
