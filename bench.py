@@ -39,6 +39,14 @@ HEADLINE = [
     "report_customer_survey",
     "stream_window_counts",
     "status_state_machine",
+    "dedup_cluster_components",
+    "curation_pipeline",
+    "profile_orders",
+    "text_rolling_hash",
+    "request_intake_routing",
+    "multimodal_extract_metadata",
+    "schema_validate_documents",
+    "collection_type_inference",
 ]
 
 
@@ -50,8 +58,17 @@ def main() -> None:
     fns = queries()
     names = [n for n in HEADLINE if n in fns]
 
-    # warmup: JVM + parquet footers
+    # warmup: JVM, parquet footers, codegen/broadcast machinery, and the
+    # Arrow Python-worker pool (session infrastructure — not any query's
+    # cost).  The similarity plan shapes run once at the smallest SF so
+    # their first-execution compile + worker spin-up doesn't pollute the
+    # per-query sf0.1 numbers.
     fns[names[0]](spark, sf_dir).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for warm_q in ("similarity_topk", "embedding_near_dup"):
+            if warm_q in fns:
+                fns[warm_q](spark, warm_sf).count()
 
     timings: dict[str, float] = {}
     for name in names:

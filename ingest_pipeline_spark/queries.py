@@ -1274,12 +1274,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: LSH bucket — see lsh_bucket_candidates), never O(n²)
     across the corpus.
     """
-    from .operators.similarity import _dot, _norm
+    from .operators.similarity import _norm, dot_seq
 
     emb = _t(spark, sf_dir)["embeddings"]
-    # precompute each vector's norm ONCE before the pair join — the
-    # naive per-pair cosine evaluates 2 norms per pair (interpreted
-    # higher-order funcs, not codegen'd): measured 3× slower
+    # precompute each vector's norm ONCE before the pair join (measured
+    # 3× vs per-pair norms; codegen-side — see cosine_topk note); pair
+    # scoring is the Arrow-vectorized dot_seq — bit-identical to the
+    # interpreted fold / oracle LIST_REDUCE, but batched across pairs
+    # instead of per-pair Catalyst closure interpretation
     v = emb.select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -1294,7 +1296,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                dot_seq(F.col("a.embedding"), F.col("b.embedding"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cosine_sim"),

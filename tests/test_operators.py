@@ -252,3 +252,33 @@ def test_collection_type_inference(spark):
         for r in infer_collection_types(lst, spark).collect()
     }
     assert got == {1: "AKOYA_CODEX", 3: "IMS", 4: "GENERIC_METADATATSV"}
+
+
+def test_dot_seq_bit_parity(spark, sf_dir):
+    """dot_seq/norm_seq must equal the interpreted fold BIT-FOR-BIT:
+    the oracle's LIST_REDUCE is left-to-right, and rounding to 6 dp
+    before ranking only stays safe if accumulation order matches."""
+    from ingest_pipeline_spark.operators.similarity import (
+        _dot,
+        _norm,
+        dot_seq,
+        norm_seq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.limit(200)
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .limit(5000)
+    )
+    chk = pairs.select(
+        _dot(F.col("a.embedding"), F.col("b.embedding")).alias("hof"),
+        dot_seq(F.col("a.embedding"), F.col("b.embedding")).alias("vec"),
+        _norm(F.col("a.embedding")).alias("nhof"),
+        norm_seq(F.col("a.embedding")).alias("nvec"),
+    )
+    bad = chk.filter(
+        (F.col("hof") != F.col("vec")) | (F.col("nhof") != F.col("nvec"))
+    ).count()
+    assert bad == 0
