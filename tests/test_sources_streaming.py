@@ -1,5 +1,6 @@
 """Unit tests: sources (TSV/JSON/listing), sinks, real Structured Streaming."""
 
+import datetime
 import os
 
 from pyspark.sql import functions as F
@@ -234,3 +235,59 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(assets, every_n=10).collect()
     got = {(r.asset_id, r.frame_idx) for r in rows}
     assert got == {(1, 0), (1, 10), (1, 20)}
+
+
+def test_intake_to_terminal_watch_e2e(spark, tmp_path):
+    """T1/T3/T4 wired: requests stream -> routed jobs + dispatch ->
+    status progression -> terminal-state watch sees each entity once."""
+    from ingest_pipeline_spark.streaming.watch import (
+        start_intake,
+        terminal_status_stream,
+        watch_terminal_once,
+    )
+
+    req_dir = str(tmp_path / "requests")
+    jobs_dir = str(tmp_path / "jobs")
+    status_dir = str(tmp_path / "status")
+    req_schema = "provider string, submission_id string, process string, ts long"
+    reqs = spark.createDataFrame(
+        [
+            ("lab_a", "u1", "mock.codex", 1),
+            ("lab_b", "u2", "salmon.rnaseq", 2),
+            ("lab_a", "u1", "mock.codex", 1),  # redelivery -> deduped
+        ],
+        req_schema,
+    )
+    reqs.write.mode("overwrite").parquet(req_dir)
+
+    dispatched = []
+    q = start_intake(spark, req_dir, req_schema, jobs_dir, dispatch_fn=dispatched.append)
+    q.awaitTermination(60)
+    jobs = spark.read.parquet(jobs_dir)
+    got = {r.submission_id: r.dag_id for r in jobs.collect()}
+    assert got == {"u1": "mock_ingest", "u2": "salmon_rnaseq"}  # deduped + routed
+    assert sum(len(b) for b in dispatched) == 2  # fan-out saw each job once
+
+    # downstream pipeline progresses entity status; only terminal states
+    # must surface, one per entity, event-driven (no polling loop)
+    status_schema = "uuid string, status string, ts timestamp"
+    spark.createDataFrame(
+        [
+            ("u1", "processing", datetime.datetime(2024, 1, 1, 10)),
+            ("u1", "qa", datetime.datetime(2024, 1, 1, 11)),
+            ("u1", "published", datetime.datetime(2024, 1, 1, 12)),
+            ("u2", "processing", datetime.datetime(2024, 1, 1, 10)),
+            ("u2", "error", datetime.datetime(2024, 1, 1, 11)),
+            ("u2", "error", datetime.datetime(2024, 1, 1, 12)),  # repeat
+        ],
+        status_schema,
+    ).write.mode("overwrite").parquet(status_dir)
+
+    watched = watch_terminal_once(spark, status_dir, status_schema)
+    got = {r.uuid: r.status for r in watched.collect()}
+    assert got == {"u1": "published", "u2": "error"}
+
+    # batch fallback of the same operator gives the same contract
+    batch = terminal_status_stream(spark.read.parquet(status_dir))
+    got_b = {r.uuid: r.status for r in batch.collect()}
+    assert got_b == got
