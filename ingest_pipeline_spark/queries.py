@@ -1848,6 +1848,195 @@ def collection_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "terminal_status_batch",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS uuid,
+             CASE o_orderkey % 5 WHEN 0 THEN 'published' WHEN 1 THEN 'processing'
+                  WHEN 2 THEN 'error' WHEN 3 THEN 'qa' ELSE 'invalid' END AS status,
+             o_orderdate AS ts
+      FROM orders),
+    term AS (SELECT * FROM upd WHERE status IN ('published', 'error', 'invalid')),
+    first_t AS (
+      SELECT uuid, status, ts,
+             ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY ts ASC, status ASC) AS rn
+      FROM term)
+    SELECT uuid, status, ts FROM first_t WHERE rn = 1
+    """,
+)
+def terminal_status_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-state watch, batch contract (T4): first terminal
+    observation per entity — the same operator the streaming watcher
+    runs (streaming/watch.py), verified hash-exact here.
+    Reference: tools/split_and_create.py:554-560 polling loop.
+    """
+    from .streaming.watch import terminal_status_stream
+
+    o = _t(spark, sf_dir)["orders"]
+    upd = o.select(
+        F.col("o_custkey").alias("uuid"),
+        F.element_at(
+            F.array(
+                F.lit("published"), F.lit("processing"), F.lit("error"),
+                F.lit("qa"), F.lit("invalid"),
+            ),
+            (F.col("o_orderkey") % 5).cast("int") + 1,
+        ).alias("status"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return terminal_status_stream(upd)
+
+
+@register(
+    "messaging_payloads",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS uuid,
+             CASE o_orderkey % 5 WHEN 0 THEN 'error' WHEN 1 THEN 'qa'
+                  WHEN 2 THEN 'invalid' WHEN 3 THEN 'reorganized'
+                  ELSE 'processing' END AS status,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'boom' END AS reject_reason,
+             'r' || CAST(o_orderkey % 100 AS VARCHAR) AS run_id,
+             CAST(o_orderkey % 4 AS INT) AS n_children
+      FROM orders)
+    SELECT uuid, status,
+           CASE WHEN status = 'error' AND reject_reason IS NULL
+                  THEN 'dataset_error_processing'
+                WHEN status = 'error' THEN 'dataset_error'
+                WHEN status = 'invalid' THEN 'dataset_invalid'
+                WHEN status = 'qa' THEN 'dataset_qa'
+                WHEN status = 'reorganized' THEN 'upload_reorganized'
+           END AS rule,
+           CASE WHEN status IN ('error') THEN 'pipeline-alerts'
+                WHEN status IN ('invalid', 'qa') THEN 'curation'
+                WHEN status = 'reorganized' THEN 'ingest'
+           END AS channel,
+           CASE WHEN status = 'error' AND reject_reason IS NULL
+                  THEN 'Dataset processing error: ' || CAST(uuid AS VARCHAR)
+                WHEN status = 'error' THEN 'Dataset error: ' || CAST(uuid AS VARCHAR)
+                WHEN status = 'invalid' THEN 'Dataset invalid: ' || CAST(uuid AS VARCHAR)
+                WHEN status = 'qa' THEN 'Dataset ready for QA: ' || CAST(uuid AS VARCHAR)
+                WHEN status = 'reorganized' THEN 'Upload reorganized: ' || CAST(uuid AS VARCHAR)
+           END AS subject,
+           CASE WHEN status = 'error' AND reject_reason IS NULL
+                  THEN CAST(uuid AS VARCHAR) || ' failed during pipeline processing (run ' || run_id || ')'
+                WHEN status = 'error'
+                  THEN CAST(uuid AS VARCHAR) || ' entered error state: ' || reject_reason
+                WHEN status = 'invalid' THEN CAST(uuid AS VARCHAR) || ' marked invalid'
+                WHEN status = 'qa' THEN CAST(uuid AS VARCHAR) || ' passed processing and awaits QA'
+                WHEN status = 'reorganized'
+                  THEN CAST(uuid AS VARCHAR) || ' split into ' || CAST(n_children AS VARCHAR) || ' datasets'
+           END AS body
+    FROM ev WHERE status IN ('error', 'qa', 'invalid', 'reorganized')
+    """,
+)
+def messaging_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messaging sink payload rendering (S18): rule dispatch (gated
+    subclass first), channel routing (prod), subject/body templates —
+    all as one chained-CASE projection, hash-checked against the SQL
+    restatement.  Reference: status_change/slack_manager.py:30-122.
+    """
+    from .messaging import render_messages
+
+    o = _t(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    ev = o.select(
+        k.alias("uuid"),
+        F.element_at(
+            F.array(
+                F.lit("error"), F.lit("qa"), F.lit("invalid"),
+                F.lit("reorganized"), F.lit("processing"),
+            ),
+            (k % 5).cast("int") + 1,
+        ).alias("status"),
+        F.when(k % 3 == 0, F.lit("boom")).alias("reject_reason"),
+        F.concat(F.lit("r"), (k % 100).cast("string")).alias("run_id"),
+        (k % 4).cast("int").alias("n_children"),
+    )
+    return render_messages(ev, env="prod")
+
+
+@register(
+    "reorganize_plan",
+    """
+    WITH meta AS (
+      SELECT 'u' || CAST(c_custkey AS VARCHAR) AS new_uuid,
+             'd' || CAST(c_custkey AS VARCHAR) AS data_path,
+             'contrib/c' || CAST(c_custkey % 10 AS VARCHAR) || '.tsv'
+               AS contributors_path
+      FROM customer WHERE c_custkey < 100),
+    extras AS (
+      SELECT 'extras/e' || CAST(r_regionkey AS VARCHAR) || '.txt' AS rel_path
+      FROM region),
+    contrib AS (
+      SELECT DISTINCT 'contrib/c' || CAST(c_custkey % 10 AS VARCHAR) || '.tsv'
+               AS rel_path
+      FROM customer WHERE c_custkey < 100),
+    datafiles AS (
+      SELECT 'd' || CAST(o_orderkey % 100 AS VARCHAR) || '/f'
+               || CAST(o_orderkey AS VARCHAR) || '.bin' AS rel_path,
+             o_orderkey % 100 AS child_key, o_orderkey
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT m.new_uuid, 'copy' AS op, e.rel_path AS src_rel, e.rel_path AS dest_rel
+    FROM meta m, extras e
+    UNION ALL
+    SELECT m.new_uuid, 'copy', m.contributors_path,
+           'extras/c' || CAST(CAST(SUBSTRING(m.new_uuid, 2) AS BIGINT) % 10
+             AS VARCHAR) || '.tsv'
+    FROM meta m JOIN contrib c ON m.contributors_path = c.rel_path
+    UNION ALL
+    SELECT m.new_uuid, 'move', d.rel_path,
+           'f' || CAST(d.o_orderkey AS VARCHAR) || '.bin'
+    FROM meta m JOIN datafiles d
+      ON CAST(SUBSTRING(m.new_uuid, 2) AS BIGINT) = d.child_key
+    """,
+)
+def reorganize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorganization phase-2 planning (split_and_create populate):
+    the distributed plan pass emits one row per file copy/move —
+    hash-checked against the SQL restatement of the same op families
+    (extras fan-out, contributors into extras/, data_path move).
+    Reference: misc/tools/split_and_create.py:184-300.
+    """
+    from .operators.reorganize import plan_reorganize
+
+    t = _t(spark, sf_dir)
+    meta = t["customer"].filter(F.col("c_custkey") < 100).select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("new_uuid"),
+        F.concat(F.lit("d"), F.col("c_custkey").cast("string")).alias("data_path"),
+        F.concat(
+            F.lit("contrib/c"), (F.col("c_custkey") % 10).cast("string"),
+            F.lit(".tsv"),
+        ).alias("contributors_path"),
+        F.lit(None).cast("string").alias("antibodies_path"),
+        F.lit(None).cast("string").alias("non_global_files"),
+    )
+    extras = t["region"].select(
+        F.concat(
+            F.lit("extras/e"), F.col("r_regionkey").cast("string"), F.lit(".txt")
+        ).alias("rel_path")
+    )
+    contrib = (
+        t["customer"].filter(F.col("c_custkey") < 100)
+        .select(
+            F.concat(
+                F.lit("contrib/c"), (F.col("c_custkey") % 10).cast("string"),
+                F.lit(".tsv"),
+            ).alias("rel_path")
+        )
+        .distinct()
+    )
+    datafiles = t["orders"].filter(F.col("o_orderkey") < 2000).select(
+        F.concat(
+            F.lit("d"), (F.col("o_orderkey") % 100).cast("string"),
+            F.lit("/f"), F.col("o_orderkey").cast("string"), F.lit(".bin"),
+        ).alias("rel_path")
+    )
+    listing = extras.unionByName(contrib).unionByName(datafiles)
+    return plan_reorganize(meta, listing, shared=False)
+
+
+@register(
     "filter_membership_floor",
     """
     SELECT event_id, user_id, event_type
