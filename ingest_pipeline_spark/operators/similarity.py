@@ -81,9 +81,14 @@ def dot_seq(a: Column, b: Column) -> Column:
     (tests/test_operators.py::test_dot_seq_bit_parity).
 
     Wrapped at call time (not a module-level @pandas_udf) so importing
-    this module never needs an active SparkSession.
+    this module never needs an active SparkSession.  Marked
+    nondeterministic (it isn't, semantically) so Catalyst will not
+    substitute the expression through projections: a downstream
+    filter on the score would otherwise clone the ArrowEvalPython
+    node and score every pair TWICE (observed in the
+    embedding_near_dup physical plan).
     """
-    return pandas_udf(_dot_seq_fn, "double")(a, b)
+    return pandas_udf(_dot_seq_fn, "double").asNondeterministic()(a, b)
 
 
 def norm_seq(a: Column) -> Column:
