@@ -46,7 +46,11 @@ HEADLINE = [
     "request_intake_routing",
     "multimodal_extract_metadata",
     "schema_validate_documents",
+    "schema_validate_json_fallback",
     "collection_type_inference",
+    "terminal_status_batch",
+    "messaging_payloads",
+    "reorganize_plan",
 ]
 
 

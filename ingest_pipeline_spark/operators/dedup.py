@@ -154,6 +154,14 @@ def minhash_lsh_pairs(
     # docs with < shingle_k tokens yield no shingle rows and are already
     # absent from minhash_signatures' groupBy output — no null guard needed
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # materialize signatures before the self-join: both join sides share
+    # this lineage, and without a checkpoint each side re-runs the full
+    # scan→shingle→md5→16-min pipeline (the NGram transformer's UDF
+    # defeats exchange-reuse canonicalization — verified: 4 FileScans in
+    # the final plan).  Signatures are 1 row/doc — tiny relative to the
+    # corpus.  Blocks stay pinned for the session; release via
+    # operators.components._release if lifecycle matters.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.posexplode(

@@ -1690,9 +1690,9 @@ def multimodal_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_format_metadata(files)
 
 
-@register(
-    "schema_validate_documents",
-    """
+# the expected per-rule violation counts for _seeded_schema_docs —
+# shared by the compiled-predicate query and the JSON-fallback query
+_SCHEMA_RULES_SQL = """
     SELECT '$.uuid: required' AS rule,
            COUNT(*) FILTER (WHERE o_orderkey % 37 = 0) AS n_violations FROM orders
     UNION ALL SELECT '$.status: required',
@@ -1714,8 +1714,10 @@ def multimodal_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderkey % 17 <> 0 AND o_orderkey % 13 = 0) FROM orders
     UNION ALL SELECT '$.uuid: pattern',
            COUNT(*) FILTER (WHERE o_orderkey % 37 <> 0 AND o_orderkey % 31 = 0) FROM orders
-    """,
-)
+"""
+
+
+@register("schema_validate_documents", _SCHEMA_RULES_SQL)
 def schema_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level JSON-Schema validation (V1): a jsonschema subset
     compiled to recursive predicates over a nested struct column,
@@ -1728,30 +1730,39 @@ def schema_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .validate.jsonschema import schema_violation_counts
 
-    doc_schema = {
-        "type": "object",
-        "required": ["uuid", "status", "files"],
-        "properties": {
-            "uuid": {"type": "string", "pattern": "^[0-9a-f]{32}$"},
-            "status": {
-                "type": "string",
-                "enum": ["new", "processing", "qa", "published", "error", "invalid"],
-            },
-            "priority": {"type": "integer", "minimum": 0, "maximum": 5},
-            "files": {
-                "type": "array",
-                "minItems": 1,
-                "items": {
-                    "type": "object",
-                    "required": ["rel_path"],
-                    "properties": {
-                        "rel_path": {"type": "string", "minLength": 1},
-                        "size": {"type": "integer", "minimum": 0},
-                    },
+    docs = _seeded_schema_docs(spark, sf_dir)
+    return schema_violation_counts(docs, "doc", _DOC_SCHEMA)
+
+
+_DOC_SCHEMA = {
+    "type": "object",
+    "required": ["uuid", "status", "files"],
+    "properties": {
+        "uuid": {"type": "string", "pattern": "^[0-9a-f]{32}$"},
+        "status": {
+            "type": "string",
+            "enum": ["new", "processing", "qa", "published", "error", "invalid"],
+        },
+        "priority": {"type": "integer", "minimum": 0, "maximum": 5},
+        "files": {
+            "type": "array",
+            "minItems": 1,
+            "items": {
+                "type": "object",
+                "required": ["rel_path"],
+                "properties": {
+                    "rel_path": {"type": "string", "minLength": 1},
+                    "size": {"type": "integer", "minimum": 0},
                 },
             },
         },
-    }
+    },
+}
+
+
+def _seeded_schema_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested docs from orders with violations at known modular seats
+    (shared by the compiled and JSON-fallback validation queries)."""
     o = _t(spark, sf_dir)["orders"]
     k = F.col("o_orderkey")
     uuid = (
@@ -1789,7 +1800,7 @@ def schema_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.array(file1, file2)
     files = F.when(k % 11 == 0, F.slice(arr, 1, 0)).otherwise(arr)
-    docs = o.select(
+    return o.select(
         F.struct(
             uuid.alias("uuid"),
             status.alias("status"),
@@ -1797,7 +1808,29 @@ def schema_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             files.alias("files"),
         ).alias("doc")
     )
-    return schema_violation_counts(docs, "doc", doc_schema)
+
+
+@register(
+    "schema_validate_json_fallback",
+    f"""
+    SELECT rule, n_violations FROM ({_SCHEMA_RULES_SQL}) WHERE n_violations > 0
+    """,
+)
+def schema_validate_json_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-fidelity mapInPandas JSON validator (V1 fallback) on
+    the SAME seeded documents as schema_validate_documents, serialized
+    through to_json — cross-path evidence that the compiled predicates,
+    the pure-Python validator, and the Arrow fallback agree on every
+    rule count.  (The fallback emits only rules with hits, hence the
+    n_violations > 0 oracle filter; to_json's null-dropping matches
+    the missing-key ≡ NULL semantics.)
+    """
+    from .validate.jsonschema import json_docs_violation_counts
+
+    docs = _seeded_schema_docs(spark, sf_dir).select(
+        F.to_json(F.col("doc")).alias("js")
+    )
+    return json_docs_violation_counts(docs, "js", _DOC_SCHEMA)
 
 
 @register(
