@@ -48,7 +48,18 @@ def test_similarity_topk_pushes_rank_limit(spark, sf_dir):
 def test_minhash_no_cartesian(spark, sf_dir):
     plan = _plan(queries()["dedup_minhash_lsh"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan  # signature mins combine map-side
+    # signatures are localCheckpoint-materialized before the self-join
+    # (one signature computation, both sides read it), so the pair plan
+    # scans the checkpoint RDD rather than recomputing the pipeline
+    assert "Scan ExistingRDD" in plan
+
+    # the signature stage itself still combines its 16 mins map-side
+    from ingest_pipeline_spark.operators.dedup import minhash_signatures
+    from ingest_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig_plan = _plan(minhash_signatures(docs, "text", "doc_id"))
+    assert "partial_min" in sig_plan
 
 
 def test_checksum_manifest_one_shuffle(spark, sf_dir):
