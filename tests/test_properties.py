@@ -76,3 +76,94 @@ def test_slice_expansion_cardinality(spark, ids):
     expected = {f"{base}-{lo}_{lo + extra}": extra + 1 for base, lo, extra in ids}
     for r in out:
         assert r.n == expected[r.id], r
+
+
+# ---------------------------------------------------------------------------
+# JSON-Schema compiler parity: compiled Spark predicates == pure-Python
+# validator for ANY (schema, doc corpus) this generator can produce.
+# Docs are type-correct per field (from_json would null wrong-typed
+# values, which is the documented missing≡NULL semantics, while the
+# python validator would flag them) — so the property covers value-level
+# rules: required / enum / bounds / lengths / minItems / maxItems.
+# ---------------------------------------------------------------------------
+
+_FIELD_KINDS = st.sampled_from(["int_bounded", "str_len", "str_enum", "arr_str"])
+
+
+@st.composite
+def _schema_and_docs(draw):
+    n_fields = draw(st.integers(1, 3))
+    props, ddl_parts = {}, []
+    kinds = {}
+    for i in range(n_fields):
+        name = f"f{i}"
+        kind = draw(_FIELD_KINDS)
+        kinds[name] = kind
+        if kind == "int_bounded":
+            lo = draw(st.integers(-5, 0))
+            hi = draw(st.integers(1, 9))
+            props[name] = {"type": "integer", "minimum": lo, "maximum": hi}
+            ddl_parts.append(f"{name} long")
+        elif kind == "str_len":
+            props[name] = {"type": "string", "minLength": 2, "maxLength": 5}
+            ddl_parts.append(f"{name} string")
+        elif kind == "str_enum":
+            props[name] = {"type": "string", "enum": ["a", "b"]}
+            ddl_parts.append(f"{name} string")
+        else:
+            props[name] = {
+                "type": "array", "minItems": 1, "maxItems": 3,
+                "items": {"type": "string", "minLength": 1},
+            }
+            ddl_parts.append(f"{name} array<string>")
+    required = draw(st.lists(st.sampled_from(sorted(props)), unique=True, max_size=n_fields))
+    schema = {"type": "object", "required": required, "properties": props}
+    ddl = "struct<" + ", ".join(ddl_parts) + ">"
+
+    def field_value(kind):
+        if kind == "int_bounded":
+            return draw(st.one_of(st.none(), st.integers(-10, 15)))
+        if kind == "str_len":
+            return draw(st.one_of(st.none(), st.text("xy", min_size=0, max_size=8)))
+        if kind == "str_enum":
+            return draw(st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])))
+        return draw(
+            st.one_of(
+                st.none(),
+                st.lists(st.text("pq", min_size=0, max_size=3), max_size=5),
+            )
+        )
+
+    docs = []
+    for _ in range(draw(st.integers(1, 6))):
+        docs.append({k: field_value(kinds[k]) for k in props})
+    return schema, ddl, docs
+
+
+@given(case=_schema_and_docs())
+@_SETTINGS
+def test_jsonschema_compiled_matches_python_any_schema(spark, case):
+    import json
+    from collections import Counter
+
+    from ingest_pipeline_spark.validate.jsonschema import (
+        schema_violation_counts,
+        validate_instance,
+    )
+
+    schema, ddl, docs = case
+    py = Counter()
+    for d in docs:
+        for rid in set(validate_instance(d, schema)):
+            py[rid] += 1
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "js string"
+    ).select(F.from_json("js", ddl).alias("doc"))
+    got = {
+        r.rule: r.n_violations
+        for r in schema_violation_counts(df, "doc", schema).collect()
+    }
+    for rule, n in got.items():
+        assert py.get(rule, 0) == n, (rule, schema, docs)
+    for rule, n in py.items():
+        assert got.get(rule, 0) == n, (rule, schema, docs)
