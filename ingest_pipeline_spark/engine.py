@@ -86,3 +86,44 @@ def route_requests(
     return routed.select(
         "run_id", "provider", "submission_id", "process", "dag_id", "queue"
     )
+
+
+# (collection_type_regex, assay_type_regex, workflow) — the reference's
+# workflow_map.yml shape (dags/workflow_map.yml; lookup semantics
+# dags/utils.py:1922-1936 downstream_workflow_iter: ALL matching rows
+# fire, regexes anchored at the start via re.match)
+DEFAULT_WORKFLOW_MAP: tuple[tuple[str, str, str], ...] = (
+    ("test_only", ".*", "test_workflow"),
+    ("devtest", ".*", "devtest_step2"),
+    (".*", "CODEX", "codex_cytokit"),
+    (".*", "Slide-seq", "salmon_rnaseq_slideseq"),
+    ("rnaseq_10x", "scRNAseq-10xGenomics", "salmon_rnaseq_10x"),
+)
+
+
+def downstream_workflows(
+    datasets: DataFrame,
+    workflow_map: tuple[tuple[str, str, str], ...] = DEFAULT_WORKFLOW_MAP,
+    ct_col: str = "collectiontype",
+    at_col: str = "assay_type",
+) -> DataFrame:
+    """Fan each dataset out to EVERY matching workflow (T3 semantics —
+    unlike first-match routing, one dataset can trigger several DAGs).
+
+    The map is static config, so the whole lookup compiles to one
+    projection: per entry a literal-anchored-rlike flag (codegen; no
+    probe-table join, no shuffle), then explode + drop the non-matches.
+    Output: input columns + ``workflow``, one row per (dataset, match).
+    """
+    arms = [
+        F.when(
+            F.coalesce(F.col(ct_col), F.lit("")).rlike(f"^(?:{ct_re})")
+            & F.coalesce(F.col(at_col), F.lit("")).rlike(f"^(?:{at_re})"),
+            F.lit(wf),
+        )
+        for ct_re, at_re, wf in workflow_map
+    ]
+    return (
+        datasets.withColumn("workflow", F.explode(F.array(*arms)))
+        .filter(F.col("workflow").isNotNull())
+    )

@@ -1834,6 +1834,61 @@ def schema_validate_json_fallback(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "workflow_map_routing",
+    """
+    WITH ds AS (
+      SELECT c_custkey AS uuid,
+             CASE c_custkey % 4 WHEN 0 THEN 'rnaseq_10x' WHEN 1 THEN 'devtest'
+                  WHEN 2 THEN 'codex_collection' ELSE 'misc' END AS collectiontype,
+             CASE c_custkey % 5 WHEN 0 THEN 'scRNAseq-10xGenomics'
+                  WHEN 1 THEN 'CODEX' WHEN 2 THEN 'Slide-seq'
+                  WHEN 3 THEN 'CODEX2' ELSE 'other' END AS assay_type
+      FROM customer),
+    wmap(ct_re, at_re, workflow) AS (VALUES
+      ('test_only', '.*', 'test_workflow'),
+      ('devtest', '.*', 'devtest_step2'),
+      ('.*', 'CODEX', 'codex_cytokit'),
+      ('.*', 'Slide-seq', 'salmon_rnaseq_slideseq'),
+      ('rnaseq_10x', 'scRNAseq-10xGenomics', 'salmon_rnaseq_10x'))
+    SELECT uuid, collectiontype, assay_type, workflow
+    FROM ds JOIN wmap
+      ON REGEXP_MATCHES(collectiontype, '^(?:' || ct_re || ')')
+     AND REGEXP_MATCHES(assay_type, '^(?:' || at_re || ')')
+    """,
+)
+def workflow_map_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """workflow_map fan-out (T3): every matching (collection_type
+    regex, assay_type regex) pair fires — one dataset can trigger
+    several workflows ('CODEX2' exercises the anchored-prefix match,
+    devtest+CODEX the multi-row fan-out).  Compiled to a single
+    flag-array projection + explode; no join, no shuffle.
+    Reference: dags/utils.py:1922-1936 + dags/workflow_map.yml.
+    """
+    from .engine import downstream_workflows
+
+    c = _t(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    ds = c.select(
+        k.alias("uuid"),
+        F.element_at(
+            F.array(
+                F.lit("rnaseq_10x"), F.lit("devtest"),
+                F.lit("codex_collection"), F.lit("misc"),
+            ),
+            (k % 4).cast("int") + 1,
+        ).alias("collectiontype"),
+        F.element_at(
+            F.array(
+                F.lit("scRNAseq-10xGenomics"), F.lit("CODEX"), F.lit("Slide-seq"),
+                F.lit("CODEX2"), F.lit("other"),
+            ),
+            (k % 5).cast("int") + 1,
+        ).alias("assay_type"),
+    )
+    return downstream_workflows(ds)
+
+
+@register(
     "collection_type_inference",
     """
     SELECT c_custkey AS dataset_id,

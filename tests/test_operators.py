@@ -282,3 +282,27 @@ def test_dot_seq_bit_parity(spark, sf_dir):
         (F.col("hof") != F.col("vec")) | (F.col("nhof") != F.col("nvec"))
     ).count()
     assert bad == 0
+
+
+def test_downstream_workflows_fanout(spark):
+    """T3 fan-out semantics: ALL matching map rows fire; regexes are
+    start-anchored; nulls behave like '' (reference `collectiontype or ''`)."""
+    from ingest_pipeline_spark.engine import downstream_workflows
+
+    ds = spark.createDataFrame(
+        [
+            (1, "devtest", "CODEX"),      # devtest_step2 AND codex_cytokit
+            (2, "rnaseq_10x", "scRNAseq-10xGenomics"),
+            (3, "misc", "CODEX2"),        # anchored prefix: 'CODEX' matches
+            (4, None, "other"),           # null ct -> '' -> only '.*' arms
+            (5, "misc", "xCODEX"),        # not a prefix match -> no row
+        ],
+        "uuid long, collectiontype string, assay_type string",
+    )
+    got = sorted((r.uuid, r.workflow) for r in downstream_workflows(ds).collect())
+    assert got == [
+        (1, "codex_cytokit"),
+        (1, "devtest_step2"),
+        (2, "salmon_rnaseq_10x"),
+        (3, "codex_cytokit"),
+    ]
