@@ -1889,6 +1889,78 @@ def workflow_map_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_hash_deterministic",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || SUBSTRING(MD5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS unit
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM u
+    WHERE (lang = 'en' AND unit < 0.25) OR (lang = 'de' AND unit < 0.5)
+    GROUP BY lang
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash stratified sampling: the keep/drop
+    decision is a pure function of (salt, doc_id), so the sample is
+    identical across engines, retries, and cluster sizes — seeded
+    rand() can't promise that.  Hash-checked per stratum.
+    """
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir)["documents"]
+    kept = hash_sample(
+        docs, "doc_id", stratum_col="lang", fractions={"en": 0.25, "de": 0.5}
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "dedup_corpus_clean",
+    """
+    WITH u AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT MD5(text)) AS n_kept,
+           COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_removed
+    FROM u
+    """,
+)
+def dedup_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: exact dedup picks one representative
+    per digest, the corpus anti-joins down to the keepers — the full
+    remove-the-duplicates pipeline a training-data run executes, not
+    just the pair census.  Input: documents plus injected exact copies.
+    """
+    from .operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir)["documents"]
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    u = docs.select("doc_id", "text").unionByName(copies)
+    keep = exact_dedup(u, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    cleaned = u.join(keep, "doc_id", "semi")
+    return u.agg(F.count("*").alias("n_total")).crossJoin(
+        cleaned.agg(F.count("*").alias("n_kept"))
+    ).select(
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+    )
+
+
+@register(
     "collection_type_inference",
     """
     SELECT c_custkey AS dataset_id,
