@@ -999,6 +999,60 @@ def graph_bfs_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reach.groupBy("depth").agg(F.count("*").alias("n_nodes"))
 
 
+@register(
+    "graph_bfs_ancestors",
+    """
+    WITH roots AS (
+      SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln, o_custkey AS ck
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey < 100)
+    SELECT 'l' || CAST(ok AS VARCHAR) || '_' || CAST(ln AS VARCHAR) AS root_uuid,
+           'l' || CAST(ok AS VARCHAR) || '_' || CAST(ln AS VARCHAR) AS uuid,
+           0 AS depth
+    FROM roots
+    UNION ALL
+    SELECT 'l' || CAST(ok AS VARCHAR) || '_' || CAST(ln AS VARCHAR),
+           'o' || CAST(ok AS VARCHAR), 1 FROM roots
+    UNION ALL
+    SELECT 'l' || CAST(ok AS VARCHAR) || '_' || CAST(ln AS VARCHAR),
+           'c' || CAST(ck AS VARCHAR), 2 FROM roots
+    """,
+)
+def graph_bfs_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward provenance walk (J8): lineitem entities back to their
+    order and customer — ancestors_bfs runs the same bounded iterative
+    self-join on flipped edges; the oracle enumerates the known
+    three-level lineage directly.  Reference: dataset→sample→donor
+    walks, misc/tools/survey.py:150-303.
+    """
+    from .operators.graph import ancestors_bfs
+
+    t = _t(spark, sf_dir)
+    c2o = t["orders"].select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("parent_uuid"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("child_uuid"),
+    )
+    o2l = t["lineitem"].select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("parent_uuid"),
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("child_uuid"),
+    )
+    edges = c2o.unionByName(o2l)
+    roots = t["lineitem"].filter(F.col("l_orderkey") < 100).select(
+        F.concat(
+            F.lit("l"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("uuid")
+    )
+    return ancestors_bfs(edges, roots, max_depth=2)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: dedup family (BASELINE-mandated, 100 TB-first)
 # ---------------------------------------------------------------------------
@@ -1648,6 +1702,8 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_extract_metadata",
     """
     SELECT * FROM (VALUES
+      ('broken.ome.tiff', 'OME_TIFF', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), '{"error":"not a TIFF: bad byte-order mark"}'),
       ('elastix.txt', 'TxtTform', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT),
        '{"FixedImageDimension":3,"NumberOfParameters":12,"Transform":"AffineTransform","TransformParameters":[1.0,0.0,0.0,0.0,1.0,0.0,0.0,0.0,1.0,0.5,-0.5,2.0],"UseDirectionCosines":true}'),

@@ -130,6 +130,10 @@ def main() -> None:
         f.write(TXT_TFORM)
     with open(os.path.join(OUT, "scan.czi"), "wb") as f:
         f.write(b"ZISRAWFILE" + b"\x00" * 22)
+    # corrupt input: the battery must emit an error ROW for it (oracle
+    # pins the exact error metadata), never fail the task
+    with open(os.path.join(OUT, "broken.ome.tiff"), "wb") as f:
+        f.write(b"\x00\x01not a tiff at all")
     with open(os.path.join(OUT, "thumb.png"), "wb") as f:
         f.write(PNG)
     for fn in sorted(os.listdir(OUT)):
