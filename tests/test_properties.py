@@ -156,6 +156,19 @@ def test_jsonschema_compiled_matches_python_any_schema(spark, case):
     for d in docs:
         for rid in set(validate_instance(d, schema)):
             py[rid] += 1
+
+    # the compiled-closure python validator must agree with the
+    # interpreted reference on every doc
+    from ingest_pipeline_spark.validate.jsonschema import compile_python_validator
+
+    check = compile_python_validator(schema)
+    comp = Counter()
+    for d in docs:
+        hit = []
+        check(d, hit)
+        for rid in set(hit):
+            comp[rid] += 1
+    assert comp == py, (schema, docs)
     df = spark.createDataFrame(
         [(json.dumps(d),) for d in docs], "js string"
     ).select(F.from_json("js", ddl).alias("doc"))
