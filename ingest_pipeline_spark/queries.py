@@ -2915,3 +2915,336 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         _aug_docs(spark, sf_dir), "text", "doc_id", bits=32, max_hamming=3, chunks=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: classic TPC-H plan shapes q6/q11/q13/q14/q15/q18/q19/q22
+# adapted to the testdata schema (no partsupp/comment/phone columns).  Each
+# exercises a distinct optimizer pattern the engine must keep JVM-side at
+# 100 TB: full-pushdown scans, cross-aggregate scalars, outer-join census,
+# conditional ratios, max-of-agg, having+join-back, disjunctive pushdown,
+# and scalar-subquery + anti-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: every predicate pushes to the parquet scan
+    (date range + two numeric ranges), 4-column ReadSchema, one
+    partial+final agg, a single row over the wire.  The canonical
+    'scan efficiency' probe: at 100 TB this is bounded by I/O after
+    row-group pruning, not by shuffle."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.agg(F.sum(price * disc).cast("double").alias("revenue"))
+
+
+@register(
+    "q11_important_parts",
+    """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   * 0.0008
+            FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: group value vs a fraction of the GLOBAL total
+    (cross-aggregate scalar).  The global sum is a 1-row DataFrame
+    broadcast into the per-group HAVING — never a window over an
+    empty partitioning, which would serialize 100 TB through one
+    task.  Both aggregates are decimal-exact, so the > comparison is
+    reproducible."""
+    t = _t(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    value = F.sum(price * (F.lit(1) - disc)).cast("double")
+    per_part = t["lineitem"].groupBy("l_partkey").agg(value.alias("part_value"))
+    threshold = t["lineitem"].agg((value * F.lit(0.0008)).alias("__thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q13_order_count_census",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: outer join with a join-side residual predicate,
+    then a two-level aggregation (per-customer order count, then the
+    distribution of those counts).  First agg shuffles on custkey —
+    same key as the join, so AQE coalesces; second agg is over a tiny
+    domain and goes map-side partial."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: conditional-aggregate ratio over a dim join.
+    part is broadcast (small dim), the date filter pushes to the fact
+    scan, and both sums are decimal-exact so the final double divide
+    has identical operands on both engines."""
+    t = _t(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: max-of-aggregate selection.  The quarterly
+    revenue agg feeds both the MAX scalar and the equality filter; the
+    1-row max is broadcast, and equality is safe because revenue is
+    decimal-exact on both sides.  supplier (tiny) is broadcast into
+    the final join."""
+    t = _t(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: HAVING-filtered key set semi-joined back into a
+    3-way join.  The qualifying-order set is small after the quantity
+    threshold, so it broadcasts into a left-semi join against orders
+    before the fact join — the big table is filtered BEFORE the
+    expensive join, not after.  Ordered limit carries a full
+    tiebreak."""
+    t = _t(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 300)
+        .select("l_orderkey")
+    )
+    o = t["orders"].join(
+        F.broadcast(big_orders),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return (
+        o.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: disjunction of conjunctive blocks across both
+    join sides.  Catalyst factors the common single-side implications
+    out of the OR (CNF conversion): part gets
+    brand-IN + size-range pushdown, lineitem gets the quantity range,
+    BEFORE the broadcast join; the residual OR evaluates post-join in
+    codegen.  The classic test that disjunctive predicates don't force
+    a full-scan join."""
+    t = _t(spark, sf_dir)
+    blocks = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(blocks)
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: scalar-subquery threshold (above-average
+    balance, computed decimal-exact as sum/count so both engines
+    divide identical doubles) + anti join against pending orders +
+    small-domain rollup.  The average broadcasts as a 1-row DF; the
+    anti join shuffles on custkey only after the balance filter cut
+    the left side."""
+    t = _t(spark, sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(bal).cast("double") / F.count("*")).alias("__avg_bal"))
+    )
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
