@@ -48,9 +48,11 @@ from pyspark.sql import DataFrame
 # airflow/dags/utils.py:90-100, with md/data_file_types category names)
 CATEGORY_MATCHERS: list[tuple[str, str]] = [
     (r"\.ome\.tiff?$", "OME_TIFF"),
+    (r"\.scn$", "Scn_TIFF"),
     (r"\.imzml$", "imzML"),
     (r"(\.fastq$)|(\.fastq\.gz$)", "FASTQ"),
     (r"\.mtx(\.txt)?$", "MtxTform"),
+    (r"wordlist[^/]*\.txt$", "TxtWordList"),
     (r"(^|/)(elastix|.*tform).*\.txt$", "TxtTform"),
     (r"\.czi$", "CZI"),
     (r"\.(png|jpe?g|tiff?)$", "image"),
@@ -143,6 +145,48 @@ def parse_ome_tiff(data: bytes) -> dict:
                 for ch in pixels.findall(f"{ns}Channel")
             ]
     return meta
+
+
+def parse_scn_tiff(data: bytes) -> dict:
+    """Leica SCN: a TIFF whose first-page description is `<scn>` XML.
+
+    Mirrors reference scn_tiff_metadata_file.py:13-17 (tifffile
+    ``is_scn`` check + xmltodict over ``pages[0].description``): IFD
+    dimensions plus the collection extent and per-image pixel sizes
+    from the SCN XML.
+    """
+    tags = _tiff_ifd_tags(data)
+    desc = tags.get(270)
+    if not (isinstance(desc, str) and "<scn" in desc):
+        raise ValueError("not an SCN TIFF: no scn XML description")
+    meta: dict = {
+        "ImageWidth": tags.get(256),
+        "ImageLength": tags.get(257),
+        "BitsPerSample": tags.get(258),
+    }
+    root = ET.fromstring(desc)
+    ns = root.tag.split("}")[0] + "}" if root.tag.startswith("{") else ""
+    coll = root.find(f"{ns}collection")
+    if coll is not None:
+        for attr, key in (("sizeX", "CollectionSizeX"), ("sizeY", "CollectionSizeY")):
+            if attr in coll.attrib:
+                meta[key] = int(coll.attrib[attr])
+        images = coll.findall(f"{ns}image")
+        meta["n_images"] = len(images)
+        if images:
+            pixels = images[0].find(f"{ns}pixels")
+            if pixels is not None:
+                for attr, key in (("sizeX", "SizeX"), ("sizeY", "SizeY")):
+                    if attr in pixels.attrib:
+                        meta[key] = int(pixels.attrib[attr])
+    return meta
+
+
+def parse_txt_wordlist(data: bytes) -> dict:
+    """Whitespace-tokenized word list (reference
+    txt_wordlist_metadata_file.py:9-17 returns the flat word list)."""
+    words = data.decode("utf-8", "replace").split()
+    return {"words": words, "n_words": len(words)}
 
 
 def parse_imzml(data: bytes) -> dict:
@@ -259,9 +303,11 @@ def parse_czi(data: bytes) -> dict:
 
 PARSERS = {
     "OME_TIFF": parse_ome_tiff,
+    "Scn_TIFF": parse_scn_tiff,
     "imzML": parse_imzml,
     "FASTQ": parse_fastq,
     "MtxTform": parse_mtx_tform,
+    "TxtWordList": parse_txt_wordlist,
     "TxtTform": parse_txt_tform,
     "CZI": parse_czi,
 }
@@ -299,6 +345,8 @@ def extract_format_metadata(files: DataFrame) -> DataFrame:
                 out["width"].append(meta.get("SizeX", meta.get("max count of pixels x")))
                 out["height"].append(meta.get("SizeY", meta.get("max count of pixels y")))
                 n = meta.get("n_reads", meta.get("spectrum count"))
+                if n is None:
+                    n = meta.get("n_words", meta.get("n_images"))
                 out["n_items"].append(n)
                 out["meta_json"].append(
                     json.dumps(meta, sort_keys=True, separators=(",", ":"))

@@ -1704,6 +1704,8 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
       ('broken.ome.tiff', 'OME_TIFF', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT), '{"error":"not a TIFF: bad byte-order mark"}'),
+      ('codes_wordlist.txt', 'TxtWordList', CAST(NULL AS INT), CAST(NULL AS INT),
+       5, '{"n_words":5,"words":["alpha","beta","gamma","delta","epsilon"]}'),
       ('elastix.txt', 'TxtTform', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT),
        '{"FixedImageDimension":3,"NumberOfParameters":12,"Transform":"AffineTransform","TransformParameters":[1.0,0.0,0.0,0.0,1.0,0.0,0.0,0.0,1.0,0.5,-0.5,2.0],"UseDirectionCosines":true}'),
@@ -1715,6 +1717,8 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST(NULL AS BIGINT), '{"parser":"unavailable"}'),
       ('slide1.ome.tiff', 'OME_TIFF', 6, 4, CAST(NULL AS BIGINT),
        '{"BitsPerSample":8,"Channels":["DAPI","CD4"],"ImageLength":4,"ImageWidth":6,"PhysicalSizeX":0.65,"PhysicalSizeY":0.65,"SizeC":2,"SizeT":1,"SizeX":6,"SizeY":4,"SizeZ":1,"Type":"uint8"}'),
+      ('slide2.scn', 'Scn_TIFF', 6, 4, 2,
+       '{"BitsPerSample":8,"CollectionSizeX":300,"CollectionSizeY":200,"ImageLength":4,"ImageWidth":6,"SizeX":6,"SizeY":4,"n_images":2}'),
       ('tform.mtx.txt', 'MtxTform', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT),
        '{"Transform":[[0.999,-0.013,0.0,12.5],[0.013,0.999,0.0,-3.25],[0.0,0.0,1.0,0.0],[0.0,0.0,0.0,1.0]]}'),

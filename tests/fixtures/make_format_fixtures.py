@@ -33,11 +33,23 @@ OME_XML = (
 )
 
 
-def write_ome_tiff(path: str) -> None:
-    """Minimal valid little-endian TIFF: one IFD, OME-XML in tag 270."""
+SCN_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<scn xmlns="http://www.leica-microsystems.com/scn/2010/10/01">'
+    '<collection sizeX="300" sizeY="200">'
+    '<image name="main"><pixels sizeX="6" sizeY="4"/></image>'
+    '<image name="macro"><pixels sizeX="3" sizeY="2"/></image>'
+    "</collection></scn>"
+)
+
+WORDLIST = "alpha beta gamma\ndelta epsilon\n"
+
+
+def write_tiff(path: str, description: str) -> None:
+    """Minimal valid little-endian TIFF: one IFD, XML in tag 270."""
     width, height = 6, 4
     pixels = bytes(range(width * height))  # one strip, 8-bit gray
-    desc = OME_XML.encode()
+    desc = description.encode()
 
     header = struct.pack("<2sHI", b"II", 42, 8)  # IFD at offset 8
     entries = []
@@ -117,7 +129,10 @@ PNG = bytes.fromhex(
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
-    write_ome_tiff(os.path.join(OUT, "slide1.ome.tiff"))
+    write_tiff(os.path.join(OUT, "slide1.ome.tiff"), OME_XML)
+    write_tiff(os.path.join(OUT, "slide2.scn"), SCN_XML)
+    with open(os.path.join(OUT, "codes_wordlist.txt"), "w") as f:
+        f.write(WORDLIST)
     with open(os.path.join(OUT, "sample.imzML"), "w") as f:
         f.write(IMZML)
     # mtime=0 + empty filename keep the gzip bytes fully deterministic

@@ -20,7 +20,9 @@ from ingest_pipeline_spark.operators.extractors import (
     parse_imzml,
     parse_mtx_tform,
     parse_ome_tiff,
+    parse_scn_tiff,
     parse_txt_tform,
+    parse_txt_wordlist,
 )
 
 FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "formats")
@@ -42,7 +44,27 @@ def test_categorize_dispatch():
     assert categorize("warp_tform_0.txt") == "TxtTform"
     assert categorize("scan.czi") == "CZI"
     assert categorize("img.png") == "image"
+    assert categorize("slide2.scn") == "Scn_TIFF"
+    assert categorize("codes_wordlist.txt") == "TxtWordList"
+    assert categorize("my_wordlist_v2.txt") == "TxtWordList"
     assert categorize("notes.md") == "unknown"
+
+
+def test_scn_tiff_parse():
+    meta = parse_scn_tiff(_read("slide2.scn"))
+    assert meta["ImageWidth"] == 6 and meta["ImageLength"] == 4
+    assert meta["CollectionSizeX"] == 300 and meta["CollectionSizeY"] == 200
+    assert meta["n_images"] == 2
+    assert meta["SizeX"] == 6 and meta["SizeY"] == 4
+    # an OME-TIFF is a TIFF but not an SCN: must refuse, not mislabel
+    with pytest.raises(ValueError, match="no scn XML"):
+        parse_scn_tiff(_read("slide1.ome.tiff"))
+
+
+def test_txt_wordlist_parse():
+    meta = parse_txt_wordlist(_read("codes_wordlist.txt"))
+    assert meta["words"] == ["alpha", "beta", "gamma", "delta", "epsilon"]
+    assert meta["n_words"] == 5
 
 
 def test_ome_tiff_parse():
