@@ -3252,3 +3252,184 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus text operators: per-document TF-IDF keywords and PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term,
+             ROUND(tf * (LN((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: explode → two keyed aggs
+    (term frequency per doc, document frequency per term) → smoothed
+    idf → top-3 per doc.
+
+    Scale shape: both aggregations get map-side partial combine; the
+    tf←df join shuffles on term (the aggregated term table is tiny
+    relative to the token stream); the corpus size N broadcasts as a
+    1-row DF.  Scores are rounded to 6 dp BEFORE ranking and the rank
+    carries a term tiebreak, so top-3 is reproducible across engines.
+    Cross-document double sums never happen — every float is derived
+    per (doc, term) from integer inputs.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df")))
+                   + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-'
+                          || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || '-1234' ELSE '' END AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, source,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{3}-\\d{4}-\\d{4}', '<PHONE>', 'g') AS text
+      FROM aug)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST((LENGTH(text)
+                - LENGTH(REPLACE(text, '<EMAIL>', ''))) / 7 AS BIGINT))
+                AS BIGINT) AS emails_redacted,
+           CAST(SUM(CAST((LENGTH(text)
+                - LENGTH(REPLACE(text, '<PHONE>', ''))) / 7 AS BIGINT))
+                AS BIGINT) AS phones_redacted,
+           MD5(STRING_AGG(MD5(text), '' ORDER BY MD5(text))) AS scrubbed_digest
+    FROM scrubbed
+    GROUP BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus: email/phone patterns are replaced
+    with typed markers, then a per-source report counts redactions and
+    digests the scrubbed text (order-insensitive, like the checksum
+    manifest) so the oracle verifies the CONTENT of every scrubbed
+    document, not just the counts.
+
+    The synthetic corpus carries no PII, so deterministic fixtures are
+    injected first (doc_id-keyed email/phone suffixes) — identically
+    in both engines.  Scale shape: pure projection work (regex in
+    codegen, no UDF) + one groupBy(source) with map-side partials.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit("-1234"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = aug.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\d{3}-\d{4}-\d{4}",
+            "<PHONE>",
+        ).alias("text"),
+    )
+    def _marker_count(marker: str) -> Column:
+        return (
+            (F.length("text") - F.length(F.expr(f"replace(text, '{marker}', '')")))
+            / F.lit(7)
+        ).cast("long")
+
+    return (
+        scrubbed.select(
+            "source",
+            _marker_count("<EMAIL>").alias("__em"),
+            _marker_count("<PHONE>").alias("__ph"),
+            F.md5("text").alias("__h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__em").alias("emails_redacted"),
+            F.sum("__ph").alias("phones_redacted"),
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("__h")))).alias(
+                "scrubbed_digest"
+            ),
+        )
+    )
