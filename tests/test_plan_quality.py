@@ -65,3 +65,57 @@ def test_minhash_no_cartesian(spark, sf_dir):
 def test_checksum_manifest_one_shuffle(spark, sf_dir):
     plan = _plan(queries()["checksum_manifest"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q6_full_pushdown_single_row(spark, sf_dir):
+    plan = _plan(queries()["q6_forecast_revenue"](spark, sf_dir))
+    # all four predicates reach the parquet scan (the PushedFilters
+    # string is elided at 100 chars, so assert via DataFilters too)
+    pushed = plan.split("PushedFilters: [")[1].split("ReadSchema")[0]
+    assert "IsNotNull(l_shipdate)" in pushed and "IsNotNull(l_quantity)" in pushed
+    data_filters = plan.split("DataFilters: [")[1]
+    assert "l_shipdate" in data_filters and "l_discount" in data_filters
+    # only the four needed columns are read
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
+    assert "partial_sum" in plan
+
+
+def test_q19_disjunction_pushes_conjunctive_implications(spark, sf_dir):
+    plan = _plan(queries()["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # CNF factoring gives each side its own pushable implication of the OR
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    part_scan = [ln for ln in scans if "p_brand" in ln]
+    li_scan = [ln for ln in scans if "l_quantity" in ln]
+    assert part_scan and "Or(" in part_scan[0].split("PushedFilters")[1]
+    assert li_scan and "Or(" in li_scan[0].split("PushedFilters")[1]
+
+
+def test_q18_filters_orders_before_fact_join(spark, sf_dir):
+    plan = _plan(queries()["q18_large_volume_orders"](spark, sf_dir))
+    # the qualifying-order key set broadcasts into a semi join
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+def test_q11_threshold_broadcast_not_window(spark, sf_dir):
+    plan = _plan(queries()["q11_important_parts"](spark, sf_dir))
+    # global-total scalar must ride a broadcast join, never a Window
+    # over an empty partitioning (which would single-task 100 TB)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tfidf_partial_aggs(spark, sf_dir):
+    plan = _plan(queries()["tfidf_top_terms"](spark, sf_dir))
+    # both keyed aggs combine map-side before their exchanges
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_one_shuffle_no_udf(spark, sf_dir):
+    plan = _plan(queries()["text_pii_scrub"](spark, sf_dir))
+    # regex redaction stays in codegen: no Python evaluation anywhere
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
