@@ -3433,3 +3433,35 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS matched_ts, p.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click gets the user's most recent purchase at
+    or before it (NULL when none precedes).  Spark lacks ASOF JOIN, so
+    operators/asof.py composes it as union + one keyed window — a
+    single hash exchange, no join node, no row explosion — and the
+    oracle is DuckDB's native ASOF LEFT JOIN, pinning the inclusive
+    tie semantics."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
