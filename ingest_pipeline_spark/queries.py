@@ -3465,3 +3465,47 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"],
     )
+
+
+@register(
+    "range_join_error_clicks",
+    """
+    SELECT e.event_id,
+           COUNT(c.c_event_id) AS n_clicks_30m
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id AS c_event_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.c_ts >  e.ts
+     AND c.c_ts <= e.ts + INTERVAL 30 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 30 minutes after each error, per user
+    (zero-click errors kept).  operators/rangejoin.py turns the
+    interval predicate into a time-bucketed EQUI-join — never a
+    BroadcastNestedLoop — and the exact bounds evaluate post-join in
+    codegen; the oracle is DuckDB's plain inequality join."""
+    from .operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = range_join(errors, clicks, "user_id", "ts", "c_ts", horizon_sec=1800)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("__n"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_clicks_30m"),
+        )
+    )
