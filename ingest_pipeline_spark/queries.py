@@ -3509,3 +3509,123 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_clicks_30m"),
         )
     )
+
+
+@register(
+    "hypertable_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS bucket_hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((DATE_TRUNC('hour', ts), event_type),
+                            (DATE_TRUNC('hour', ts)),
+                            ())
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass over the event
+    stream produces per-(hour, type), per-hour, and grand-total rows
+    via GROUPING SETS — Spark expands the sets inside a single
+    Expand+HashAggregate (one shuffle), instead of three scans.
+    Time bucketing is date_trunc so partition pruning on a
+    time-partitioned layout still applies at scale."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupingSets(
+            [["bucket_hour", "event_type"], ["bucket_hour"], []],
+            "bucket_hour",
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "window_analytics",
+    """
+    SELECT event_id, user_id,
+           LAG(value, 1) OVER w AS prev_value,
+           LEAD(value, 1) OVER w AS next_value,
+           value - LAG(value, 1) OVER w AS delta_value,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w2, 6) AS pct_rank,
+           CAST(FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts, 1) OVER w)) AS BIGINT)
+             AS gap_sec
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+           w2 AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery over per-user purchase sequences:
+    lag/lead/delta, quartile bucketing, percent_rank, inter-event
+    gaps.  Both windows share the user_id partitioning, so Spark
+    plans ONE exchange and two in-partition sorts; every frame is
+    fully tie-broken (ts/value + event_id) for reproducibility."""
+    ev = _t(spark, sf_dir)["events"].filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: correlated per-group average (0.2 x avg
+    quantity per part) filtering the same fact table.  The correlated
+    scalar subquery becomes a per-part aggregate joined back on
+    partkey — one extra keyed agg, not a per-row subquery; the brand
+    filter broadcasts the surviving part keys.  The average is
+    decimal-exact sum / count so both engines compare identical
+    doubles."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    part3 = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum(qty).cast("double") / F.count("*")).alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part3), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
