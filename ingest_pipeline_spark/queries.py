@@ -3629,3 +3629,37 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT source AS grp,
+             CAST('0x' || SUBSTR(MD5(text), 1, 13) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM documents),
+    r AS (SELECT grp, u,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u ASC) AS rn
+          FROM d),
+    a AS (SELECT grp,
+                 COUNT(*) AS cnt_le_k,
+                 MAX(CASE WHEN rn = 16 THEN u END) AS uk
+          FROM r WHERE rn <= 16 GROUP BY grp)
+    SELECT grp AS source,
+           CASE WHEN cnt_le_k >= 16 THEN ROUND(15.0 / uk, 6)
+                ELSE CAST(cnt_le_k AS DOUBLE) END AS est_distinct
+    FROM a
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch per source: deterministic md5-uniform
+    hashes make the (k-1)/u_(k) estimator bit-identical across
+    engines — a sketch with an exact oracle.  WindowGroupLimit prunes
+    to k rows per group map-side, so the shuffle carries
+    O(groups x k).  operators/sketches.py documents the estimator and
+    its mergeability."""
+    from .operators.sketches import kmv_distinct
+
+    docs = _t(spark, sf_dir)["documents"]
+    return kmv_distinct(docs, "source", "text", k=16)
