@@ -41,6 +41,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
             orders, lineitem.l_orderkey == orders.o_orderkey
         ).count()
         assert joined.count() == plain
+        # the persisted clustering also satisfies aggregation: a
+        # bucket-key groupBy plans with zero Exchange operators too
+        agg = (
+            spark.table("lineitem_b")
+            .groupBy("orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        assert not plan_has_exchange(agg)
+        assert agg.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
