@@ -51,6 +51,16 @@ HEADLINE = [
     "terminal_status_batch",
     "messaging_payloads",
     "reorganize_plan",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "hypertable_rollup",
+    "window_analytics",
+    "asof_join_events",
+    "range_join_error_clicks",
+    "tfidf_top_terms",
+    "text_pii_scrub",
+    "sketch_kmv_distinct",
 ]
 
 

@@ -3663,3 +3663,39 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return kmv_distinct(docs, "source", "text", k=16)
+
+
+@register(
+    "incremental_rollup_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS avg_v
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-state rollup maintained incrementally: orders split
+    into three date slices, each aggregated independently, then merged
+    (operators/incremental.py).  The oracle is a direct GROUP BY over
+    the FULL table — passing proves merge(rollup(A), rollup(B),
+    rollup(C)) == rollup(A∪B∪C) bit-for-bit (decimal-exact sums), the
+    identity that lets a 100 TB continuous aggregate fold in new
+    partitions without rescanning history."""
+    from .operators.incremental import finalize_rollup, merge_rollup, rollup_state
+
+    o = _t(spark, sf_dir)["orders"]
+    cut1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cut2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    slices = [
+        o.filter(F.col("o_orderdate") < cut1),
+        o.filter((F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)),
+        o.filter(F.col("o_orderdate") >= cut2),
+    ]
+    states = [rollup_state(s, ["o_orderstatus"], "o_totalprice") for s in slices]
+    return finalize_rollup(merge_rollup(*states))
