@@ -171,3 +171,40 @@ def stateful_user_counts(
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon_sec: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: right rows within
+    (left_ts, left_ts + horizon] per key — the continuous counterpart
+    of operators/rangejoin.range_join (same strict-after semantics,
+    asserted equivalent in tests/test_stream_interval_join.py).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can expire join state: at
+    100 TB/day each side's buffer holds only watermark + horizon of
+    data, not the stream's history.  Column names must be disjoint
+    apart from ``key`` (pre-alias, as with range_join).  On batch
+    inputs the same condition runs as a plain join for parity testing.
+    """
+    l_src, r_src = left, right
+    if l_src.isStreaming:
+        l_src = l_src.withWatermark(left_ts, watermark)
+    if r_src.isStreaming:
+        r_src = r_src.withWatermark(right_ts, watermark)
+    cond = (
+        (l_src[key] == r_src[key])
+        & (r_src[right_ts] > l_src[left_ts])
+        & (
+            r_src[right_ts]
+            <= l_src[left_ts] + F.expr(f"INTERVAL {int(horizon_sec)} SECONDS")
+        )
+    )
+    return l_src.join(r_src, cond, "inner").drop(r_src[key])
