@@ -1,0 +1,85 @@
+"""Z-order clustering: measured multi-dimensional file-skipping win.
+
+Quantified, not vibes: over a sweep of 2-D box predicates, count the
+files whose parquet min/max footer stats intersect each box under
+(a) a single-column sort and (b) the Morton layout.  Morton files are
+bounded in BOTH dims, so in aggregate far fewer files must be read.
+The sweep (not one box) is the honest claim — a box straddling the
+curve's root boundary can locally touch MORE files; the win is in
+expectation, and grows with file count (the 100 TB regime)."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from ingest_pipeline_spark.operators.zorder import cluster_by_zorder
+
+N_FILES = 128
+
+
+def _files_overlapping_box(path_glob, lo0, hi0, lo1, hi1, col0, col1):
+    """Files whose min/max box intersects [lo0,hi0] x [lo1,hi1]."""
+    hit = 0
+    files = sorted(glob.glob(path_glob))
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins = {}
+        maxs = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or name not in (col0, col1):
+                    continue
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if mins[col0] <= hi0 and maxs[col0] >= lo0 and mins[col1] <= hi1 and maxs[col1] >= lo1:
+            hit += 1
+    assert files, path_glob
+    return hit, len(files)
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    # sf0.01 gives 128 files enough rows each for meaningful stats
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_custkey", (F.unix_timestamp("o_orderdate")).alias("o_epoch"), "o_totalprice"
+    )
+    qc = orders.approxQuantile("o_custkey", [i / 100 for i in range(0, 101, 5)], 0.0)
+    qe = orders.approxQuantile("o_epoch", [i / 100 for i in range(0, 101, 5)], 0.0)
+
+    single = str(tmp_path / "single")
+    zord = str(tmp_path / "zorder")
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(single)
+    )
+    cluster_by_zorder(orders, ["o_custkey", "o_epoch"], N_FILES).write.mode(
+        "overwrite"
+    ).parquet(zord)
+
+    tot_s = tot_z = 0
+    width = 3  # 15%-wide boxes, offsets 0..85% along the diagonal
+    for i in range(18):
+        lo_c, hi_c = int(qc[i]), int(qc[i + width])
+        lo_e, hi_e = int(qe[i]), int(qe[i + width])
+        s, _ = _files_overlapping_box(
+            f"{single}/part-*.parquet", lo_c, hi_c, lo_e, hi_e, "o_custkey", "o_epoch"
+        )
+        z, _ = _files_overlapping_box(
+            f"{zord}/part-*.parquet", lo_c, hi_c, lo_e, hi_e, "o_custkey", "o_epoch"
+        )
+        tot_s += s
+        tot_z += z
+    # observed ~363 vs ~195 (1.9x); assert a conservative margin
+    assert tot_z < 0.75 * tot_s, (tot_z, tot_s)
+
+    # the layout changes nothing about the data itself (decimal sum:
+    # accumulation order differs between layouts by construction)
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    a = spark.read.parquet(single).agg(total).collect()[0][0]
+    b = spark.read.parquet(zord).agg(total).collect()[0][0]
+    assert a == b
