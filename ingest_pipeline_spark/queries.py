@@ -3699,3 +3699,68 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     states = [rollup_state(s, ["o_orderstatus"], "o_totalprice") for s in slices]
     return finalize_rollup(merge_rollup(*states))
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100)
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot_event_value): wide measure
+    columns to long (key, measure, value) form via DataFrame.unpivot —
+    one Expand node, one scan, no shuffle at all; the oracle is the
+    equivalent UNION ALL."""
+    li = _t(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@register(
+    "report_usage_monthly",
+    """
+    SELECT user_id,
+           CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_active_days,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id, DATE_TRUNC('month', ts)
+    """,
+)
+def report_usage_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage report (reference dags/generate_usage_report.py:85-240
+    shape): per user-month activity rollup with two COUNT DISTINCTs —
+    Spark plans distinct aggregates via Expand over the same single
+    shuffle key, so the report is one scan + one keyed exchange."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.date_trunc("month", F.col("ts")).alias("month"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.date_trunc("day", F.col("ts"))).alias(
+                "n_active_days"
+            ),
+            F.count_distinct("event_type").alias("n_event_types"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
