@@ -116,3 +116,18 @@ def test_foreach_batch_dispatch(spark, sf_dir):
     n_err = ev.filter(F.col("event_type") == "error").count()
     assert got.get("alerts") == n_err
     assert got.get("main") == ev.count() - n_err
+
+
+def test_partitioned_write_prunes_at_the_scan(spark, sf_dir, tmp_path):
+    # hive-partitioned layout: a partition-column predicate must become
+    # a PartitionFilters entry (directory pruning — zero I/O for the
+    # pruned partitions), not a post-scan Filter
+    out = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in seg and "click" in seg
+    # and the pruned read returns exactly the partition's rows
+    assert df.count() == ev.filter(F.col("event_type") == "click").count()
