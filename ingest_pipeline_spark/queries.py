@@ -561,7 +561,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_files,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MD5(STRING_AGG(MD5(text), '' ORDER BY MD5(text))) AS content_digest
     FROM documents
     GROUP BY source
@@ -781,18 +781,22 @@ def slice_id_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validation_battery",
     """
     SELECT 'n_chars_mismatch' AS check_name,
-           SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END) AS n_violations,
+           CAST(SUM(CASE WHEN LENGTH(text) <> n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
            COUNT(*) AS n_rows FROM documents
     UNION ALL
     SELECT 'unknown_lang',
-           SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                         THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(*) FROM documents
     UNION ALL
     SELECT 'negative_doc_id',
-           SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END), COUNT(*) FROM documents
+           CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*) FROM documents
     UNION ALL
     SELECT 'empty_text',
-           SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(*) FROM documents
     """,
 )
@@ -817,10 +821,10 @@ def validation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_file_consistency",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN ABS(l_extendedprice - l_quantity * p_retailprice)
-                         <= 1e-5 * GREATEST(ABS(l_extendedprice),
-                                            ABS(l_quantity * p_retailprice))
-                    THEN 1 ELSE 0 END) AS n_consistent
+           CAST(SUM(CASE WHEN ABS(l_extendedprice - l_quantity * p_retailprice)
+                              <= 1e-5 * GREATEST(ABS(l_extendedprice),
+                                                 ABS(l_quantity * p_retailprice))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -935,7 +939,8 @@ def conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged)
-    SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM sessions GROUP BY user_id
     """,
 )
@@ -1232,8 +1237,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM th, UNNEST(GENERATE_SERIES(0, 31)) jj(j)
       GROUP BY doc_id, j)
     SELECT doc_id,
-           SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-             AS simhash
+           CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -1632,8 +1637,8 @@ def report_customer_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT CAST(REGEXP_EXTRACT(line, 'user=(\\d+)', 1) AS BIGINT) AS user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN REGEXP_EXTRACT(line, 'type=(\\w+)', 1) = 'error'
-                    THEN 1 ELSE 0 END) AS n_errors
+           CAST(SUM(CASE WHEN REGEXP_EXTRACT(line, 'type=(\\w+)', 1) = 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
     FROM lines GROUP BY 1
     """,
 )
@@ -2309,9 +2314,10 @@ def rules_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       (2, ['foo:v1'],                               ['bar:v2']),
       (3, [],                                       ['salmon:v9']))
     SELECT uuid,
-           LIST_CONCAT(
-             LIST_FILTER(prev, x -> REGEXP_MATCHES(x, 'salmon|multiome')),
-             new_entries) AS dag_provenance
+           ARRAY_TO_STRING(
+             LIST_CONCAT(
+               LIST_FILTER(prev, x -> REGEXP_MATCHES(x, 'salmon|multiome')),
+               new_entries), ',') AS dag_provenance
     FROM prov
     """,
 )
@@ -2331,9 +2337,15 @@ def provenance_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prov.select(
         "uuid",
-        F.concat(
-            F.filter(F.col("prev"), lambda x: x.rlike("salmon|multiome")),
-            F.col("new_entries"),
+        # Serialized to a string: the driver's canonicalizer can't hash
+        # list values (r1 'unhashable type' crash); order is the concat
+        # order, deterministic per-row.
+        F.array_join(
+            F.concat(
+                F.filter(F.col("prev"), lambda x: x.rlike("salmon|multiome")),
+                F.col("new_entries"),
+            ),
+            ",",
         ).alias("dag_provenance"),
     )
 
@@ -2403,9 +2415,12 @@ def agg_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       (2, ['p'],         ['p','q']),
       (3, [],            ['r']))
     SELECT id,
-           LIST_SORT(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))) AS a_minus_b,
-           LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS a_union_b,
-           LIST_SORT(LIST_FILTER(a, x -> LIST_CONTAINS(b, x))) AS a_intersect_b
+           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+             a, x -> NOT LIST_CONTAINS(b, x))), ',') AS a_minus_b,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), ',')
+             AS a_union_b,
+           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+             a, x -> LIST_CONTAINS(b, x))), ',') AS a_intersect_b
     FROM t
     """,
 )
@@ -2419,13 +2434,19 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, ["x", "y", "z"], ["y"]), (2, ["p"], ["p", "q"]), (3, [], ["r"])],
         "id int, a array<string>, b array<string>",
     )
+    # Sorted then joined to strings: deterministic, and the driver's
+    # canonicalizer can't hash list values (r1 crash on list outputs).
     return t.select(
         "id",
-        F.array_sort(F.array_except(F.col("a"), F.col("b"))).alias("a_minus_b"),
-        F.array_sort(F.array_union(F.col("a"), F.col("b"))).alias("a_union_b"),
-        F.array_sort(F.array_intersect(F.col("a"), F.col("b"))).alias(
-            "a_intersect_b"
-        ),
+        F.array_join(
+            F.array_sort(F.array_except(F.col("a"), F.col("b"))), ","
+        ).alias("a_minus_b"),
+        F.array_join(
+            F.array_sort(F.array_union(F.col("a"), F.col("b"))), ","
+        ).alias("a_union_b"),
+        F.array_join(
+            F.array_sort(F.array_intersect(F.col("a"), F.col("b"))), ","
+        ).alias("a_intersect_b"),
     )
 
 
@@ -2651,9 +2672,9 @@ def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sess GROUP BY user_id, session_id)
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           SUM(duration_s) AS total_duration_s,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
            MAX(duration_s) AS longest_s,
-           SUM(n_events) AS n_events
+           CAST(SUM(n_events) AS BIGINT) AS n_events
     FROM per_session GROUP BY user_id
     """,
 )
@@ -2697,7 +2718,7 @@ def session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept GROUP BY MD5(text), lang)
     SELECT lang,
            COUNT(*) AS n_docs_kept,
-           SUM(n_dups) - COUNT(*) AS n_dups_removed
+           CAST(SUM(n_dups) - COUNT(*) AS BIGINT) AS n_dups_removed
     FROM deduped GROUP BY lang
     """,
 )
@@ -2729,20 +2750,23 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_orders",
     """
     SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_orderkey) AS n_distinct,
            CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
            CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
            MIN(o_orderstatus), MAX(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_custkey', COUNT(*),
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT o_custkey),
            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
     FROM orders
@@ -2895,8 +2919,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, j),
     sigs AS (
       SELECT doc_id,
-             SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-               AS simhash
+             CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id),
     chunked AS (
       SELECT doc_id, simhash, c,

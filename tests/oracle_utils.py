@@ -49,12 +49,50 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+# The driver's hasher canonicalizes TYPED values (Arrow). DuckDB HUGEINT
+# (uncast integer SUM) arrives as decimal128(38,0) != int64 and hash-fails
+# even when every value is equal — the root cause of the six recurring r1/r2
+# CORRECTNESS failures. List/struct outputs crash its canonicalizer.  So the
+# local gate now refuses any oracle output column outside this allow-list.
+ALLOWED_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE",
+}
+
+ALLOWED_SPARK_TYPES = {
+    "bigint", "int", "smallint", "tinyint",
+    "double", "float", "string", "boolean", "timestamp", "date",
+}
+
+
+def assert_driver_safe_types(duck_rel, spark_df=None) -> None:
+    """Fail on output types the driver's typed hasher can't canonicalize.
+
+    Catches DuckDB HUGEINT/DECIMAL (uncast integer SUM), LIST/STRUCT
+    columns, and Spark array/map outputs before they reach the driver.
+    """
+    for name, t in zip(duck_rel.columns, duck_rel.types):
+        ts = str(t).upper()
+        assert ts in ALLOWED_DUCK_TYPES, (
+            f"oracle column {name!r} has driver-unsafe DuckDB type {ts} "
+            f"(cast it: e.g. CAST(SUM(...) AS BIGINT), array_join lists)"
+        )
+    if spark_df is not None:
+        for f in spark_df.schema.fields:
+            st = f.dataType.simpleString()
+            assert st in ALLOWED_SPARK_TYPES, (
+                f"spark column {f.name!r} has driver-unsafe type {st} "
+                f"(stringify arrays/maps, cast decimals)"
+            )
+
+
 def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
     conn = duckdb_conn(sf_dir)
     rel = conn.sql(sql)
+    assert_driver_safe_types(rel, spark_df)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
     conn.close()
