@@ -2314,10 +2314,10 @@ def rules_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
       (2, ['foo:v1'],                               ['bar:v2']),
       (3, [],                                       ['salmon:v9']))
     SELECT uuid,
-           ARRAY_TO_STRING(
+           COALESCE(ARRAY_TO_STRING(
              LIST_CONCAT(
                LIST_FILTER(prev, x -> REGEXP_MATCHES(x, 'salmon|multiome')),
-               new_entries), ',') AS dag_provenance
+               new_entries), ','), '') AS dag_provenance
     FROM prov
     """,
 )
@@ -2415,12 +2415,12 @@ def agg_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       (2, ['p'],         ['p','q']),
       (3, [],            ['r']))
     SELECT id,
-           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
-             a, x -> NOT LIST_CONTAINS(b, x))), ',') AS a_minus_b,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), ',')
-             AS a_union_b,
-           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
-             a, x -> LIST_CONTAINS(b, x))), ',') AS a_intersect_b
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+             a, x -> NOT LIST_CONTAINS(b, x))), ','), '') AS a_minus_b,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))),
+             ','), '') AS a_union_b,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+             a, x -> LIST_CONTAINS(b, x))), ','), '') AS a_intersect_b
     FROM t
     """,
 )

@@ -22,7 +22,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    # test data's events.ts is parquet TIMESTAMP(NANOS); see tables.load_table
+    # Harmless for current timestamp[us] testdata (only applies to NANOS
+    # columns); kept so older TIMESTAMP(NANOS) testdata still loads — see
+    # tables.load_table, which normalizes both shapes.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
@@ -48,7 +50,8 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # test data's events.ts is parquet TIMESTAMP(NANOS); see tables.load_table
+    # back-compat for TIMESTAMP(NANOS) testdata; no-op on timestamp[us] —
+    # see tables.load_table, which normalizes both shapes
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # size shuffles to cores (the 200 default over-parallelizes local runs)
     spark.conf.set(

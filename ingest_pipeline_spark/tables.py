@@ -30,20 +30,43 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize one timestamp column to session-tz TimestampType.
+
+    Handles both testdata generations: parquet timestamp[us] with no UTC
+    flag (Spark reads TIMESTAMP_NTZ — cast; session tz is pinned UTC so
+    values are unchanged and match DuckDB), and the older TIMESTAMP(NANOS)
+    which under spark.sql.legacy.parquet.nanosAsLong arrives as a
+    nanosecond long (truncate to micros — DuckDB does the same ns→us
+    truncation).  Works on batch and streaming DataFrames.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.LongType):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as a
-    # nanosecond long — truncate to micros (DuckDB does the same ns→us
-    # truncation) and restore TimestampType.
-    from pyspark.sql import functions as F
+    # Normalize every timestamp-ish column (ts / o_orderdate / l_shipdate)
+    # regardless of which testdata generation wrote it; see
+    # normalize_event_ts for both shapes.
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_event_ts(df, "ts")
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = normalize_event_ts(df, field.name)
     return df
 
 

@@ -16,12 +16,14 @@ here immediately.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ingest_pipeline_spark import queries as q
 from tests.oracle_utils import ALLOWED_DUCK_TYPES, duckdb_conn
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -130,17 +130,15 @@ def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
     """The streaming plan over the same parquet == the batch plan."""
     from ingest_pipeline_spark.session import pin_session_conf
 
+    from ingest_pipeline_spark.tables import normalize_event_ts
+
     pin_session_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = normalize_event_ts(raw)
+    schema = raw.schema  # stream with the on-disk schema, normalize in-plan
 
     def transform(src):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        src = normalize_event_ts(src)
         return windowed_event_counts(src, window_len="1 hour", watermark="100 days")
 
     got = run_stream_once(
@@ -157,14 +155,13 @@ def test_stateful_user_counts_stream(spark, sf_dir):
     from ingest_pipeline_spark.session import pin_session_conf
     from ingest_pipeline_spark.streaming.events import stateful_user_counts
 
+    from ingest_pipeline_spark.tables import normalize_event_ts
+
     pin_session_conf(spark)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def transform(src):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        src = normalize_event_ts(src)
         return stateful_user_counts(src)
 
     got = run_stream_once(

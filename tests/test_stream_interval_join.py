@@ -9,7 +9,7 @@ from ingest_pipeline_spark.streaming.events import (
     interval_join_stream,
     run_stream_once,
 )
-from ingest_pipeline_spark.tables import load_table
+from ingest_pipeline_spark.tables import load_table, normalize_event_ts
 
 
 def _split(ev):
@@ -37,13 +37,13 @@ def test_stream_interval_join_matches_batch_range_join(spark, sf_dir):
     def transform(src):
         # one file stream, two filtered branches, self interval join —
         # the exact streaming counterpart of the batch operator
-        s = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(src)
         e, c = _split(s)
         return interval_join_stream(
             e, c, "user_id", "e_ts", "c_ts", horizon_sec=1800
         ).select("e_id", "c_id")
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanos-as-long schema
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # on-disk schema
     out = run_stream_once(
         spark,
         f"{sf_dir}/events.parquet",
