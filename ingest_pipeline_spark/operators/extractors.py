@@ -18,9 +18,9 @@ parses the bytes with pure-stdlib parsers:
 - MtxTform  — 4x4 float matrix (mtx_tform_metadata_file.py:12-27)
 - TxtTform  — ITK/elastix ``(key value...)`` lines
   (txt_tform_metadata_file.py:12-41)
-- CZI       — recognized by magic; parsing needs pylibczi
-  (czi_metadata_file.py:13-18), absent here → explicit
-  ``parser: unavailable`` marker, never a crash.
+- CZI       — segment walk to the ZISRAWMETADATA XML (the reference
+  needs pylibczi, czi_metadata_file.py:13-18; here the public Zeiss
+  segment layout is parsed directly with struct).
 
 Scale shape: binaryFile splits by file across tasks; each Arrow batch
 amortizes the Python crossing; a malformed file yields an ``error``
@@ -294,11 +294,47 @@ def parse_txt_tform(data: bytes) -> dict:
 
 
 def parse_czi(data: bytes) -> dict:
-    """CZI container check; XML segment parse needs pylibczi
-    (reference czi_metadata_file.py:13-18) — absent here by design."""
+    """CZI (Zeiss): pure-stdlib segment walk to the ZISRAWMETADATA XML.
+
+    The same metadata the reference reads via pylibczi's ``read_meta``
+    (czi_metadata_file.py:13-18), without the imaging dependency.
+    Public CZI layout: 32-byte segment headers (16-byte ASCII id +
+    int64 allocated/used sizes); the ZISRAWFILE header payload stores
+    MetadataPosition at payload offset 60; the metadata segment payload
+    is XmlSize(int32) + AttachmentSize(int32) + 248 spare bytes + XML.
+    """
     if data[:10] != b"ZISRAWFILE":
         raise ValueError("not a CZI: bad segment id")
-    return {"parser": "unavailable"}
+    if len(data) < 100:
+        raise ValueError("not a CZI: truncated file header")
+    (meta_pos,) = struct.unpack("<q", data[92:100])
+    if meta_pos <= 0 or meta_pos + 32 + 256 > len(data):
+        raise ValueError("not a CZI: bad metadata position")
+    seg_id = data[meta_pos : meta_pos + 16].rstrip(b"\x00")
+    if seg_id != b"ZISRAWMETADATA":
+        raise ValueError("not a CZI: bad metadata segment id")
+    (xml_size,) = struct.unpack("<i", data[meta_pos + 32 : meta_pos + 36])
+    xml_start = meta_pos + 32 + 256
+    if xml_size <= 0 or xml_start + xml_size > len(data):
+        raise ValueError("not a CZI: bad metadata XML size")
+    root = ET.fromstring(data[xml_start : xml_start + xml_size].decode("utf-8", "replace"))
+    meta: dict = {}
+    image = root.find("Metadata/Information/Image")
+    if image is not None:
+        for child in image:
+            if child.tag.startswith("Size") and child.text:
+                try:
+                    meta[child.tag] = int(child.text)
+                except ValueError:
+                    pass
+            elif child.tag == "PixelType" and child.text:
+                meta["PixelType"] = child.text
+        channels = [
+            ch.attrib["Name"] for ch in image.iter("Channel") if "Name" in ch.attrib
+        ]
+        if channels:
+            meta["Channels"] = channels
+    return meta
 
 
 PARSERS = {

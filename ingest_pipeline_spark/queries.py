@@ -1784,8 +1784,8 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
        '{"n_reads":3,"quality_lengths_ok":true,"read_len_max":24,"read_len_mean":20.0,"read_len_min":16}'),
       ('sample.imzML', 'imzML', 3, 2, 6,
        '{"max count of pixels x":3,"max count of pixels y":2,"max dimension x":300,"max dimension y":200,"pixel size x":100.0,"pixel size y":100.0,"spectrum count":6}'),
-      ('scan.czi', 'CZI', CAST(NULL AS INT), CAST(NULL AS INT),
-       CAST(NULL AS BIGINT), '{"parser":"unavailable"}'),
+      ('scan.czi', 'CZI', 6, 4, CAST(NULL AS BIGINT),
+       '{"Channels":["DAPI","CD4"],"PixelType":"Gray16","SizeC":2,"SizeX":6,"SizeY":4,"SizeZ":1}'),
       ('slide1.ome.tiff', 'OME_TIFF', 6, 4, CAST(NULL AS BIGINT),
        '{"BitsPerSample":8,"Channels":["DAPI","CD4"],"ImageLength":4,"ImageWidth":6,"PhysicalSizeX":0.65,"PhysicalSizeY":0.65,"SizeC":2,"SizeT":1,"SizeX":6,"SizeY":4,"SizeZ":1,"Type":"uint8"}'),
       ('slide2.scn', 'Scn_TIFF', 6, 4, 2,
@@ -1802,7 +1802,8 @@ def multimodal_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real per-format metadata extraction (S9/F1): the distributed
     battery parses committed fixture files — OME-TIFF IFD + OME-XML,
     imzML cvParams, gzipped FASTQ stats, MTX/TXT transforms, CZI
-    magic — via one mapInPandas pass over a binaryFile scan.
+    segment-directory XML — via one mapInPandas pass over a binaryFile
+    scan.
 
     The oracle is a golden VALUES table: expected metadata derived by
     hand from the fixture generator (tests/fixtures/

@@ -44,6 +44,41 @@ SCN_XML = (
 
 WORDLIST = "alpha beta gamma\ndelta epsilon\n"
 
+CZI_XML = (
+    "<ImageDocument><Metadata><Information><Image>"
+    "<SizeX>6</SizeX><SizeY>4</SizeY><SizeC>2</SizeC><SizeZ>1</SizeZ>"
+    "<PixelType>Gray16</PixelType>"
+    "<Dimensions><Channels>"
+    '<Channel Id="Channel:0" Name="DAPI"/>'
+    '<Channel Id="Channel:1" Name="CD4"/>'
+    "</Channels></Dimensions>"
+    "</Image></Information></Metadata></ImageDocument>"
+)
+
+
+def write_czi(path: str) -> None:
+    """Minimal valid CZI: ZISRAWFILE header segment pointing at a
+    ZISRAWMETADATA segment whose payload embeds the metadata XML
+    (public Zeiss segment layout: 16-byte ASCII id + int64
+    allocated/used sizes, then the payload)."""
+    xml = CZI_XML.encode()
+    meta_payload = struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml
+    meta_seg = (
+        b"ZISRAWMETADATA".ljust(16, b"\x00")
+        + struct.pack("<qq", len(meta_payload), len(meta_payload))
+        + meta_payload
+    )
+    hdr_payload = bytearray(512)
+    struct.pack_into("<ii", hdr_payload, 0, 1, 0)  # major/minor version
+    struct.pack_into("<q", hdr_payload, 60, 32 + 512)  # MetadataPosition
+    hdr_seg = (
+        b"ZISRAWFILE".ljust(16, b"\x00")
+        + struct.pack("<qq", 512, 512)
+        + bytes(hdr_payload)
+    )
+    with open(path, "wb") as f:
+        f.write(hdr_seg + meta_seg)
+
 
 def write_tiff(path: str, description: str) -> None:
     """Minimal valid little-endian TIFF: one IFD, XML in tag 270."""
@@ -143,8 +178,7 @@ def main() -> None:
         f.write(MTX_TFORM)
     with open(os.path.join(OUT, "elastix.txt"), "w") as f:
         f.write(TXT_TFORM)
-    with open(os.path.join(OUT, "scan.czi"), "wb") as f:
-        f.write(b"ZISRAWFILE" + b"\x00" * 22)
+    write_czi(os.path.join(OUT, "scan.czi"))
     # corrupt input: the battery must emit an error ROW for it (oracle
     # pins the exact error metadata), never fail the task
     with open(os.path.join(OUT, "broken.ome.tiff"), "wb") as f:

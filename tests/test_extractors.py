@@ -134,6 +134,29 @@ def test_corrupt_file_becomes_error_row_not_crash():
     assert "error" in r["meta"]
     r2 = extract_one("truncated.czi", b"ZISRAW")
     assert r2["meta"]["error"].startswith("not a CZI")
+    r3 = extract_one("short.czi", b"ZISRAWFILE" + b"\x00" * 22)
+    assert r3["meta"]["error"] == "not a CZI: truncated file header"
+
+
+def test_czi_segment_walk():
+    from ingest_pipeline_spark.operators.extractors import parse_czi
+
+    meta = parse_czi(_read("scan.czi"))
+    assert meta["SizeX"] == 6
+    assert meta["SizeY"] == 4
+    assert meta["SizeC"] == 2
+    assert meta["PixelType"] == "Gray16"
+    assert meta["Channels"] == ["DAPI", "CD4"]
+    # metadata pointer outside the file -> explicit error
+    bad = bytearray(_read("scan.czi"))
+    struct.pack_into("<q", bad, 92, 10_000_000)
+    with pytest.raises(ValueError, match="bad metadata position"):
+        parse_czi(bytes(bad))
+    # clobbered segment id -> explicit error
+    bad2 = bytearray(_read("scan.czi"))
+    bad2[544:548] = b"XXXX"
+    with pytest.raises(ValueError, match="bad metadata segment id"):
+        parse_czi(bytes(bad2))
 
 
 def test_extract_battery_end_to_end(spark):
@@ -145,4 +168,5 @@ def test_extract_battery_end_to_end(spark):
     assert rows["sample.imzML"].width == 3
     ome = json.loads(rows["slide1.ome.tiff"].meta_json)
     assert ome["Channels"] == ["DAPI", "CD4"]
-    assert json.loads(rows["scan.czi"].meta_json) == {"parser": "unavailable"}
+    assert rows["scan.czi"].width == 6
+    assert json.loads(rows["scan.czi"].meta_json)["Channels"] == ["DAPI", "CD4"]
