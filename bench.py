@@ -64,6 +64,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "text_pii_scrub",
     "sketch_kmv_distinct",
+    "text_repetition_scores",
+    "dedup_substring_windows",
 ]
 
 

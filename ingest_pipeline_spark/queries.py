@@ -109,6 +109,8 @@ _DRIVER_FIRST = [
     "unpivot_lineitem_measures",
     "report_usage_monthly",
     "date_functions",
+    "text_repetition_scores",
+    "dedup_substring_windows",
 ]
 
 
@@ -1285,6 +1287,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_windows",
+    f"""
+    WITH {_AUG},
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM aug),
+    g AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+4], ' ') AS gram
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 4)) t(i)
+      WHERE LEN(tk) >= 5),
+    df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_windows,
+             COUNT(*) FILTER (WHERE df.nd > 1) AS n_shared
+      FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT a.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           CASE WHEN COALESCE(p.n_windows, 0) > 0
+                THEN CAST(p.n_shared AS DOUBLE) / p.n_windows
+                ELSE 0.0 END AS shared_frac
+    FROM (SELECT doc_id FROM aug) a LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring detection: the distributed
+    restatement of exact-substring training-data dedup (duplicated
+    token windows instead of suffix arrays — suffix arrays don't
+    distribute; window-hash counting does).
+
+    Per doc: how many distinct 5-token windows it contains, how many
+    of those appear in at least one OTHER document, and the shared
+    fraction — the signal used to cut boilerplate/copied spans.
+
+    Scale shape: distinct (doc, window) rows → one groupBy on the
+    window key for document frequency → equi-join back → doc-keyed
+    agg.  No pairwise comparisons anywhere; at 100 TB, cap hot-window
+    document frequency (stop-phrase removal) to bound the largest
+    reduce bucket, as with the Jaccard inverted index.
+    """
+    from .operators.dedup import _shingle_rows
+
+    aug = _aug_docs(spark, sf_dir)
+    grams = _shingle_rows(aug, "text", "doc_id", 5)
+    nd = grams.groupBy("shingle").agg(F.count("*").alias("nd"))
+    per_doc = (
+        grams.join(nd, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias("n_shared"),
+        )
+    )
+    return (
+        aug.select("doc_id")
+        .join(per_doc, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared"),
+            F.when(
+                F.col("n_windows") > 0, F.col("n_shared") / F.col("n_windows")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     """
     WITH toksd AS (
@@ -1539,6 +1613,92 @@ def text_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_repetition_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x <> '') AS t
+      FROM documents WHERE doc_id < 300),
+    feats AS (
+      SELECT doc_id, t,
+             CASE WHEN LEN(t) >= 2 THEN
+               LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(t) AS INT) - 1),
+                              i -> t[i] || ' ' || t[i+1])
+             ELSE [] END AS bi
+      FROM toks)
+    SELECT doc_id,
+           LEN(t) AS n_tokens,
+           CASE WHEN LEN(bi) > 0
+                THEN CAST(LEN(bi) - LEN(LIST_DISTINCT(bi)) AS DOUBLE) / LEN(bi)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN LEN(t) > 0
+                THEN CAST(LIST_AGGREGATE(LIST_TRANSFORM(LIST_DISTINCT(t),
+                       x -> LEN(LIST_FILTER(t, y -> y = x))), 'max') AS DOUBLE)
+                     / LEN(t)
+                ELSE 0.0 END AS top_token_frac
+    FROM feats
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (LLM text analysis): the
+    duplicate-bigram fraction and most-common-token fraction used by
+    published corpus-quality filters (e.g. the Gopher rules).
+
+    Spark shape: ML NGram (JVM) for bigrams, then explode→two-level
+    groupBy (map-side partial counts) instead of per-row higher-order
+    lambdas — repetition counting is hot per-element work.  Short docs
+    (no bigrams / no tokens) are preserved via left joins with 0.0
+    defaults.  Scales: two shuffles keyed by doc_id, no pairwise ops.
+    """
+    from pyspark.ml.feature import NGram
+
+    from .functions.text import tokenize_ws
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    tok = docs.select(
+        "doc_id", tokenize_ws(normalize_text(F.col("text"))).alias("__toks")
+    )
+    bi = NGram(n=2, inputCol="__toks", outputCol="__bi").transform(tok)
+    bi_counts = (
+        bi.select("doc_id", F.explode("__bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bi"), F.count("*").alias("n_uniq_bi"))
+    )
+    tok_counts = (
+        tok.select("doc_id", F.explode("__toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("max_tok"))
+    )
+    return (
+        tok.select("doc_id")
+        .join(tok_counts, "doc_id", "left")
+        .join(bi_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_bi").isNotNull() & (F.col("n_bi") > 0),
+                (F.col("n_bi") - F.col("n_uniq_bi")) / F.col("n_bi"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+            F.when(
+                F.col("n_tok").isNotNull() & (F.col("n_tok") > 0),
+                F.col("max_tok") / F.col("n_tok"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
+        )
     )
 
 
