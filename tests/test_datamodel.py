@@ -30,3 +30,30 @@ def test_all_schemas_construct(spark):
         df = spark.createDataFrame(samples[name], schema)
         assert df.count() == 1, name
         assert df.schema == schema, name
+
+
+def test_normalize_event_ts_both_generations(spark):
+    """tables.normalize_event_ts handles nanosecond longs (legacy
+    nanosAsLong testdata) and TIMESTAMP_NTZ (timestamp[us] testdata)
+    identically: both land on session-tz TimestampType, same values."""
+    from pyspark.sql import types as T
+
+    from ingest_pipeline_spark.tables import normalize_event_ts
+
+    micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC
+    as_long = spark.createDataFrame([(micros * 1000,)], "ts long")
+    got_long = normalize_event_ts(as_long)
+    assert isinstance(got_long.schema["ts"].dataType, T.TimestampType)
+
+    as_ntz = spark.sql(
+        f"SELECT CAST(timestamp_micros({micros}) AS TIMESTAMP_NTZ) AS ts"
+    )
+    assert isinstance(as_ntz.schema["ts"].dataType, T.TimestampNTZType)
+    got_ntz = normalize_event_ts(as_ntz)
+    assert isinstance(got_ntz.schema["ts"].dataType, T.TimestampType)
+    assert got_long.first().ts == got_ntz.first().ts == datetime.datetime(
+        2023, 11, 14, 22, 13, 20
+    )
+
+    # already-normalized input passes through untouched
+    assert normalize_event_ts(got_ntz) is got_ntz

@@ -119,3 +119,25 @@ def test_pii_scrub_one_shuffle_no_udf(spark, sf_dir):
     # regex redaction stays in codegen: no Python evaluation anywhere
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ntz_cast_preserves_pushdown(spark, sf_dir):
+    """The timestamp[us]->TIMESTAMP normalization in tables.load_table
+    must not block parquet predicate pushdown: Catalyst pushes a
+    comparison through cast(ntz as timestamp) under the pinned UTC tz."""
+    from ingest_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") >= "1994-01-01").select(
+        "l_orderkey", "l_shipdate"
+    )
+    plan = _plan(q)
+    assert "GreaterThanOrEqual(l_shipdate" in plan.split("PushedFilters: [")[1]
+
+
+def test_repetition_and_substring_windows_no_pairwise(spark, sf_dir):
+    for name in ("text_repetition_scores", "dedup_substring_windows"):
+        plan = _plan(queries()[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_count" in plan, name
