@@ -66,6 +66,8 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "text_repetition_scores",
     "dedup_substring_windows",
+    "corpus_pack_sequences",
+    "decontaminate_overlap",
 ]
 
 

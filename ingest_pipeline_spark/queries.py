@@ -111,6 +111,8 @@ _DRIVER_FIRST = [
     "date_functions",
     "text_repetition_scores",
     "dedup_substring_windows",
+    "corpus_pack_sequences",
+    "decontaminate_overlap",
 ]
 
 
@@ -1354,6 +1356,109 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
+        )
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): assign every
+    document a position in fixed 2048-token training sequences, packed
+    in deterministic doc_id order within each source shard.
+
+    The standard large-corpus prep step after cleaning/dedup: documents
+    are concatenated and chunked into fixed-length sequences.  The
+    running token total is a per-source window cumsum — partitioned by
+    the shard key, so at 100 TB every shard packs independently (no
+    global ordering, no single-partition window).
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = _t(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = sized.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("start div 2048").cast("long").alias("seq_id"),
+        (F.col("start") % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH {_AUG},
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM aug),
+    g AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 7)) t(i)
+      WHERE LEN(tk) >= 8),
+    bench AS (
+      SELECT doc_id AS bench_id, gram FROM g
+      WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+    hits AS (
+      SELECT g.doc_id,
+             COUNT(DISTINCT g.gram) AS n_hit_windows,
+             MIN(b.bench_id) AS first_bench_id
+      FROM g JOIN bench b ON g.gram = b.gram
+      WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 1000000)
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_hit_windows, first_bench_id FROM hits
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token window with a designated eval set (here the doc_id%10==0
+    originals; their +1000000 aug copies are the planted contamination).
+
+    The eval set is tiny relative to the corpus, so its window set is
+    BROADCAST — the scan-side hash join leaves the 100 TB corpus
+    un-shuffled; per-doc hit counts are one doc-keyed aggregation.
+    """
+    from .operators.dedup import _shingle_rows
+
+    aug = _aug_docs(spark, sf_dir)
+    grams = _shingle_rows(aug, "text", "doc_id", 8)
+    is_bench = (F.col("id") % 10 == 0) & (F.col("id") < 1000000)
+    bench = grams.filter(is_bench).select(F.col("id").alias("bench_id"), "shingle")
+    cand = grams.filter(~is_bench)
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_windows"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+        .select(
+            F.col("id").alias("doc_id"), "n_hit_windows", "first_bench_id"
         )
     )
 
