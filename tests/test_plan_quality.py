@@ -141,3 +141,40 @@ def test_repetition_and_substring_windows_no_pairwise(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "partial_count" in plan, name
+
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# deliberately tiny (1-row thresholds/census totals, a rules/keyword
+# table, the ANN brute-force baseline's query side). Everything else
+# must plan hash/sort-merge equi-joins.
+BNLJ_BY_DESIGN = {
+    "dedup_corpus_clean",       # 1-row census crossJoin
+    "join_contains_keywords",   # J9: contains() against broadcast keyword list
+    "q11_important_parts",      # broadcast 1-row threshold
+    "q22_idle_rich_customers",  # broadcast 1-row avg-balance threshold
+    "reorganize_plan",          # broadcast tiny plan table
+    "rules_join_routing",       # P11: broadcast rules table, rlike condition
+    "similarity_topk",          # exact baseline: broadcast query vectors
+    "tfidf_top_terms",          # broadcast 1-row corpus doc count
+}
+
+
+def test_no_query_plans_cartesian_or_slow_udf(spark, sf_dir):
+    """Fleet-wide plan gate: no cartesian products, no row-at-a-time
+    Python UDFs (BatchEvalPython), and BNLJ only where a tiny broadcast
+    side is the documented design."""
+    from ingest_pipeline_spark.queries import oracle_sql  # noqa: F401
+
+    offenders = {}
+    for name, fn in sorted(queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        marks = [
+            m
+            for m in ("CartesianProduct", "BatchEvalPython")
+            if m in plan
+        ]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+            marks.append("BroadcastNestedLoopJoin")
+        if marks:
+            offenders[name] = marks
+    assert not offenders, f"scale-hostile plan nodes: {offenders}"
