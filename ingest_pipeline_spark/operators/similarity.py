@@ -358,3 +358,124 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
     )
     return pairs
+
+
+def pq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+):
+    """Product-quantization index: m subspace KMeans codebooks + codes.
+
+    Each vector is split into m contiguous subvectors; each subspace is
+    KMeans-quantized to n_codes centroids; a vector is stored as m small
+    codes (m bytes at n_codes<=256) instead of dim floats — the
+    compressed-domain representation ANN systems scan when the corpus
+    no longer fits memory.  Index build is m KMeans fits (one pass each,
+    amortized across queries).  Returns (codes DF: id, vec, codes
+    array<int>, codebooks: m x n_codes x d_sub python lists).
+    Deterministic under the fixed per-subspace seeds.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        assigned = assigned.withColumn(
+            f"__f{j}", array_to_vector(F.slice(F.col("vec"), j * d_sub + 1, d_sub))
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + j, featuresCol=f"__f{j}", predictionCol=f"__c{j}"
+        ).fit(assigned)
+        assigned = model.transform(assigned)
+        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
+    codes = assigned.select(
+        "id", "vec", F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes")
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    seed: int = 42,
+    refine: int = 10,
+) -> DataFrame:
+    """Approximate inner-product top-k: ADC candidate scan + exact re-rank.
+
+    Stage 1 (asymmetric distance): every corpus CODE is scored against
+    each query — the approximate dot product is the sum over subspaces
+    of <query subvector, centroid of the stored code>, an element_at
+    lookup into the literal codebook, entirely JVM-side
+    (zip_with/aggregate).  The compressed-domain scan touches m small
+    codes per vector instead of dim floats; compose with ivf_index
+    cluster pruning (IVF-PQ) when even the code scan is too large.
+
+    Stage 2 (refine): the top refine*k ADC candidates per query are
+    re-scored EXACTLY against the stored vectors — the standard PQ
+    re-rank that recovers the recall the quantization loses (measured
+    in tests/test_storage_ivf.py).  Both ranking stages round scores to
+    6 dp BEFORE ranking with an id tiebreak (determinism rule).
+    """
+    codes, codebooks = pq_index(corpus, vec_col, id_col, m, n_codes, seed)
+    d_sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    score = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in cb])
+        cent = F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        qsub = F.slice(F.col("q_vec"), j * d_sub + 1, d_sub)
+        score = score + F.aggregate(
+            F.zip_with(qsub, cent, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    pairs = (
+        F.broadcast(q)
+        .join(codes, F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            F.round(score, 6).alias("approx_dot"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    candidates = (
+        pairs.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= refine * k)
+        .drop("__r")
+    )
+    exact = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot_seq(F.col("q_vec"), F.col("c_vec")), 6).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

@@ -113,6 +113,7 @@ _DRIVER_FIRST = [
     "dedup_substring_windows",
     "corpus_pack_sequences",
     "decontaminate_overlap",
+    "similarity_pq_topk",
 ]
 
 
@@ -1461,6 +1462,22 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), "n_hit_windows", "first_bench_id"
         )
     )
+
+
+@register("similarity_pq_topk", None)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (scale path #3): ADC compressed-domain
+    scan + exact re-rank of the top candidates.
+
+    Non-SQL-expressible (KMeans codebooks) → rows-only driver check;
+    recall vs the exact inner-product ranking, re-rank exactness, and
+    seed determinism are asserted in tests/test_storage_ivf.py.
+    """
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    probe = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, probe, k=3)
 
 
 @register(

@@ -155,6 +155,7 @@ BNLJ_BY_DESIGN = {
     "reorganize_plan",          # broadcast tiny plan table
     "rules_join_routing",       # P11: broadcast rules table, rlike condition
     "similarity_topk",          # exact baseline: broadcast query vectors
+    "similarity_pq_topk",       # PQ ADC scan: broadcast query vectors
     "tfidf_top_terms",          # broadcast 1-row corpus doc count
 }
 

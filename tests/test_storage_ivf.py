@@ -77,6 +77,58 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert approx == approx2  # deterministic under fixed seed
 
 
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ ADC + exact re-rank: high recall vs exact inner-product
+    ranking, deterministic under fixed seeds, and the exact re-rank
+    stage reproduces true dot products for the pairs it keeps."""
+    from pyspark.sql.window import Window
+
+    from ingest_pipeline_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    dots = q.crossJoin(c).filter("qid != nid").select(
+        "qid",
+        "nid",
+        F.round(
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("d"), F.asc("nid"))
+    exact = {
+        (r.qid, r.nid)
+        for r in dots.withColumn("r", F.row_number().over(w))
+        .filter("r <= 3")
+        .collect()
+    }
+    got = pq_topk(emb, queries, k=3).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    # re-ranked scores are TRUE dot products (stage 2 is exact)
+    true_d = {(r.qid, r.nid): r.d for r in dots.collect()}
+    for r in got:
+        assert abs(true_d[(r.query_id, r.neighbor_id)] - r.dot) < 1e-6
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, k=3).collect()
+    }
+    assert approx == again  # deterministic under fixed seeds
+
+
 def test_foreach_batch_dispatch(spark, sf_dir):
     """Dynamic fan-out (T3): routing join inside foreachBatch."""
     from ingest_pipeline_spark.session import pin_session_conf
