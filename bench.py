@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_substring_windows",
     "corpus_pack_sequences",
     "decontaminate_overlap",
+    "stream_session_counts",
 ]
 
 

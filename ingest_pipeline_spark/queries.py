@@ -114,6 +114,7 @@ _DRIVER_FIRST = [
     "corpus_pack_sequences",
     "decontaminate_overlap",
     "similarity_pq_topk",
+    "stream_session_counts",
 ]
 
 
@@ -1460,6 +1461,56 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("id").alias("doc_id"), "n_hit_windows", "first_bench_id"
+        )
+    )
+
+
+@register(
+    "stream_session_counts",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR EPOCH(ts) - EPOCH(prev) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session aggregation via Spark's NATIVE session_window —
+    the streaming-capable counterpart of operators/sessionize (T5/A9):
+    the identical groupBy runs over readStream with a watermark, where
+    the lag+cumsum islands form can't (no per-row windows in streaming).
+
+    Session semantics: an event merges into a session while it falls
+    strictly inside [start, last_ts + gap); the oracle restates that as
+    islands with a >=1800s split.  Streaming equivalence is asserted in
+    tests/test_sources_streaming.py.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
         )
     )
 

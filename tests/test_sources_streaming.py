@@ -288,3 +288,37 @@ def test_intake_to_terminal_watch_e2e(spark, tmp_path):
     batch = terminal_status_stream(spark.read.parquet(status_dir))
     got_b = {r.uuid: r.status for r in batch.collect()}
     assert got_b == got
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Native session_window: the watermarked streaming aggregation
+    produces exactly the batch sessions (T5/A9 streaming counterpart)."""
+    from ingest_pipeline_spark.session import pin_session_conf
+    from ingest_pipeline_spark.tables import normalize_event_ts
+
+    pin_session_conf(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    expected = {tuple(r) for r in sessions(normalize_event_ts(raw)).collect()}
+
+    def transform(src):
+        s = normalize_event_ts(src).withWatermark("ts", "100 days")
+        return sessions(s)
+
+    got = run_stream_once(
+        spark, f"{sf_dir}/events.parquet", raw.schema, transform, "sess_test"
+    )
+    assert {tuple(r) for r in got.collect()} == expected
+    assert len(expected) > 0
