@@ -1515,6 +1515,61 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_status_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events WHERE user_id < 200),
+    changes AS (
+      SELECT user_id, status, ts, event_id FROM ordered
+      WHERE prev_status IS NULL OR status <> prev_status),
+    versioned AS (
+      SELECT user_id, status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, status, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse
+    consecutive identical states per entity, then [valid_from,
+    valid_to) intervals via lead, open-ended for the current version.
+
+    The warehouse restatement of the reference's entity status
+    tracking (status_state_machine's uuid/status sequences): one
+    (entity, ts) window ordering serves both the change filter and the
+    interval assignment — a single shuffle.
+    """
+    ev = _t(spark, sf_dir)["events"].filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+        )
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+    )
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "status",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 @register("similarity_pq_topk", None)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (scale path #3): ADC compressed-domain
