@@ -1363,6 +1363,45 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_neardup_records",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    hashes AS (
+      SELECT doc_id, seed,
+             MIN((CAST('0x' || SUBSTR(MD5(shingle), 1, 8) AS BIGINT)
+                  + seed * CAST('0x' || SUBSTR(MD5(shingle), 9, 8) AS BIGINT))
+                 % 4294967296) AS h
+      FROM sh, UNNEST(GENERATE_SERIES(0, 15)) s(seed)
+      GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, LIST(h ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, ARRAY_TO_STRING(sig[b*4+1:b*4+4], '_') AS band_key
+      FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) bb(b)),
+    reps AS (
+      SELECT b, band_key, MIN(doc_id) AS rep FROM bands GROUP BY b, band_key)
+    SELECT CAST(bands.b AS INT) AS band, bands.band_key,
+           bands.doc_id, reps.rep AS dup_of
+    FROM bands JOIN reps ON bands.b = reps.b AND bands.band_key = reps.band_key
+    WHERE bands.doc_id <> reps.rep
+    """,
+)
+def stream_neardup_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collision records from the STREAMING dedup operator's
+    per-row MinHash path (streaming/neardup.py), exercised here in its
+    batch-fallback mode so the whole projection — per-row signatures,
+    banding, bucket representatives — is oracle-checked bit-for-bit.
+
+    The same helper over readStream is the continuous near-dup intake
+    (duplicate-of records emitted as documents arrive); stream==batch
+    is asserted in tests/test_stream_neardup.py.
+    """
+    from .streaming.neardup import neardup_dedup_stream
+
+    return neardup_dedup_stream(_aug_docs(spark, sf_dir))
+
+
+@register(
     "corpus_pack_sequences",
     """
     WITH t AS (
@@ -1570,7 +1609,74 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_pq_topk", None)
+@register(
+    "corpus_mix_rebalance",
+    """
+    WITH w(lang, wt) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+      ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+      ('zh', CAST(0.15 AS DOUBLE))),
+    tot AS (SELECT COUNT(*) AS ntotal FROM documents),
+    cnt AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+    rates AS (
+      SELECT c.lang, c.n_before,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(0.6 AS DOUBLE) * t.ntotal * w.wt / c.n_before) AS rate
+      FROM cnt c, tot t, w WHERE w.lang = c.lang),
+    kept AS (
+      SELECT d.lang, r.n_before, r.rate
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(CAST('0x' || SUBSTRING(MD5('m0:' || CAST(d.doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 < r.rate)
+    SELECT lang, n_before, ROUND(rate, 6) AS rate, COUNT(*) AS n_after
+    FROM kept GROUP BY lang, n_before, rate
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: derive per-language sampling rates
+    from target mix weights and actual counts (rate = min(1, budget ×
+    weight / count), budget = 60% of the corpus), then apply them as
+    deterministic content-hash sampling.
+
+    The step that turns a raw crawl into a weighted training mix.
+    Scale shape: one count aggregation; the tiny per-language rate
+    table is BROADCAST back onto the corpus scan, and the keep/drop
+    decision is a pure md5 function of the row id — reproducible
+    across engines, retries, and cluster sizes (never seeded rand).
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    docs = _t(spark, sf_dir)["documents"]
+    total = docs.groupBy().agg(F.count("*").alias("ntotal"))
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    weights = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
+        "lang string, wt double",
+    )
+    rates = (
+        counts.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_before",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.6) * F.col("ntotal") * F.col("wt") / F.col("n_before"),
+            ).alias("rate"),
+        )
+    )
+    u = hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.lit("m0"), F.col("doc_id").cast("string")))
+    ) / F.lit(float(2**32))
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+    )
+    return kept.groupBy(
+        "lang", "n_before", F.round("rate", 6).alias("rate")
+    ).agg(F.count("*").alias("n_after"))
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (scale path #3): ADC compressed-domain
     scan + exact re-rank of the top candidates.

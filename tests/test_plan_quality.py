@@ -148,6 +148,7 @@ def test_repetition_and_substring_windows_no_pairwise(spark, sf_dir):
 # table, the ANN brute-force baseline's query side). Everything else
 # must plan hash/sort-merge equi-joins.
 BNLJ_BY_DESIGN = {
+    "corpus_mix_rebalance",     # 1-row corpus-total crossJoin
     "dedup_corpus_clean",       # 1-row census crossJoin
     "join_contains_keywords",   # J9: contains() against broadcast keyword list
     "q11_important_parts",      # broadcast 1-row threshold
