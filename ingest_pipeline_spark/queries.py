@@ -1677,6 +1677,9 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy(
         "lang", "n_before", F.round("rate", 6).alias("rate")
     ).agg(F.count("*").alias("n_after"))
+
+
+@register("similarity_pq_topk", None)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (scale path #3): ADC compressed-domain
     scan + exact re-rank of the top candidates.
