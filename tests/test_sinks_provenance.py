@@ -72,3 +72,23 @@ def test_check_registry_battery(spark):
     assert report == {"neg_id": 0, "odd_id": 2}
     only = {r.check_name for r in reg.run(df, include=["ids"]).collect()}
     assert only == {"neg_id"}
+
+
+def test_sheet_sink_local_fallback_and_gate(spark, tmp_path):
+    from ingest_pipeline_spark.sources.sinks import sheet_sink
+
+    df = spark.createDataFrame(
+        [("ds1", 3, None), ("ds2", 5, "x")], "dataset string, n int, note string"
+    )
+    out = tmp_path / "survey.tsv"
+    where = sheet_sink(df, "survey", local_fallback_path=str(out))
+    assert where == f"file:{out}"
+    text = out.read_text()
+    # sorted column order, reference's pasted-TSV shape, NULLs as empty
+    assert text.splitlines()[0] == "dataset\tn\tnote"
+    assert "ds1\t3\t" in text and "ds2\t5\tx" in text
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="google"):
+        sheet_sink(df, "survey")
