@@ -1402,6 +1402,65 @@ def stream_neardup_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 400),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             tk[i*48+1 : LEAST(i*48+64, LEN(tk))] AS chunk
+      FROM toks,
+           UNNEST(GENERATE_SERIES(0,
+             CAST(CASE WHEN LEN(tk) <= 64 THEN 0
+                       ELSE CEIL(CAST(LEN(tk) - 64 AS DOUBLE) / 48) END AS BIGINT)
+           )) t(i)
+      WHERE LEN(tk) > 0)
+    SELECT doc_id, chunk_idx,
+           CAST(LEN(chunk) AS BIGINT) AS n_tokens,
+           MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48):
+    the standard context-window prep for RAG / pretraining — every
+    token appears in at least one chunk, consecutive chunks overlap by
+    16 tokens, and the final chunk is the tail remainder.
+
+    Pure per-row expansion (sequence → slice → posexplode): no shuffle
+    at all — chunking 100 TB is embarrassingly parallel, and the chunk
+    hash gives downstream dedup a ready-made key.
+    """
+    from .functions.text import tokenize_ws
+
+    size, stride = 64, 48
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 400)
+    toks = docs.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size).cast("double") / stride).cast("int") + 1
+    )
+    chunks = toks.filter(n > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("tk"), i * stride + 1, size),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+
+
+@register(
     "corpus_pack_sequences",
     """
     WITH t AS (
