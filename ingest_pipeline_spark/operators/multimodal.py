@@ -141,3 +141,43 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.when(n > 0, idx).otherwise(F.array())))
         .select("asset_id", "frame_idx")
     )
+
+
+def tile_plan(
+    assets: DataFrame, tile: int = 256, overlap: int = 32
+) -> DataFrame:
+    """Image-tiling plumbing: explode a spatial tile grid per image.
+
+    The spatial analog of frame_sample_plan — one output row per
+    (asset, tile) with pixel-box coordinates, stride = tile - overlap,
+    edge tiles clamped to the image bounds.  Decode stays stubbed
+    (width/height from metadata, not the codec); the grid expansion is
+    the real distributed shape: pure per-row explode, no shuffle,
+    repartitionable by asset_id for downstream decode workers.
+    """
+    stride = tile - overlap
+    w = F.coalesce(F.col("meta.width"), F.lit(0))
+    h = F.coalesce(F.col("meta.height"), F.lit(0))
+
+    def starts(extent):
+        n = F.when(
+            extent <= tile, F.lit(1)
+        ).otherwise(
+            F.ceil((extent - tile).cast("double") / stride).cast("int") + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n - 1), lambda i: i * stride
+        )
+
+    tiles = (
+        assets.filter((F.col("modality") == "image") & (w > 0) & (h > 0))
+        .withColumn("x0", F.explode(starts(w)))
+        .withColumn("y0", F.explode(starts(h)))
+    )
+    return tiles.select(
+        "asset_id",
+        "x0",
+        "y0",
+        F.least(F.lit(tile), w - F.col("x0")).alias("tile_w"),
+        F.least(F.lit(tile), h - F.col("y0")).alias("tile_h"),
+    )

@@ -322,3 +322,67 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     )
     assert {tuple(r) for r in got.collect()} == expected
     assert len(expected) > 0
+
+
+def test_tile_plan_grid_covers_image(spark):
+    from ingest_pipeline_spark.operators.multimodal import tile_plan
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b""), ("image/png", 600, 300, None, None, None)),
+         (2, "image", bytearray(b""), ("image/png", 100, 100, None, None, None)),
+         (3, "video", bytearray(b""), ("video/webm", 600, 300, None, None, 10)),
+         (4, "image", bytearray(b""), ("image/png", None, None, None, None, None))],
+        "asset_id long, modality string, media binary, "
+        "meta struct<mime string, width int, height int, sample_rate int, "
+        "duration_s double, n_frames int>",
+    )
+    rows = tile_plan(assets, tile=256, overlap=32).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # only images with known dims are tiled
+    assert set(by_asset) == {1, 2}
+    # small image → single clamped tile
+    assert [(r.x0, r.y0, r.tile_w, r.tile_h) for r in by_asset[2]] == [(0, 0, 100, 100)]
+    # 600x300 with stride 224: x starts 0,224,448; y starts 0,224 → 6 tiles
+    g = {(r.x0, r.y0) for r in by_asset[1]}
+    assert g == {(x, y) for x in (0, 224, 448) for y in (0, 224)}
+    # coverage: every pixel falls in some tile; edge tiles clamped
+    for r in by_asset[1]:
+        assert r.x0 + r.tile_w <= 600 and r.y0 + r.tile_h <= 300
+    assert max(r.x0 + r.tile_w for r in by_asset[1]) == 600
+    assert max(r.y0 + r.tile_h for r in by_asset[1]) == 300
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunking invariants: concatenating chunk starts covers the whole
+    doc, consecutive chunks overlap by exactly size-stride tokens, and
+    the tail is never dropped."""
+    from ingest_pipeline_spark.queries import queries
+
+    rows = queries()["text_chunk_documents"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: int(r.n_tokens)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 400")
+        .selectExpr(
+            "doc_id",
+            "size(filter(split(trim(text), '\\\\s+'), x -> x != '')) AS n_tokens",
+        )
+        .collect()
+    }
+    size, stride = 64, 48
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = docs[doc_id]
+        # indexes are dense from 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.chunk_idx * stride + last.n_tokens == n
+        # all but the last chunk are full-size
+        assert all(c.n_tokens == size for c in chunks[:-1])
+    assert set(by_doc) == {d for d, n in docs.items() if n > 0}
