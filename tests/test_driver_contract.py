@@ -1,0 +1,52 @@
+"""Driver-contract guards: the surfaces the correctness/bench driver
+touches must stay wired — a rename that orphans a bench headline entry
+or an oracle key fails here, not in the driver's round report."""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+import bench  # noqa: E402
+from ingest_pipeline_spark import queries as q  # noqa: E402
+
+
+def test_registry_and_oracles_consistent():
+    qs = q.queries()
+    oracles = q.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only queries are the deliberate non-SQL-expressible ones
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"source_listing", "similarity_pq_topk"}
+    # no duplicate registrations silently overwrote each other
+    assert len(qs) >= 104
+
+
+def test_driver_first_block_is_registered_and_sized():
+    qs = q.queries()
+    names = list(qs)
+    assert len(set(q._DRIVER_FIRST)) == len(q._DRIVER_FIRST)
+    missing = [n for n in q._DRIVER_FIRST if n not in qs]
+    assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
+    # the driver grades the first 50: the once-unsampled operators and
+    # the round-4 fixes must be inside that window
+    first50 = set(names[:50])
+    for must in ("date_functions", "array_set_ops", "q18_large_volume_orders",
+                 "tfidf_top_terms", "asof_join_events", "sketch_kmv_distinct"):
+        assert must in first50, f"{must} fell out of the driver's window"
+
+
+def test_bench_headline_entries_registered():
+    qs = q.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench headline references unknown queries: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_entry_runs_and_is_stable(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == entrymod.entry(spark).columns
