@@ -69,6 +69,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "decontaminate_overlap",
     "stream_session_counts",
+    "corpus_prepare_training",
 ]
 
 

@@ -1461,6 +1461,89 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prepare_training",
+    """
+    WITH sized AS (
+      SELECT doc_id, source, MD5(text) AS digest,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents),
+    filtered AS (
+      SELECT * FROM sized WHERE n_tokens BETWEEN 10 AND 5000),
+    reps AS (
+      SELECT digest, MIN(doc_id) AS keep_id FROM filtered GROUP BY digest),
+    kept AS (
+      SELECT f.* FROM filtered f JOIN reps r
+        ON f.digest = r.digest AND f.doc_id = r.keep_id),
+    chunked AS (
+      SELECT source, n_tokens,
+             CASE WHEN n_tokens <= 64 THEN 1
+                  ELSE CAST(CEIL(CAST(n_tokens - 64 AS DOUBLE) / 48) AS BIGINT) + 1
+             END AS n_chunks
+      FROM kept)
+    SELECT source,
+           (SELECT COUNT(*) FROM sized s WHERE s.source = chunked.source)
+             AS n_docs_in,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 2048) AS BIGINT)
+             AS n_sequences
+    FROM chunked GROUP BY source
+    """,
+)
+def corpus_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-prep census in ONE plan: length filter →
+    exact dedup (min-id representative per digest) → chunk counting →
+    per-source sequence budget — the composed form of the individual
+    quality/dedup/chunk/pack operators.
+
+    Scale shape: one digest-keyed shuffle for dedup, one source-keyed
+    aggregation for the census, and a broadcast of the tiny per-source
+    input counts; chunk/sequence math is pure projection.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    n_docs_in = sized.groupBy("source").agg(F.count("*").alias("n_docs_in"))
+    filtered = sized.filter(F.col("n_tokens").between(10, 5000))
+    w = Window.partitionBy("digest")
+    kept = (
+        filtered.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    size, stride = 64, 48
+    n_chunks = F.when(F.col("n_tokens") <= size, F.lit(1)).otherwise(
+        F.ceil((F.col("n_tokens") - size).cast("double") / stride).cast("long")
+        + 1
+    )
+    census = (
+        kept.withColumn("n_chunks", n_chunks)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.ceil(F.sum("n_tokens").cast("double") / 2048)
+            .cast("long")
+            .alias("n_sequences"),
+        )
+    )
+    return census.join(F.broadcast(n_docs_in), "source").select(
+        "source",
+        "n_docs_in",
+        "n_docs_kept",
+        "total_tokens",
+        "n_chunks",
+        "n_sequences",
+    )
+
+
+@register(
     "corpus_pack_sequences",
     """
     WITH t AS (
