@@ -155,6 +155,11 @@ def tile_plan(
     the real distributed shape: pure per-row explode, no shuffle,
     repartitionable by asset_id for downstream decode workers.
     """
+    if overlap >= tile or tile <= 0 or overlap < 0:
+        raise ValueError(
+            f"tile_plan needs 0 <= overlap < tile (got tile={tile}, "
+            f"overlap={overlap}); stride would be <= 0"
+        )
     stride = tile - overlap
     w = F.coalesce(F.col("meta.width"), F.lit(0))
     h = F.coalesce(F.col("meta.height"), F.lit(0))

@@ -383,6 +383,8 @@ def pq_index(
     from pyspark.ml.functions import array_to_vector
 
     first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_index needs a non-empty corpus with non-null vectors")
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")

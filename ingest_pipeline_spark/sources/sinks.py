@@ -122,7 +122,12 @@ def sheet_sink(
     if local_fallback_path is not None:
         with open(local_fallback_path, "w", encoding="utf-8") as f:
             f.write(payload)
-        return f"file:{local_fallback_path}"
+        # record the intended destination so offline output keeps the
+        # sheet/tab provenance the live transport would have had
+        dest = f"file:{local_fallback_path}?sheet={sheet_title}"
+        if spreadsheet_id is not None:
+            dest += f"&spreadsheet={spreadsheet_id}"
+        return dest
 
     try:
         from googleapiclient.discovery import build  # noqa: F401

@@ -153,7 +153,10 @@ def stateful_user_counts(
         from decimal import ROUND_HALF_UP, Decimal
 
         cent = Decimal("0.01")
-        n, s = state.get() if state.exists else (0, "0")
+        # GroupState.get is a PROPERTY in PySpark (raises if absent);
+        # calling it only fails once state EXISTS — i.e. from the second
+        # micro-batch on, which single-batch tests never reach
+        n, s = state.get if state.exists else (0, "0")
         acc = Decimal(s)
         for pdf in pdfs:
             n += len(pdf)

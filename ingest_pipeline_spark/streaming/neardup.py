@@ -73,12 +73,16 @@ def banded_signature_rows(
     rows_per_band = num_hashes // bands
     mod = F.lit(2**32)
     shingles = _word_shingles_distinct(F.col(text_col), shingle_k)
-    # one md5 per shingle, reused by all slots
+    # one md5 per shingle, reused by all slots: hash in a first pass,
+    # split the digest in a second — interpreted lambdas do NOT
+    # common-subexpression-eliminate, so building the struct from
+    # F.md5(s) twice would double the dominant hash cost
+    digests = F.transform(shingles, lambda s: F.md5(s))
     hashed = F.transform(
-        shingles,
-        lambda s: F.struct(
-            hex_prefix_to_long(F.md5(s), 1, HASH_BITS).alias("h1"),
-            hex_prefix_to_long(F.md5(s), 9, HASH_BITS).alias("h2"),
+        digests,
+        lambda d: F.struct(
+            hex_prefix_to_long(d, 1, HASH_BITS).alias("h1"),
+            hex_prefix_to_long(d, 9, HASH_BITS).alias("h2"),
         ),
     )
     slots = [
@@ -152,17 +156,24 @@ def neardup_dedup_stream(
             ids.extend(int(v) for v in pdf["doc_id"])
         if not ids:
             return
-        rep = state.get()[0] if state.exists else min(ids)
-        new_rep = min(rep, min(ids))
+        # GroupState.get is a PROPERTY in PySpark (raises if absent)
+        old_rep = state.get[0] if state.exists else None
+        new_rep = min(ids) if old_rep is None else min(old_rep, min(ids))
         state.update((new_rep,))
-        dups = sorted(i for i in ids if i != new_rep)
+        dups = set(i for i in ids if i != new_rep)
+        # late-arriving smaller id dethrones the stored representative:
+        # the OLD rep is now a known duplicate and must be emitted too,
+        # or the stream under-reports vs the batch fallback
+        if old_rep is not None and old_rep != new_rep:
+            dups.add(old_rep)
         if dups:
+            out = sorted(dups)
             yield pd.DataFrame(
                 {
-                    "band": [int(key[0])] * len(dups),
-                    "band_key": [str(key[1])] * len(dups),
-                    "doc_id": dups,
-                    "dup_of": [new_rep] * len(dups),
+                    "band": [int(key[0])] * len(out),
+                    "band_key": [str(key[1])] * len(out),
+                    "doc_id": out,
+                    "dup_of": [new_rep] * len(out),
                 }
             )
 

@@ -28,6 +28,9 @@ def test_driver_first_block_is_registered_and_sized():
     qs = q.queries()
     names = list(qs)
     assert len(set(q._DRIVER_FIRST)) == len(q._DRIVER_FIRST)
+    # the driver grades exactly the first 50 — an oversized priority
+    # list silently pushes its own tail outside the graded window
+    assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
     # the driver grades the first 50: the once-unsampled operators and

@@ -82,7 +82,7 @@ def test_sheet_sink_local_fallback_and_gate(spark, tmp_path):
     )
     out = tmp_path / "survey.tsv"
     where = sheet_sink(df, "survey", local_fallback_path=str(out))
-    assert where == f"file:{out}"
+    assert where == f"file:{out}?sheet=survey"
     text = out.read_text()
     # sorted column order, reference's pasted-TSV shape, NULLs as empty
     assert text.splitlines()[0] == "dataset\tn\tnote"

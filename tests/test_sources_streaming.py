@@ -386,3 +386,65 @@ def test_chunking_covers_every_token(spark, sf_dir):
         # all but the last chunk are full-size
         assert all(c.n_tokens == size for c in chunks[:-1])
     assert set(by_doc) == {d for d, n in docs.items() if n > 0}
+
+
+def test_stateful_user_counts_across_micro_batches(spark, sf_dir, tmp_path):
+    """Running totals must survive into a SECOND micro-batch (the
+    state.get-property path only executes once state exists)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from ingest_pipeline_spark.streaming.events import stateful_user_counts
+    from ingest_pipeline_spark.tables import load_table, normalize_event_ts
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 20")
+    half_a = ev.filter("event_id % 2 = 0")
+    half_b = ev.filter("event_id % 2 = 1")
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a"))
+    half_b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    shutil.copy(glob.glob(str(tmp_path / "a" / "part-*.parquet"))[0],
+                os.path.join(src, "0-a.parquet"))
+    time.sleep(1.1)
+    shutil.copy(glob.glob(str(tmp_path / "b" / "part-*.parquet"))[0],
+                os.path.join(src, "1-b.parquet"))
+
+    raw = spark.read.parquet(src)
+    stream = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stateful_user_counts(normalize_event_ts(stream))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_two_batches")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends each emission: keep the LAST
+    # per user (the final running total)
+    rows = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM state_two_batches"
+    ).collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, round(r.sum_value, 6))
+    expected = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in stateful_user_counts(raw).collect()
+    }
+    # the totals after the second batch must equal the batch aggregate
+    got_final = {
+        u: max(
+            ((r.n_events, round(r.sum_value, 6)) for r in rows if r.user_id == u),
+            key=lambda t: t[0],
+        )
+        for u in {r.user_id for r in rows}
+    }
+    assert got_final == expected

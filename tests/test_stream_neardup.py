@@ -78,3 +78,63 @@ def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path):
     got = {(r.band, r.band_key, r.doc_id, r.dup_of) for r in got_df.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_late_smaller_id_dethrones_and_emits_old_rep(spark, sf_dir, tmp_path):
+    """A smaller doc id arriving in a LATER micro-batch must dethrone
+    the stored representative AND emit it as a duplicate — otherwise
+    the stream under-reports vs the batch fallback."""
+    import os
+    import time
+
+    docs = _aug(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "docs2")
+    os.makedirs(src, exist_ok=True)
+    # file 1: the HIGH-id aug copies arrive first; file 2: originals
+    high = docs.filter("doc_id >= 1000000")
+    low = docs.filter("doc_id < 1000000")
+    high.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "h"))
+    low.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "l"))
+    import glob
+    import shutil
+
+    h_file = glob.glob(str(tmp_path / "h" / "part-*.parquet"))[0]
+    l_file = glob.glob(str(tmp_path / "l" / "part-*.parquet"))[0]
+    shutil.copy(h_file, os.path.join(src, "0-high.parquet"))
+    time.sleep(1.1)  # distinct mtimes → deterministic arrival order
+    shutil.copy(l_file, os.path.join(src, "1-low.parquet"))
+
+    raw = spark.read.parquet(src)
+    out = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    from ingest_pipeline_spark.streaming.neardup import neardup_dedup_stream
+
+    q = (
+        neardup_dedup_stream(out)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("neardup_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.band, r.band_key, r.doc_id, r.dup_of)
+        for r in spark.sql("SELECT * FROM neardup_late").collect()
+    }
+    expected = {
+        (r.band, r.band_key, r.doc_id, r.dup_of)
+        for r in neardup_dedup_stream(raw).collect()
+    }
+    # batch records must all be present (stream may additionally carry
+    # transient records from the first batch where a high id briefly
+    # held the bucket rep — those are the dethroned emissions)
+    assert expected <= got
+    assert len(expected) > 0
+    # in particular: every dethroned high-id rep was emitted as a dup
+    batch_dups = {r[2] for r in expected}
+    stream_dups = {r[2] for r in got}
+    assert batch_dups <= stream_dups
