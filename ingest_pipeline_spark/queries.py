@@ -1830,6 +1830,128 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_after"))
 
 
+@register(
+    "embedding_label_centroids",
+    """
+    WITH x AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i))
+    SELECT label, pos,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS centroid
+    FROM x GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids, elementwise (label, dim) rows.
+
+    The support op for nearest-centroid classification / cluster
+    sanity checks over an embedding corpus.  Accumulation-order-proof:
+    each component is rounded to 6 dp then summed as DECIMAL(18,6)
+    (exact under any partitioning — the dsum rule applied per
+    dimension), divided by the exact count, rounded for output.
+    Scale: one (label, dim)-keyed aggregation with map-side partials;
+    output is labels × dims rows, tiny at any corpus size.
+    """
+    e = _t(spark, sf_dir)["embeddings"]
+    x = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    return (
+        x.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val"), 6).cast("decimal(18,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "embedding_nearest_centroid",
+    """
+    WITH x AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             vec_id
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    cent AS (
+      SELECT label AS c_label, pos,
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS centroid
+      FROM x GROUP BY label, pos),
+    probe AS (SELECT * FROM x WHERE vec_id < 500),
+    dots AS (
+      SELECT p.vec_id, p.label AS true_label, c.c_label,
+             SUM(CAST(ROUND(p.val * c.centroid, 12) AS DECIMAL(28,12))) AS dot
+      FROM probe p JOIN cent c ON p.pos = c.pos
+      GROUP BY p.vec_id, p.label, c.c_label),
+    best AS (
+      SELECT vec_id, true_label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, c_label ASC) AS rn
+      FROM dots)
+    SELECT true_label, c_label AS pred_label, COUNT(*) AS n
+    FROM best WHERE rn = 1 GROUP BY true_label, c_label
+    """,
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: assign each
+    probe vector to the class centroid with the highest inner product,
+    compare to its true label.
+
+    The standard embedding-quality eval.  Determinism: per-dimension
+    products are rounded to 12 dp and summed as DECIMAL(28,12) —
+    exact under any partitioning — and the argmax tie-breaks on label.
+    Scale: centroids are labels × dims rows (broadcastable); the probe
+    explode joins them on the dimension key, one (vec, candidate)
+    aggregation, no pairwise vector join.
+    """
+    e = _t(spark, sf_dir)["embeddings"]
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).withColumn("val", F.round(F.col("val"), 6))
+    cent = (
+        x.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "c_label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+    )
+    probe = x.filter(F.col("vec_id") < 500)
+    dots = (
+        probe.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("centroid"), 12).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("dot")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c_label"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("c_label").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register("similarity_pq_topk", None)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (scale path #3): ADC compressed-domain
