@@ -1831,6 +1831,99 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_drift_report",
+    """
+    WITH snap AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snapshot,
+             lang,
+             CAST(LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                        x -> x <> '')) // 10, 9) AS INT)
+               AS len_bucket
+      FROM documents),
+    dims AS (
+      SELECT 'lang' AS dim, snapshot, lang AS category, COUNT(*) AS n
+      FROM snap GROUP BY snapshot, lang
+      UNION ALL
+      SELECT 'len_bucket', snapshot, CAST(len_bucket AS VARCHAR), COUNT(*)
+      FROM snap GROUP BY snapshot, len_bucket),
+    byc AS (
+      SELECT dim, category,
+             SUM(CASE WHEN snapshot = 'a' THEN n ELSE 0 END) AS na,
+             SUM(CASE WHEN snapshot = 'b' THEN n ELSE 0 END) AS nb
+      FROM dims GROUP BY dim, category),
+    tots AS (
+      SELECT dim,
+             SUM(CASE WHEN snapshot = 'a' THEN n ELSE 0 END) AS ta,
+             SUM(CASE WHEN snapshot = 'b' THEN n ELSE 0 END) AS tb
+      FROM dims GROUP BY dim),
+    rates AS (
+      SELECT b.dim, b.category,
+             CAST(na AS DOUBLE) / ta AS p,
+             CAST(nb AS DOUBLE) / tb AS q
+      FROM byc b JOIN tots t ON b.dim = t.dim)
+    SELECT dim,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(p - q) * 0.5, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE), 9) AS tvd,
+           CAST(COUNT(*) AS BIGINT) AS n_categories
+    FROM rates GROUP BY dim
+    """,
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift detection: total-variation distance between two
+    corpus snapshots (even vs odd doc_ids as the stand-in for
+    yesterday/today) over each monitored dimension — language mix and
+    a 10-token-wide doc-length histogram.
+
+    The continuous-training guardrail: a jump in TVD on any dimension
+    flags an ingest change before it reaches training.  Determinism:
+    category rates are exact int divisions; per-category terms are
+    rounded to 12 dp and summed as DECIMAL (order-proof).  Scale: two
+    count aggregations over (dim, snapshot, category) — category
+    cardinality is tiny by construction, data is scanned once.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    snap = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("snapshot"),
+        "lang",
+        F.least(
+            (token_count(F.col("text")).cast("long") / 10).cast("long"),
+            F.lit(9),
+        ).cast("int").alias("len_bucket"),
+    )
+    dims = (
+        snap.groupBy("snapshot", F.col("lang").alias("category"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lang").alias("dim"), "snapshot", "category", "n")
+        .unionByName(
+            snap.groupBy("snapshot", F.col("len_bucket").cast("string").alias("category"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("len_bucket").alias("dim"), "snapshot", "category", "n")
+        )
+    )
+    na = F.sum(F.when(F.col("snapshot") == "a", F.col("n")).otherwise(0))
+    nb = F.sum(F.when(F.col("snapshot") == "b", F.col("n")).otherwise(0))
+    byc = dims.groupBy("dim", "category").agg(na.alias("na"), nb.alias("nb"))
+    tots = dims.groupBy("dim").agg(na.alias("ta"), nb.alias("tb"))
+    rates = byc.join(tots, "dim").select(
+        "dim",
+        "category",
+        (F.col("na").cast("double") / F.col("ta")).alias("p"),
+        (F.col("nb").cast("double") / F.col("tb")).alias("q"),
+    )
+    return rates.groupBy("dim").agg(
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("p") - F.col("q")) * 0.5, 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
+            9,
+        ).alias("tvd"),
+        F.count("*").alias("n_categories"),
+    )
+
+
+@register(
     "embedding_label_centroids",
     """
     WITH x AS (
