@@ -1924,6 +1924,79 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_delta",
+    """
+    WITH snap_a AS (
+      SELECT doc_id, MD5(text) AS digest FROM documents),
+    snap_b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN MD5(text || ' [rev2]')
+                  ELSE MD5(text) END AS digest
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 500000, MD5(text) FROM documents WHERE doc_id % 11 = 0),
+    joined AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.digest <> b.digest THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+    SELECT status, COUNT(*) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM joined GROUP BY status
+    """,
+)
+def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff: classify every document across two
+    snapshots as added / removed / changed / unchanged by content
+    digest — the incremental-ingest primitive that decides what a
+    continuous pipeline must re-process (snapshot B simulates edits,
+    deletions, and new arrivals deterministically).
+
+    Scale shape: one full outer join keyed by doc id (the natural
+    shuffle key), digest comparison in codegen; the per-status census
+    is a tiny follow-up aggregation.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    snap_a = docs.select("doc_id", F.md5("text").alias("digest"))
+    snap_b = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("digest"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.md5("text").alias("digest"),
+        )
+    )
+    a = snap_a.select(
+        F.col("doc_id").alias("a_id"), F.col("digest").alias("a_digest")
+    )
+    b = snap_b.select(
+        F.col("doc_id").alias("b_id"), F.col("digest").alias("b_digest")
+    )
+    joined = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_digest") != F.col("b_digest"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
     "embedding_label_centroids",
     """
     WITH x AS (
