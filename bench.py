@@ -70,6 +70,14 @@ HEADLINE = [
     "decontaminate_overlap",
     "stream_session_counts",
     "corpus_prepare_training",
+    "text_chunk_documents",
+    "scd2_status_history",
+    "corpus_mix_rebalance",
+    "stream_neardup_records",
+    "embedding_label_centroids",
+    "embedding_nearest_centroid",
+    "corpus_drift_report",
+    "snapshot_delta",
 ]
 
 

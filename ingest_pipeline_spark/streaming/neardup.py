@@ -112,6 +112,37 @@ def banded_signature_rows(
     ).select(F.col("id").alias("doc_id"), "band", "band_key")
 
 
+def _banded_rows_batch(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(doc_id, band, band_key) via the batch signature pipeline."""
+    from ..operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col("signature")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode(banded_keys).alias("band", "band_key"),
+    ).select("doc_id", "band", "band_key")
+
+
 def _slot_lambda(i: int, mod: Column):
     """Single-arg lambda factory: binds slot index i by value (a bare
     2-param lambda would be treated as the (element, index) form)."""
@@ -137,16 +168,27 @@ def neardup_dedup_stream(
     Batch fallback: identical semantics via groupBy min + join, used
     for parity testing and backfills.
     """
-    rows = banded_signature_rows(
-        docs, text_col, id_col, num_hashes, bands, shingle_k
-    )
     if not docs.isStreaming:
+        # batch fallback rides the FAST explode→groupBy signature
+        # pipeline (identical bits to the per-row projection — asserted
+        # in tests/test_stream_neardup.py; the projection form measured
+        # ~20× slower at sf0.1 and exists only because streaming can't
+        # aggregate before its stateful stage)
+        rows = _banded_rows_batch(docs, text_col, id_col, num_hashes, bands, shingle_k)
+        # both the reps agg and the join-back consume rows; checkpoint so
+        # the scan→shingle→md5 pipeline runs once (the NGram UDF defeats
+        # exchange-reuse canonicalization — same issue as minhash_lsh_pairs)
+        rows = rows.localCheckpoint(eager=True)
         reps = rows.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
         return (
             rows.join(reps, ["band", "band_key"])
             .filter(F.col("doc_id") != F.col("rep"))
             .select("band", "band_key", "doc_id", F.col("rep").alias("dup_of"))
         )
+
+    rows = banded_signature_rows(
+        docs, text_col, id_col, num_hashes, bands, shingle_k
+    )
 
     import pandas as pd
 
