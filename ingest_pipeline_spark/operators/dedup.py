@@ -133,6 +133,26 @@ def minhash_signatures(
     )
 
 
+def banded_key_array(slot, num_hashes: int, bands: int) -> Column:
+    """Array of per-band keys from slot hashes — THE band layout.
+
+    ``slot(i)`` returns slot i's hash Column.  Used by the batch LSH
+    join, the streaming per-row projection, and the neardup batch
+    fallback; the DuckDB oracle's ``sig[b*4+1:b*4+4]`` slicing mirrors
+    the same layout.  One definition so the three Spark sites can
+    never drift apart.
+    """
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_", *[slot(b * rows_per_band + r) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -150,7 +170,6 @@ def minhash_lsh_pairs(
     pairs.  At 100 TB the band_key is an md5-uniform 128-bit string, so
     bucket sizes stay balanced and AQE handles any residual skew.
     """
-    rows_per_band = num_hashes // bands
     # docs with < shingle_k tokens yield no shingle rows and are already
     # absent from minhash_signatures' groupBy output — no null guard needed
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -165,18 +184,7 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col("signature")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            banded_key_array(lambda i: F.col("signature")[i], num_hashes, bands)
         ).alias("band", "band_key"),
     )
     left = banded.alias("l")

@@ -1388,14 +1388,15 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_neardup_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup collision records from the STREAMING dedup operator's
-    per-row MinHash path (streaming/neardup.py), exercised here in its
-    batch-fallback mode so the whole projection — per-row signatures,
-    banding, bucket representatives — is oracle-checked bit-for-bit.
+    """Near-dup collision records from the streaming dedup operator
+    (streaming/neardup.py), exercised in its batch-fallback mode: the
+    fast explode→groupBy signature pipeline plus the bucket-
+    representative join, oracle-checked bit-for-bit.
 
-    The same helper over readStream is the continuous near-dup intake
-    (duplicate-of records emitted as documents arrive); stream==batch
-    is asserted in tests/test_stream_neardup.py.
+    The per-row signature PROJECTION — what production streaming
+    actually runs — is covered by tests/test_stream_neardup.py:
+    bit-parity of its banded keys vs this pipeline, and a full
+    stream==batch record comparison over a real file stream.
     """
     from .streaming.neardup import neardup_dedup_stream
 
@@ -2028,13 +2029,13 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         x.groupBy("label", "pos")
         .agg(
-            F.sum(F.round(F.col("val"), 6).cast("decimal(18,6)")).alias("s"),
+            dsum(F.round(F.col("val"), 6), 6).alias("s"),
             F.count("*").alias("n"),
         )
         .select(
             "label",
             "pos",
-            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+            F.round(F.col("s") / F.col("n"), 6).alias("centroid"),
         )
     )
 
@@ -2085,17 +2086,10 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
     ).withColumn("val", F.round(F.col("val"), 6))
-    cent = (
-        x.groupBy(F.col("label").alias("c_label"), "pos")
-        .agg(
-            F.sum(F.col("val").cast("decimal(18,6)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "c_label",
-            "pos",
-            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
-        )
+    # ONE centroid definition: reuse the published centroid operator so
+    # the eval can never silently diverge from it
+    cent = embedding_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "pos", "centroid"
     )
     probe = x.filter(F.col("vec_id") < 500)
     dots = (

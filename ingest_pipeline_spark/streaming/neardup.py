@@ -70,7 +70,6 @@ def banded_signature_rows(
     projection trades per-row cost for streamability; the batch
     explode→groupBy shape remains the bulk-throughput path.
     """
-    rows_per_band = num_hashes // bands
     mod = F.lit(2**32)
     shingles = _word_shingles_distinct(F.col(text_col), shingle_k)
     # one md5 per shingle, reused by all slots: hash in a first pass,
@@ -94,18 +93,15 @@ def banded_signature_rows(
         ).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
+    from ..operators.dedup import banded_key_array
+
     sigs = (
         df.select(F.col(id_col).alias("id"), hashed.alias("__hs"))
         .filter(F.size("__hs") > 0)
         .select("id", *slots)
     )
-    banded_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
+    banded_keys = banded_key_array(
+        lambda i: F.col(f"_h{i}"), num_hashes, bands
     )
     return sigs.select(
         "id", F.posexplode(banded_keys).alias("band", "band_key")
@@ -121,26 +117,15 @@ def _banded_rows_batch(
     shingle_k: int,
 ) -> DataFrame:
     """(doc_id, band, band_key) via the batch signature pipeline."""
-    from ..operators.dedup import minhash_signatures
+    from ..operators.dedup import banded_key_array, minhash_signatures
 
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    F.col("signature")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
     return sigs.select(
         F.col("id").alias("doc_id"),
-        F.posexplode(banded_keys).alias("band", "band_key"),
-    ).select("doc_id", "band", "band_key")
+        F.posexplode(
+            banded_key_array(lambda i: F.col("signature")[i], num_hashes, bands)
+        ).alias("band", "band_key"),
+    )
 
 
 def _slot_lambda(i: int, mod: Column):
