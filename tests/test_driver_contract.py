@@ -33,12 +33,17 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the once-unsampled operators and
-    # the round-4 fixes must be inside that window
+    # the driver grades the first 50: the round-4 additions that had never
+    # been driver-sampled must be inside round 5's window, and the
+    # permanently-rows-only similarity_pq_topk must NOT burn a slot
     first50 = set(names[:50])
-    for must in ("date_functions", "array_set_ops", "q18_large_volume_orders",
-                 "tfidf_top_terms", "asof_join_events", "sketch_kmv_distinct"):
+    for must in ("corpus_drift_report", "corpus_mix_rebalance",
+                 "corpus_prepare_training", "embedding_label_centroids",
+                 "embedding_nearest_centroid", "scd2_status_history",
+                 "snapshot_delta", "stream_neardup_records",
+                 "text_chunk_documents", "source_listing"):
         assert must in first50, f"{must} fell out of the driver's window"
+    assert "similarity_pq_topk" not in first50
 
 
 def test_bench_headline_entries_registered():
