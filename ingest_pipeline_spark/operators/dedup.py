@@ -208,17 +208,35 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle (only docs sharing ≥1 shingle ever meet — never a cross
     product), count intersections, then |A∪B| = |A|+|B|−|A∩B|.
-    Returns (id_a, id_b, jaccard).  At scale, stop-shingle removal
-    (drop shingles with doc-frequency above a cap) bounds the hottest
-    bucket; see ``df_cap`` parameter.
+    Returns (id_a, id_b, jaccard).
+
+    ``df_cap`` is the stop-shingle guard for scale: a shingle shared by
+    k documents contributes k·(k−1)/2 rows to the self-join, so one
+    stop-shingle ("the quick brown" at corpus scale) is a quadratic hot
+    bucket.  With ``df_cap=c`` every shingle whose doc-frequency exceeds
+    c is dropped from BOTH the intersection join and the per-doc set
+    sizes — the result is exact Jaccard over the capped shingle
+    universe, and the hottest join bucket is bounded at c·(c−1)/2 rows.
+    ``None`` (default) disables the guard and preserves exact Jaccard
+    over all shingles.  The doc-frequency aggregate shuffles on the
+    same shingle key the join needs, so AQE reuses the exchange.
     """
     shingles = _shingle_rows(df, text_col, id_col, shingle_k)
+    if df_cap is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") <= F.lit(int(df_cap)))
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
     sizes = shingles.groupBy("id").agg(F.count("*").alias("set_size"))
     inter = (
         shingles.alias("a")

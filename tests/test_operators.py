@@ -306,3 +306,36 @@ def test_downstream_workflows_fanout(spark):
         (2, "salmon_rnaseq_10x"),
         (3, "codex_cytokit"),
     ]
+
+
+def test_ngram_jaccard_df_cap_bounds_stop_shingle_buckets(spark):
+    """df_cap drops shingles whose doc-frequency exceeds the cap BEFORE
+    the inverted-index self-join, bounding the hottest bucket (VERDICT
+    r4 item 3: one stop-shingle shared by k docs is k*(k-1)/2 join rows).
+    """
+    from ingest_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs all share stop-shingle "the"; docs 1&2 also share "aa bb"
+    docs = spark.createDataFrame(
+        [
+            (1, "the aa bb"),
+            (2, "the aa bb"),
+            (3, "the cc dd"),
+            (4, "the ee ff"),
+            (5, "the gg hh"),
+            (6, "the ii jj"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=1, threshold=0.1
+    )
+    # every pair shares "the" → all 15 pairs survive at a low threshold
+    assert uncapped.count() == 15
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=1, threshold=0.1, df_cap=2
+    )
+    rows = capped.collect()
+    # "the" (df=6) is gone; only the true near-dup pair 1-2 remains, and
+    # its Jaccard is exact over the capped universe ({aa, bb} on both)
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
