@@ -1616,17 +1616,19 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
       FROM aug),
     g AS (
-      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS gram
+      SELECT DISTINCT doc_id,
+             CAST('0x' || SUBSTR(MD5(ARRAY_TO_STRING(tk[i:i+7], ' ')), 1, 15)
+                  AS BIGINT) AS gram_h
       FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 7)) t(i)
       WHERE LEN(tk) >= 8),
     bench AS (
-      SELECT doc_id AS bench_id, gram FROM g
+      SELECT doc_id AS bench_id, gram_h FROM g
       WHERE doc_id % 10 = 0 AND doc_id < 1000000),
     hits AS (
       SELECT g.doc_id,
-             COUNT(DISTINCT g.gram) AS n_hit_windows,
+             COUNT(DISTINCT g.gram_h) AS n_hit_windows,
              MIN(b.bench_id) AS first_bench_id
-      FROM g JOIN bench b ON g.gram = b.gram
+      FROM g JOIN bench b ON g.gram_h = b.gram_h
       WHERE NOT (g.doc_id % 10 = 0 AND g.doc_id < 1000000)
       GROUP BY g.doc_id)
     SELECT doc_id, n_hit_windows, first_bench_id FROM hits
@@ -1640,19 +1642,26 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval set is tiny relative to the corpus, so its window set is
     BROADCAST — the scan-side hash join leaves the 100 TB corpus
     un-shuffled; per-doc hit counts are one doc-keyed aggregation.
+    Windows travel as 60-bit md5 prefixes, not gram strings: the
+    broadcast build side shrinks ~10× (8 bytes vs ~50-byte 8-gram
+    text) and the probe key is fixed-width.  Both engines hash with
+    the same md5 arithmetic, so the comparison stays exact.
     """
+    from .functions.scalars import hex_prefix_to_long
     from .operators.dedup import _shingle_rows
 
     aug = _aug_docs(spark, sf_dir)
-    grams = _shingle_rows(aug, "text", "doc_id", 8)
+    grams = _shingle_rows(aug, "text", "doc_id", 8).select(
+        "id", hex_prefix_to_long(F.md5(F.col("shingle")), 1, 15).alias("gram_h")
+    )
     is_bench = (F.col("id") % 10 == 0) & (F.col("id") < 1000000)
-    bench = grams.filter(is_bench).select(F.col("id").alias("bench_id"), "shingle")
+    bench = grams.filter(is_bench).select(F.col("id").alias("bench_id"), "gram_h")
     cand = grams.filter(~is_bench)
     return (
-        cand.join(F.broadcast(bench), "shingle")
+        cand.join(F.broadcast(bench), "gram_h")
         .groupBy("id")
         .agg(
-            F.countDistinct("shingle").alias("n_hit_windows"),
+            F.countDistinct("gram_h").alias("n_hit_windows"),
             F.min("bench_id").alias("first_bench_id"),
         )
         .select(
