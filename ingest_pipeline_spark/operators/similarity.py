@@ -421,13 +421,18 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate inner-product top-k: ADC candidate scan + exact re-rank.
 
-    Stage 1 (asymmetric distance): every corpus CODE is scored against
-    each query — the approximate dot product is the sum over subspaces
-    of <query subvector, centroid of the stored code>, an element_at
-    lookup into the literal codebook, entirely JVM-side
-    (zip_with/aggregate).  The compressed-domain scan touches m small
-    codes per vector instead of dim floats; compose with ivf_index
-    cluster pruning (IVF-PQ) when even the code scan is too large.
+    Stage 1 (asymmetric distance): the classic lookup-table
+    formulation — partial dots of every (query subvector, centroid)
+    pair are ONE tiny cross of the broadcast query set with the
+    codebook DATAFRAME (queries × m × n_codes rows), broadcast back;
+    corpus codes join it on the (subspace, code) key and a map-side
+    partial sum over m rows yields the approximate dot.  The codebook
+    travels as rows, never as Column literals — at n_codes=256 and
+    dim=768 the literal form is ~100k+ expressions and blows up
+    analysis/codegen time, while the relational form is a 200k-row
+    broadcast.  The compressed-domain scan touches m small codes per
+    vector instead of dim floats; compose with ivf_index cluster
+    pruning (IVF-PQ) when even the code scan is too large.
 
     Stage 2 (refine): the top refine*k ADC candidates per query are
     re-scored EXACTLY against the stored vectors — the standard PQ
@@ -437,47 +442,211 @@ def pq_topk(
     """
     codes, codebooks = pq_index(corpus, vec_col, id_col, m, n_codes, seed)
     d_sub = len(codebooks[0][0])
+    spark = corpus.sparkSession
+    cbdf = spark.createDataFrame(
+        [(j, c, cent) for j, cb in enumerate(codebooks) for c, cent in enumerate(cb)],
+        "j int, c int, cent array<double>",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    score = F.lit(0.0)
-    for j, cb in enumerate(codebooks):
-        cb_lit = F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in cb])
-        cent = F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1)
-        qsub = F.slice(F.col("q_vec"), j * d_sub + 1, d_sub)
-        score = score + F.aggregate(
-            F.zip_with(qsub, cent, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    pairs = (
+    lut = (
         F.broadcast(q)
-        .join(codes, F.col("query_id") != F.col("id"))
+        .crossJoin(cbdf)
         .select(
             "query_id",
-            "q_vec",
-            F.col("id").alias("neighbor_id"),
-            F.col("vec").alias("c_vec"),
-            F.round(score, 6).alias("approx_dot"),
+            "j",
+            "c",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_vec"), F.col("j") * d_sub + 1, F.lit(d_sub)),
+                    F.col("cent"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("neighbor_id")
+    codes_x = codes.select(
+        "id", F.posexplode("codes").alias("j", "code")
     )
+    adc = (
+        codes_x.join(
+            F.broadcast(lut),
+            (codes_x["j"] == lut["j"]) & (codes_x["code"] == lut["c"]),
+        )
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("pdot"), 6).alias("approx_dot"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("id"))
     candidates = (
-        pairs.withColumn("__r", F.row_number().over(w_adc))
+        adc.withColumn("__r", F.row_number().over(w_adc))
         .filter(F.col("__r") <= refine * k)
-        .drop("__r")
+        .select("query_id", "id")
     )
-    exact = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot_seq(F.col("q_vec"), F.col("c_vec")), 6).alias("dot"),
+    exact = (
+        candidates.join(codes.select("id", "vec"), "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(dot_seq(F.col("q_vec"), F.col("vec")), 6).alias("dot"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def pq_codebook_det(spark, m: int, n_codes: int, d_sub: int, tag: str = "pqdet") -> DataFrame:
+    """Deterministic PQ codebook as a (j, c, ps, cb_val) DataFrame.
+
+    Centroid components are md5-derived uniforms in [−1, 1), rounded to
+    6 dp — the same no-RNG-state trick as ``_hyperplane`` /
+    ``lsh_bucket_candidates``, so the codebook is reproducible in any
+    engine (the DuckDB oracle regenerates it from the identical md5
+    arithmetic) and across runs/partitions.  Relational rather than
+    Column literals: m·n_codes·d_sub ROWS in a broadcastable frame, so
+    large codebooks never inflate the plan with literal expressions
+    (the literal form blows up analysis time at n_codes=256·dim=768).
+    """
+    n = m * n_codes * d_sub
+    base = spark.range(n).select(
+        (F.col("id") / (n_codes * d_sub)).cast("int").alias("j"),
+        ((F.col("id") / d_sub).cast("long") % n_codes).cast("int").alias("c"),
+        (F.col("id") % d_sub).cast("int").alias("ps"),
+    )
+    u = hex_prefix_to_long(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(tag), F.col("j"), F.col("c"), F.col("ps")
+            )
+        ),
+        1,
+        8,
+    )
+    return base.select(
+        "j",
+        "c",
+        "ps",
+        F.round((u / F.lit(4294967296.0)) * 2 - 1, 6).alias("cb_val"),
+    )
+
+
+def pq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 2,
+) -> DataFrame:
+    """Oracle-checkable PQ top-k: deterministic codebook, LUT-join ADC
+    scan, decimal-exact sums, exact re-rank of the top refine·k.
+
+    The KMeans variant (``pq_topk``) keeps the learned codebooks; this
+    sibling swaps them for ``pq_codebook_det`` anchors so every stage
+    is SQL-expressible and hash-matches the DuckDB oracle:
+
+    1. **Encode** — explode vectors to (id, dim) rows, join the
+       broadcast codebook on the (subspace, sub-dim) key, one keyed agg
+       for per-(id, subspace, code) squared distance (products rounded
+       to 12 dp, summed as DECIMAL(28,12) — exact under any
+       partitioning), argmin with a code tiebreak.
+    2. **ADC scan** — the classic lookup-table formulation: partial
+       dots per (query, subspace, code) are ONE tiny aggregation
+       (queries × codebook), broadcast; corpus codes join it on the
+       (subspace, code) key and a map-side-partial sum over m decimals
+       yields the approximate dot.  The 100 TB corpus is never
+       shuffled until the (query, doc)-keyed agg, and never meets the
+       raw query vectors.
+    3. **Refine** — top refine·k ADC candidates per query re-scored
+       exactly against the stored vectors (decimal dot), rank ≤ k with
+       id tiebreaks at both stages.
+    """
+    spark = corpus.sparkSession
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_topk_det needs a non-empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb = pq_codebook_det(spark, m, n_codes, d_sub)
+    x = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "id",
+        "pos",
+        F.round(F.col("val"), 6).alias("val"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    )
+    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
+    enc = (
+        x.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("id", "j", "c")
+        .agg(dec((F.col("val") - F.col("cb_val")) * (F.col("val") - F.col("cb_val"))).alias("dist2"))
+    )
+    w_enc = Window.partitionBy("id", "j").orderBy(F.asc("dist2"), F.asc("c"))
+    codes = (
+        enc.withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("id", "j", F.col("c").alias("code"))
+    )
+    qx = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "query_id",
+        "pos",
+        F.round(F.col("val"), 6).alias("qval"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    )
+    lut = (
+        qx.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("query_id", "j", "c")
+        .agg(dec(F.col("qval") * F.col("cb_val")).alias("pdot"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["j"] == lut["j"]) & (codes["code"] == lut["c"]),
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("pdot").alias("approx_dot"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("id"))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= refine * k)
+        .select("query_id", "id")
+    )
+    ex = (
+        cand.join(x.select("id", "pos", "val"), "id")
+        .join(F.broadcast(qx.select("query_id", "pos", "qval")), ["query_id", "pos"])
+        .groupBy("query_id", "id")
+        .agg(dec(F.col("qval") * F.col("val")).alias("dot_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_d"), F.asc("id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.col("dot_d").cast("double"), 6).alias("dot"),
+            "rank",
+        )
     )

@@ -120,7 +120,8 @@ _DRIVER_FIRST = [
     "hypertable_rollup",
     "window_analytics",
     "q17_small_quantity_revenue",
-    "sketch_kmv_distinct",
+    # round-5 additions
+    "similarity_pq_topk_det",
 ]
 
 
@@ -2140,6 +2141,81 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir)["embeddings"]
     probe = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, probe, k=3)
+
+
+@register(
+    "similarity_pq_topk_det",
+    """
+    WITH cb AS (
+      SELECT j, c, ps,
+             ROUND((CAST('0x' || SUBSTR(MD5('pqdet:' || j || ':' || c || ':' || ps), 1, 8)
+                         AS BIGINT) / 4294967296.0) * 2 - 1, 6) AS cb_val
+      FROM UNNEST(GENERATE_SERIES(0, 7)) tj(j),
+           UNNEST(GENERATE_SERIES(0, 15)) tc(c),
+           UNNEST(GENERATE_SERIES(0, 7)) tp(ps)),
+    x AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             CAST((i - 1) // 8 AS INT) AS j, CAST((i - 1) % 8 AS INT) AS ps
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    enc AS (
+      SELECT id, j, c,
+             SUM(CAST(ROUND((val - cb_val) * (val - cb_val), 12)
+                      AS DECIMAL(28,12))) AS dist2
+      FROM x JOIN cb USING (j, ps) GROUP BY id, j, c),
+    codes AS (
+      SELECT id, j, c AS code FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM enc) WHERE rn = 1),
+    qx AS (SELECT id AS query_id, pos, val AS qval, j, ps FROM x WHERE id < 5),
+    lut AS (
+      SELECT query_id, j, c,
+             SUM(CAST(ROUND(qval * cb_val, 12) AS DECIMAL(28,12))) AS pdot
+      FROM qx JOIN cb USING (j, ps) GROUP BY query_id, j, c),
+    adc AS (
+      SELECT l.query_id, co.id, SUM(l.pdot) AS approx_dot
+      FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.c
+      WHERE co.id <> l.query_id
+      GROUP BY l.query_id, co.id),
+    cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dot DESC, id ASC) AS rn
+        FROM adc) WHERE rn <= 6),
+    ex AS (
+      SELECT cd.query_id, cd.id,
+             SUM(CAST(ROUND(q.qval * v.val, 12) AS DECIMAL(28,12))) AS dot_d
+      FROM cand cd
+      JOIN x v ON v.id = cd.id
+      JOIN qx q ON q.query_id = cd.query_id AND q.pos = v.pos
+      GROUP BY cd.query_id, cd.id)
+    SELECT query_id, id AS neighbor_id,
+           ROUND(CAST(dot_d AS DOUBLE), 6) AS dot, rank
+    FROM (SELECT query_id, id, dot_d,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot_d DESC, id ASC) AS rank
+          FROM ex)
+    WHERE rank <= 3
+    """,
+)
+def similarity_pq_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with a DETERMINISTIC md5-derived codebook — the
+    oracle-checkable sibling of similarity_pq_topk.
+
+    Same three stages (encode → ADC lookup-table scan → exact refine),
+    but codebook anchors come from pq_codebook_det instead of KMeans,
+    so DuckDB regenerates the identical index and the full pipeline
+    hash-matches.  The KMeans variant keeps learned recall (unit
+    tests); this one proves the ADC + re-rank math end-to-end.
+    """
+    from .operators.similarity import pq_topk_det
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    probe = emb.filter(F.col("vec_id") < 5)
+    return pq_topk_det(emb, probe, k=3, m=8, n_codes=16, refine=2)
 
 
 @register(

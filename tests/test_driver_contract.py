@@ -41,7 +41,8 @@ def test_driver_first_block_is_registered_and_sized():
                  "corpus_prepare_training", "embedding_label_centroids",
                  "embedding_nearest_centroid", "scd2_status_history",
                  "snapshot_delta", "stream_neardup_records",
-                 "text_chunk_documents", "source_listing"):
+                 "text_chunk_documents", "source_listing",
+                 "similarity_pq_topk_det"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "similarity_pq_topk" not in first50
 
