@@ -62,10 +62,27 @@ def mint_run_ids(requests: DataFrame) -> DataFrame:
     )
 
 
+def seal_requests(requests: DataFrame, auth_key: str) -> DataFrame:
+    """Attach the intake auth token: AES-sealed provider:submission:process.
+
+    The engine-side analog of the reference minting an encrypted
+    submission token for the ingest endpoint (dags/utils.py:1941-1950).
+    Deterministic (ECB) so a redelivered request carries the identical
+    token — consistent with the idempotent run-id minting.
+    """
+    from .functions.scalars import encrypt_token
+
+    payload = F.concat_ws(
+        ":", F.col("provider"), F.col("submission_id"), F.col("process")
+    )
+    return requests.withColumn("auth_token", encrypt_token(payload, auth_key))
+
+
 def route_requests(
     requests: DataFrame,
     process_rules: list[Rule] | None = None,
     queue_rules: list[Rule] | None = None,
+    auth_key: str | None = None,
 ) -> DataFrame:
     """Full intake pipeline → dispatchable job rows.
 
@@ -73,14 +90,30 @@ def route_requests(
     requests whose process matches no rule get dag_id='unroutable' and
     should flow to the error sink, mirroring the reference's 400
     response for unknown process types.
+
+    With ``auth_key`` set, each request's ``auth_token`` column is
+    opened before routing (the reference decrypts the intake token at
+    plugins/hubmap_api/endpoint.py:354-355): a token that fails to
+    decrypt OR whose payload does not match the request fields routes
+    to dag_id='unauthorized' — the 401 path as an error-sink row, never
+    a thrown exception mid-batch.
     """
     minted = mint_run_ids(requests).dropDuplicates(["run_id"])
+    authorized = None
+    if auth_key is not None:
+        from .functions.scalars import decrypt_token
+
+        expected = F.concat_ws(
+            ":", F.col("provider"), F.col("submission_id"), F.col("process")
+        )
+        authorized = decrypt_token(F.col("auth_token"), auth_key) == expected
     process_rules = process_rules or DEFAULT_PROCESS_RULES
     queue_rules = queue_rules or DEFAULT_QUEUE_RULES
     lowered = F.lower(F.col("process"))
-    routed = minted.withColumn(
-        "dag_id", first_match_case(lowered, process_rules, default="unroutable")
-    ).withColumn(
+    dag = first_match_case(lowered, process_rules, default="unroutable")
+    if authorized is not None:
+        dag = F.when(~F.coalesce(authorized, F.lit(False)), "unauthorized").otherwise(dag)
+    routed = minted.withColumn("dag_id", dag).withColumn(
         "queue", first_match_case(F.col("dag_id"), queue_rules, default="general")
     )
     return routed.select(

@@ -112,3 +112,28 @@ def hex_prefix_to_long(col: Column, start: int = 1, length: int = 8) -> Column:
 
 def epoch_millis_to_ts(col: Column) -> Column:
     return F.timestamp_millis(col.cast("long"))
+
+
+def encrypt_token(col: Column, key: str) -> Column:
+    """Seal a token column with AES-128/192/256-ECB, base64-encoded.
+
+    The engine-side seam for the reference's intake auth token
+    (Fernet encrypt of the submission payload, reference
+    dags/utils.py:1941-1950, consumed by the /request_ingest endpoint
+    plugins/hubmap_api/endpoint.py:354-355).  ECB is chosen
+    deliberately: no random IV, so identical payloads seal to
+    identical tokens — the same idempotence-under-retry property the
+    deterministic run-id minting relies on.  JVM-side
+    (``aes_encrypt``), no Python in the path.
+    """
+    return F.base64(F.aes_encrypt(col, F.lit(key), F.lit("ECB"), F.lit("PKCS")))
+
+
+def decrypt_token(col: Column, key: str) -> Column:
+    """Open a sealed token; NULL (never an exception) on a wrong key
+    or tampered payload — the engine's 401 path routes on that NULL
+    instead of failing the batch (``try_aes_decrypt`` semantics).
+    """
+    return F.try_aes_decrypt(
+        F.unbase64(col), F.lit(key), F.lit("ECB"), F.lit("PKCS")
+    ).cast("string")

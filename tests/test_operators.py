@@ -339,3 +339,35 @@ def test_ngram_jaccard_df_cap_bounds_stop_shingle_buckets(spark):
     # "the" (df=6) is gone; only the true near-dup pair 1-2 remains, and
     # its Jaccard is exact over the capped universe ({aa, bb} on both)
     assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_auth_token_seal_open_and_routing(spark):
+    """AES token seam (reference Fernet round-trip dags/utils.py:1941-1950):
+    encrypt->decrypt is the identity, a wrong key or tampered token opens
+    to NULL, and route_requests sends those rows to the 401 path."""
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline_spark.engine import route_requests, seal_requests
+    from ingest_pipeline_spark.functions.scalars import decrypt_token, encrypt_token
+
+    key, wrong = "0123456789abcdef", "fedcba9876543210"
+    df = spark.createDataFrame(
+        [("provA", "sub1", "scan.begin", "2020-01-01 00:00:00")],
+        "provider string, submission_id string, process string, ts string",
+    )
+    rt = df.select(
+        decrypt_token(encrypt_token(F.col("process"), key), key).alias("ok"),
+        decrypt_token(encrypt_token(F.col("process"), key), wrong).alias("bad"),
+    ).first()
+    assert rt.ok == "scan.begin" and rt.bad is None
+
+    sealed = seal_requests(df, key)
+    assert route_requests(sealed, auth_key=key).first().dag_id == "scan_and_begin_processing"
+    assert route_requests(sealed, auth_key=wrong).first().dag_id == "unauthorized"
+    # tampered payload: token verifies cryptographically under the right
+    # key but no longer matches the request fields -> still unauthorized
+    tampered = sealed.withColumn("process", F.lit("mock.devtest"))
+    assert route_requests(tampered, auth_key=key).first().dag_id == "unauthorized"
+    # determinism: identical payload seals to the identical token (ECB)
+    t2 = seal_requests(df, key).select("auth_token").first().auth_token
+    assert sealed.select("auth_token").first().auth_token == t2
