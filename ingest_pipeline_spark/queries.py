@@ -118,10 +118,10 @@ _DRIVER_FIRST = [
     "asof_join_events",
     "range_join_error_clicks",
     "hypertable_rollup",
-    "window_analytics",
-    "q17_small_quantity_revenue",
     # round-5 additions
     "similarity_pq_topk_det",
+    "token_crypto_roundtrip",
+    "reorganize_multiassay_merge",
 ]
 
 
@@ -3349,6 +3349,95 @@ def reorganize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reorganize_multiassay_merge",
+    """
+    WITH parent AS (
+      SELECT 'p' || CAST(c_custkey AS VARCHAR) AS parent_uuid,
+             'g' || CAST(c_custkey % 5 AS VARCHAR) AS group_name,
+             c_mktsegment AS priority_class,
+             ['scan', 'split:p' || CAST(c_custkey AS VARCHAR)] AS parent_prov
+      FROM customer WHERE c_custkey < 50),
+    comp AS (
+      SELECT 'c' || CAST(o_orderkey AS VARCHAR) AS component_uuid,
+             'p' || CAST(o_custkey AS VARCHAR) AS parent_uuid,
+             'assay' || SUBSTRING(o_orderpriority, 1, 1) AS dataset_type,
+             CASE o_orderstatus WHEN 'F' THEN 'codex'
+                                WHEN 'O' THEN 'rnaseq' END AS comp_assay
+      FROM orders WHERE o_orderkey < 5000)
+    SELECT c.component_uuid, c.parent_uuid, c.dataset_type,
+           'multiassay_' || LOWER(c.dataset_type) AS collectiontype,
+           COALESCE(c.comp_assay, 'unknown') AS assay_type,
+           p.group_name, p.priority_class,
+           COALESCE(ARRAY_TO_STRING(
+             LIST_SORT(LIST_DISTINCT(LIST_CONCAT(p.parent_prov,
+               ['md_extract:' || c.dataset_type]))), ';'), '') AS provenance
+    FROM comp c JOIN parent p USING (parent_uuid)
+    """,
+)
+def reorganize_multiassay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiassay component-metadata merge — the reorganize branch the
+    reference spawns for MultiAssay uploads (reorganize_upload.py:
+    476-519 flex_maybe_multiassay_epic_spawn → reorganize_multiassay.py
+    + multiassay_component_metadata.py): each component dataset's
+    extracted metadata doc is merged into its record under the parent —
+    parent fields carried down, component fields winning on overlap
+    (the assay_type fallback chain at multiassay_component_metadata.py:
+    207-214), collectiontype derived from the component type, and
+    dag-provenance accumulated parent ∪ component.
+
+    Scale: the parent-upload table is dimension-sized → broadcast join;
+    components (the 100 TB side) are never shuffled; the provenance
+    union is a per-row array op.  Arrays are sorted before
+    serialization so the hash is order-canonical (array_union order is
+    engine-specific).
+    """
+    t = _t(spark, sf_dir)
+    parent = t["customer"].filter(F.col("c_custkey") < 50).select(
+        F.concat(F.lit("p"), F.col("c_custkey").cast("string")).alias("parent_uuid"),
+        F.concat(F.lit("g"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "group_name"
+        ),
+        F.col("c_mktsegment").alias("priority_class"),
+        F.array(
+            F.lit("scan"),
+            F.concat(F.lit("split:p"), F.col("c_custkey").cast("string")),
+        ).alias("parent_prov"),
+    )
+    comp = t["orders"].filter(F.col("o_orderkey") < 5000).select(
+        F.concat(F.lit("c"), F.col("o_orderkey").cast("string")).alias(
+            "component_uuid"
+        ),
+        F.concat(F.lit("p"), F.col("o_custkey").cast("string")).alias("parent_uuid"),
+        F.concat(F.lit("assay"), F.substring(F.col("o_orderpriority"), 1, 1)).alias(
+            "dataset_type"
+        ),
+        F.when(F.col("o_orderstatus") == "F", "codex")
+        .when(F.col("o_orderstatus") == "O", "rnaseq")
+        .alias("comp_assay"),
+    )
+    return comp.join(F.broadcast(parent), "parent_uuid").select(
+        "component_uuid",
+        "parent_uuid",
+        "dataset_type",
+        F.concat(F.lit("multiassay_"), F.lower(F.col("dataset_type"))).alias(
+            "collectiontype"
+        ),
+        F.coalesce(F.col("comp_assay"), F.lit("unknown")).alias("assay_type"),
+        "group_name",
+        "priority_class",
+        F.array_join(
+            F.sort_array(
+                F.array_union(
+                    F.col("parent_prov"),
+                    F.array(F.concat(F.lit("md_extract:"), F.col("dataset_type"))),
+                )
+            ),
+            ";",
+        ).alias("provenance"),
+    )
+
+
+@register(
     "filter_membership_floor",
     """
     SELECT event_id, user_id, event_type
@@ -3702,6 +3791,85 @@ def request_intake_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs = route_requests(req.unionByName(req))
     return jobs.groupBy("dag_id", "queue").agg(F.count("*").alias("n_jobs"))
+
+
+@register(
+    "token_crypto_roundtrip",
+    """
+    WITH req AS (
+      SELECT 'prov' || CAST(user_id % 3 AS VARCHAR) AS provider,
+             'sub' || CAST(event_id AS VARCHAR) AS submission_id,
+             CASE event_type WHEN 'click'  THEN 'scan.begin'
+                             WHEN 'view'   THEN 'assay.rnaseq'
+                             WHEN 'signup' THEN 'assay.codex'
+                             WHEN 'error'  THEN 'mock.devtest'
+                             ELSE 'unknown.thing' END AS process,
+             ts
+      FROM events),
+    minted AS (
+      SELECT DISTINCT
+             MD5(provider || ':' || submission_id || ':' || process || ':'
+                 || STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f')) AS run_id,
+             process
+      FROM req),
+    routed AS (
+      SELECT CASE WHEN REGEXP_MATCHES(LOWER(process), '^mock\\.')   THEN 'mock_ingest'
+                  WHEN REGEXP_MATCHES(LOWER(process), '\\.rnaseq$') THEN 'salmon_rnaseq'
+                  WHEN REGEXP_MATCHES(LOWER(process), '\\.codex$')  THEN 'codex_cytokit'
+                  WHEN REGEXP_MATCHES(LOWER(process), '^scan\\.')   THEN 'scan_and_begin_processing'
+                  ELSE 'unroutable' END AS dag_id
+      FROM minted)
+    SELECT 'good_key' AS keycheck, dag_id, COUNT(*) AS n
+    FROM routed GROUP BY 1, 2
+    UNION ALL
+    SELECT 'wrong_key', 'unauthorized', COUNT(*) FROM minted
+    """,
+)
+def token_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake auth-token seam (§2.8 crypto; reference Fernet round-trip
+    dags/utils.py:1941-1950 consumed at hubmap_api/endpoint.py:354-355).
+
+    Every request is sealed (AES-ECB of provider:submission:process),
+    then routed twice: opened with the RIGHT key every token verifies
+    and routing proceeds normally; with a WRONG key every request lands
+    on the 'unauthorized' error route.  The oracle knows the expected
+    outcome from plaintext alone, so a broken cipher round-trip (or a
+    verifier that ignores the payload) hash-mismatches.
+    """
+    from .engine import route_requests, seal_requests
+
+    ev = _t(spark, sf_dir)["events"]
+    req = ev.select(
+        F.concat(F.lit("prov"), (F.col("user_id") % 3).cast("string")).alias(
+            "provider"
+        ),
+        F.concat(F.lit("sub"), F.col("event_id").cast("string")).alias(
+            "submission_id"
+        ),
+        F.element_at(
+            F.create_map(
+                F.lit("click"), F.lit("scan.begin"),
+                F.lit("view"), F.lit("assay.rnaseq"),
+                F.lit("signup"), F.lit("assay.codex"),
+                F.lit("error"), F.lit("mock.devtest"),
+                F.lit("purchase"), F.lit("unknown.thing"),
+            ),
+            F.col("event_type"),
+        ).alias("process"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    sealed = seal_requests(req, "0123456789abcdef")
+    good = route_requests(sealed, auth_key="0123456789abcdef").select(
+        F.lit("good_key").alias("keycheck"), "dag_id"
+    )
+    bad = route_requests(sealed, auth_key="fedcba9876543210").select(
+        F.lit("wrong_key").alias("keycheck"), "dag_id"
+    )
+    return (
+        good.unionByName(bad)
+        .groupBy("keycheck", "dag_id")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 @register(
