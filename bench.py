@@ -103,21 +103,29 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    first_total = 0.0
     for name in names:
         best = float("inf")
-        for _ in range(reps):
+        for rep in range(reps):
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            best = min(best, elapsed)
+            if rep == 0:
+                first_total += elapsed
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # value = min-of-reps (methodology since r4); value_single_run is the
+    # sum of first executions — the r1-r3-comparable single-run number
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "timing": {"method": "min_of_reps", "reps": reps},
+                "value_single_run": round(first_total, 3),
                 "queries": timings,
                 "sf": float(sf),
             }

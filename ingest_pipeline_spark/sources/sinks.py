@@ -130,13 +130,41 @@ def sheet_sink(
         return dest
 
     try:
-        from googleapiclient.discovery import build  # noqa: F401
+        from googleapiclient.discovery import build
     except ImportError as e:  # pragma: no cover - lib absent in container
         raise NotImplementedError(
             "sheet_sink needs google-api-python-client for the live "
             "transport; pass local_fallback_path for the offline TSV "
             "equivalent"
         ) from e
-    raise NotImplementedError(
-        "live Google Sheets transport not wired in this environment"
-    )  # pragma: no cover
+    if spreadsheet_id is None:  # pragma: no cover - live transport only
+        raise ValueError("live sheet_sink requires spreadsheet_id")
+    # Live path (reference new_dataset_survey.py:179-234): create the
+    # tab, paste the TSV payload at A1.  Credentials come from the
+    # environment's application-default auth, as the reference's
+    # get_google_service does.
+    sheets = build("sheets", "v4").spreadsheets()  # pragma: no cover
+    resp = sheets.batchUpdate(  # pragma: no cover
+        spreadsheetId=spreadsheet_id,
+        body={"requests": [{"addSheet": {"properties": {"title": sheet_title}}}]},
+    ).execute()
+    sheet_id = resp["replies"][0]["addSheet"]["properties"]["sheetId"]  # pragma: no cover
+    sheets.batchUpdate(  # pragma: no cover
+        spreadsheetId=spreadsheet_id,
+        body={
+            "requests": [
+                {
+                    "pasteData": {
+                        "coordinate": {
+                            "sheetId": sheet_id,
+                            "rowIndex": 0,
+                            "columnIndex": 0,
+                        },
+                        "data": payload,
+                        "delimiter": "\t",
+                    }
+                }
+            ]
+        },
+    ).execute()
+    return f"sheet:{spreadsheet_id}/{sheet_id}"  # pragma: no cover

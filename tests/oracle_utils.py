@@ -88,6 +88,16 @@ def assert_driver_safe_types(duck_rel, spark_df=None) -> None:
                 f"spark column {f.name!r} has driver-unsafe type {st} "
                 f"(stringify arrays/maps, cast decimals)"
             )
+            # an NTZ output only equals DuckDB's TIMESTAMP because the
+            # session tz is pinned UTC; if a query bypassed
+            # tables.load_table under a non-UTC session, values would
+            # silently drift — make that failure mode loud here
+            if st == "timestamp_ntz":
+                tz = spark_df.sparkSession.conf.get("spark.sql.session.timeZone")
+                assert tz in ("UTC", "Etc/UTC", "GMT"), (
+                    f"NTZ column {f.name!r} compared under session tz "
+                    f"{tz!r}; NTZ parity with DuckDB requires UTC"
+                )
 
 
 def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:

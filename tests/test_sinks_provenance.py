@@ -92,3 +92,42 @@ def test_sheet_sink_local_fallback_and_gate(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="google"):
         sheet_sink(df, "survey")
+
+
+def test_export_backup_battery_dispatch(spark, tmp_path):
+    """Export-and-backup battery (reference export_and_backup.py:94-146):
+    (entity_type, status) selects plugins; each writes its artifact."""
+    import glob
+
+    from ingest_pipeline_spark.export_backup import (
+        find_plugins,
+        run_export_backup,
+    )
+
+    entities = spark.createDataFrame(
+        [
+            ("u1", "Dataset", "Published", "g1"),
+            ("u2", "Dataset", "Error", "g1"),
+            ("u3", "Dataset", "New", "g2"),          # no plugin mapped
+            ("u4", "Upload", "Reorganized", "g2"),
+            ("u5", "Dataset", "Published", "g3"),
+        ],
+        "uuid string, entity_type string, status string, group_name string",
+    )
+    sel = {(r.uuid, r.plugin) for r in find_plugins(entities).collect()}
+    assert sel == {
+        ("u1", "dataset_published"),
+        ("u5", "dataset_published"),
+        ("u2", "dataset_error"),
+        ("u4", "upload_reorganized"),
+    }
+
+    arts = run_export_backup(entities, str(tmp_path))
+    assert set(arts) == {"dataset_published", "dataset_error", "upload_reorganized"}
+    # artifacts exist and hold exactly the selected partition
+    tsv = glob.glob(arts["dataset_published"] + "/part-*.csv")
+    assert len(tsv) == 1
+    body = open(tsv[0]).read()
+    assert "u1" in body and "u5" in body and "u2" not in body
+    js = glob.glob(arts["dataset_error"] + "/part-*.json")
+    assert len(js) == 1 and "u2" in open(js[0]).read()
