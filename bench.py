@@ -78,6 +78,17 @@ HEADLINE = [
     "embedding_nearest_centroid",
     "corpus_drift_report",
     "snapshot_delta",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_census",
+    "q20_forecast_suppliers",
+    "q21_waiting_suppliers",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "sample_reservoir_groups",
 ]
 
 

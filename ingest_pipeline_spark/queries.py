@@ -80,18 +80,21 @@ _DRIVER_FIRST = [
     "stream_neardup_records",
     "text_chunk_documents",
     "source_listing",
+    # round-5 TPC-H pattern completion + analytics additions (all
+    # oracle-green locally; rotated in so they get driver rows —
+    # displaced r04 greens keep their graded rows, see COVERAGE.md)
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_census",
+    "q20_forecast_suppliers",
+    "q21_waiting_suppliers",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "sample_reservoir_groups",
     # previously-graded greens (r04 window), original order
-    "schema_validate_json_fallback",
-    "workflow_map_routing",
-    "sample_hash_deterministic",
-    "dedup_corpus_clean",
-    "collection_type_inference",
-    "terminal_status_batch",
-    "messaging_payloads",
-    "reorganize_plan",
-    "filter_membership_floor",
-    "rules_join_routing",
-    "provenance_concat",
     "text_list_parsing",
     "agg_distinct_sets",
     "array_set_ops",
@@ -5042,4 +5045,640 @@ def report_usage_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H pattern completion (round 5): the remaining decorrelation shapes.
+# The testdata has no partsupp/commitdate/shipmode columns, so each query
+# keeps the original's PLAN SHAPE (correlated min, exists / not-exists,
+# not-in + distinct agg, nested-aggregate semi join, market-share case
+# aggregation) re-targeted at the columns that exist; the stand-ins are
+# documented per query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    rs AS (
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS cost
+      FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'),
+    cand AS (
+      SELECT ps.l_partkey AS p_key, rs.s_name, rs.cost
+      FROM ps JOIN rs ON ps.l_suppkey = rs.s_suppkey),
+    mn AS (SELECT p_key, MIN(cost) AS min_cost FROM cand GROUP BY p_key)
+    SELECT p.p_partkey, p.p_brand, c.s_name,
+           CAST(c.cost AS DOUBLE) AS cost
+    FROM cand c
+      JOIN mn ON c.p_key = mn.p_key AND c.cost = mn.min_cost
+      JOIN part p ON p.p_partkey = c.p_key
+    WHERE p.p_size >= 30
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: correlated scalar-min subquery, decorrelated the
+    way Catalyst plans it — compute the per-part minimum as a keyed
+    aggregate, join it back on (part, min).  s_acctbal stands in for
+    ps_supplycost (no partsupp table in the testdata); the part-supplier
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem.
+
+    Scale: region-filtered suppliers are broadcast into the distinct
+    pair stream; the min agg and the equality join share the p_key
+    shuffle; part is joined last after p_size pruned it.  Cost is
+    compared as DECIMAL(18,2) so the min-equality can never be a float
+    epsilon miss.
+    """
+    t = _t(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    rs = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("cost"),
+        )
+    )
+    cand = ps.join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        F.col("l_partkey").alias("p_key"), "s_name", "cost"
+    )
+    mn = cand.groupBy("p_key").agg(F.min("cost").alias("min_cost"))
+    parts = t["part"].filter(F.col("p_size") >= 30)
+    return (
+        cand.join(
+            mn,
+            (cand.p_key == mn.p_key) & (cand.cost == mn.min_cost),
+        )
+        .drop(mn.p_key)
+        .join(parts, F.col("p_key") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+    """,
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7: volume shipping between two nations, by year and
+    direction.  The disjunctive two-nation predicate sits on broadcast
+    nation dims (both sides), so the big join chain is lineitem→orders
+    (the only real shuffle) with supplier/customer hash-joined and the
+    shipdate filter pushed to the lineitem scan."""
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        t["lineitem"]
+        .filter(
+            F.col("l_shipdate").between("1996-01-01 00:00:00", "1997-12-31 23:59:59")
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT YEAR(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 23:59:59')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8: national market share — conditional share-of-total
+    aggregation over an 8-table join.  Both the numerator and the
+    denominator accumulate as exact decimals in ONE groupBy (no second
+    pass over the join), divided as doubles and rounded at 6 dp.
+    nation/region/part-filter dims broadcast; lineitem→orders is the
+    only shuffle-sized join."""
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    volume = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    an = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between(
+                    "1996-01-01 00:00:00", "1997-12-31 23:59:59"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(t["region"]), F.col("n1_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    return an.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               - 0.5 * p_retailprice * l_quantity, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9: product-type profit by nation and year.  The testdata
+    has no partsupp, so supply cost is the documented stand-in
+    0.5 * p_retailprice per unit.  Per-row profit is a pure product of
+    scalars (deterministic in both engines), rounded to 4 dp BEFORE the
+    decimal cast so cross-row accumulation is order-proof.  The p_name
+    LIKE filter prunes part before it broadcasts into the lineitem
+    stream; lineitem→orders is the only big shuffle."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"),
+        4,
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT YEAR(l_shipdate) AS l_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) > 60
+    GROUP BY YEAR(l_shipdate)
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: priority-split conditional counts over the
+    orders↔lineitem join, restricted to late shipments.  The testdata
+    has no l_shipmode/commitdate, so "late" is shipdate more than 60
+    days after the order date and the group key is ship year.  One
+    shuffle join on orderkey, one small agg; the CASE pair runs in the
+    same Expand-free aggregate."""
+    t = _t(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+        )
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_census",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16: supplier count per part attribute triple, excluding a
+    complained-about supplier set (NOT IN → broadcast anti join; the
+    suppkey domain is non-null so the NOT IN is safely an anti join in
+    both engines).  The part-supplier relation is lineitem (no
+    partsupp); part filters broadcast into it, and the COUNT DISTINCT
+    runs as one Expand over the (brand,type,size) shuffle."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_forecast_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE YEAR(l_shipdate) = 1996
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM sq GROUP BY l_partkey),
+    qual AS (
+      SELECT DISTINCT sq.l_suppkey
+      FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+      WHERE sq.qty > 0.2 * tot.total_qty)
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def q20_forecast_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: nested-aggregate threshold semi join — suppliers
+    who shipped more than 20% of a forecast part's 1996 volume (the
+    ps_availqty > 0.5*sum(qty) test re-targeted at shipped share, no
+    partsupp table).  The part-name IN prunes via a broadcast semi
+    join before the (part, supp) aggregation; the per-part total
+    reuses that aggregate (sq) rather than re-scanning lineitem, and
+    the qualifying suppkey set semi-joins into supplier.  Quantities
+    accumulate as DECIMAL(18,2) so the 0.2× threshold compares
+    identical doubles in both engines."""
+    t = _t(spark, sf_dir)
+    fparts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    sq = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate") == 1996)
+        .join(
+            F.broadcast(fparts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    tot = sq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("total_qty")
+    )
+    qual = (
+        sq.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > F.lit(0.2) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return t["supplier"].join(
+        F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21: the exists + not-exists double correlation — the only
+    supplier at fault on a multi-supplier order.  l_returnflag = 'R'
+    stands in for the receipt-after-commit lateness test (no
+    commit/receipt dates in the testdata); the plan shape is exactly
+    Q21's: a semi join (some OTHER supplier on the order) and an anti
+    join (no OTHER supplier also returned) against the same
+    orderkey-keyed lineitem, then a small s_name rollup."""
+    t = _t(spark, sf_dir)
+    l1 = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+        )
+    )
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l2_okey"), F.col("l_suppkey").alias("l2_skey")
+    )
+    l3 = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey")
+        )
+    )
+    return (
+        l1.join(fo, F.col("o_key") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("o_key") == F.col("l2_okey"))
+            & (F.col("s_key") != F.col("l2_skey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o_key") == F.col("l3_okey"))
+            & (F.col("s_key") != F.col("l3_skey")),
+            "left_anti",
+        )
+        .join(t["supplier"], F.col("s_key") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream product analytics (round 5): ordered funnel + retention
+# cohorts — the two workhorse warehouse queries over the events table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY e.user_id),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY e.user_id)
+    SELECT 'signup' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'view', 2, COUNT(*) FROM s2
+    UNION ALL SELECT 'click', 3, COUNT(*) FROM s3
+    UNION ALL SELECT 'purchase', 4, COUNT(*) FROM s4
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel: signup → view → click → purchase, each
+    step's timestamp the EARLIEST occurrence at-or-after the previous
+    step (a real sequence funnel, not the min-per-type approximation
+    that counts a view that happened before the signup).
+
+    Scale shape: every aggregate and every join is keyed on user_id,
+    so after the first groupBy shuffle the three chained stages reuse
+    the same hash partitioning (Catalyst elides the re-exchange);
+    each stage's survivor set only shrinks.  The stage counts are
+    four scalar aggregates unioned into a 4-row result.
+    """
+    ev = _t(spark, sf_dir)["events"]
+
+    def step(prev: DataFrame, prev_t: str, etype: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = step(s1, "t1", "view", "t2")
+    s3 = step(s2, "t2", "click", "t3")
+    s4 = step(s3, "t3", "purchase", "t4")
+
+    def cnt(df: DataFrame, stage: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        cnt(s1, "signup", 1)
+        .unionAll(cnt(s2, "view", 2))
+        .unionAll(cnt(s3, "click", 3))
+        .unionAll(cnt(s4, "purchase", 4))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS activity_week
+      FROM events)
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(FLOOR((EPOCH(a.activity_week) - EPOCH(f.cohort_week))
+                      / 604800.0) AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-activity week
+    (cohort), counted once per subsequent active week, keyed by
+    whole-week offset from their cohort.
+
+    Scale shape: cohort assignment and the distinct (user, week)
+    activity set are both user_id-keyed aggregations, and the join
+    between them reuses the same key — one logical shuffle chain, no
+    window functions.  Week arithmetic is integer epoch math (both
+    engines truncate weeks to Monday and divide exact second counts),
+    so the offsets hash-match bit-for-bit.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    week = F.date_trunc("week", F.col("ts"))
+    f = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    a = ev.select("user_id", week.alias("activity_week")).distinct()
+    return (
+        a.join(f, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp("activity_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / F.lit(604800.0)
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "sample_reservoir_groups",
+    """
+    SELECT source, doc_id, rn
+    FROM (SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY MD5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def sample_reservoir_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: EXACTLY k=5 docs per source,
+    chosen by md5(doc_id) rank — the reproducible version of a
+    per-stratum reservoir sample (complements sample_hash_deterministic,
+    which keeps a deterministic RATE rather than a count).
+
+    Scale shape: rn <= k over a partitioned window compiles to
+    WindowGroupLimit, so each input partition keeps only its local
+    top-k per group BEFORE the shuffle — the exchange carries at most
+    k rows per (partition, group), never the full stratum.  The md5
+    sort key is uniform, so no stratum hot-spots a reducer.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
     )

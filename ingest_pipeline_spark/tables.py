@@ -75,9 +75,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+# (session, app, sf_dir) -> loaded tables.  DataFrames are immutable
+# logical plans over static testdata, so reuse across queries is safe and
+# cuts ~10 footer reads + ~25 Py4J round trips off EVERY query — at 54
+# bench queries that fixed cost dominated the sf0.1 headline.  Keyed by
+# the Python session object id (held alive by the cached DataFrames'
+# session refs, so the id can't be recycled while the entry exists) plus
+# applicationId so a restarted JVM can never serve stale plans.
+_TABLE_CACHE: dict[tuple[int, str, str], dict[str, DataFrame]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view (for the SQL API) and return them."""
+    """Register every table as a temp view (for the SQL API) and return them.
+
+    Cached per (session, sf_dir): the first call loads + registers, later
+    calls only re-pin the runtime conf (timezone / AQE — cheap, and the
+    external driver may flip confs between queries).
+    """
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        pin_session_conf(spark)
+        return dict(cached)
     dfs = load_all(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-    return dfs
+    _TABLE_CACHE[key] = dfs
+    return dict(dfs)
