@@ -89,6 +89,7 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "sample_reservoir_groups",
+    "graph_pagerank_suppliers",
 ]
 
 

@@ -89,3 +89,61 @@ def latest_child(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Iterative PageRank over a directed edge list (src, dst).
+
+    Returns (node, rank).  Every node must have out-degree >= 1 (feed an
+    undirected graph as both edge directions to guarantee it — dangling
+    mass redistribution is deliberately out of scope so the math stays
+    oracle-expressible).
+
+    Determinism across engines: per-edge contributions rank/outdeg are
+    rounded to 12 dp and SUMMED AS DECIMAL(28,12) (order-proof under any
+    partitioning), then rank' = round((1-d)/N + d*sum, 12) — identical
+    unrolled SQL reproduces the exact doubles.
+
+    Scale shape: one rank⋈degree join per iteration keyed on node, one
+    contribution aggregation keyed on dst — both reuse the same hash
+    partitioning.  The logical plan grows linearly with iterations, so
+    every `checkpoint_every` rounds the rank frontier is localCheckpointed
+    (same lineage-cut pattern as connected_components); for the typical
+    3-5 analytic iterations no checkpoint triggers.
+    """
+    # materialize the (possibly expensive) edge derivation ONCE — each
+    # iteration joins edges twice and the unrolled lineage would
+    # otherwise re-derive it per reference (the n_nodes count below
+    # forces it anyway)
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("d_node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), 12))
+    for i in range(1, iterations + 1):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, F.col("src") == F.col("d_node"))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                F.lit(base) + F.lit(damping) * F.sum("c").cast("double"), 12
+            ).alias("rank")
+        )
+        if i % checkpoint_every == 0 and i < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
