@@ -90,6 +90,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "sample_reservoir_groups",
     "graph_pagerank_suppliers",
+    "merge_upsert_orders",
+    "agg_salted_hot_keys",
 ]
 
 

@@ -95,9 +95,9 @@ _DRIVER_FIRST = [
     "events_retention_cohorts",
     "sample_reservoir_groups",
     "graph_pagerank_suppliers",
+    "merge_upsert_orders",
+    "agg_salted_hot_keys",
     # previously-graded greens (r04 window), original order
-    "agg_distinct_sets",
-    "array_set_ops",
     "similarity_lsh_buckets",
     "upload_integrity",
     "request_intake_routing",
@@ -5761,3 +5761,132 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.filter(F.col("node") > 1000000)
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH tgt AS (SELECT o_orderkey AS key, o_totalprice AS price,
+                        o_orderstatus AS status FROM orders),
+    src AS (
+      SELECT o_orderkey AS key,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price,
+             (o_orderkey % 100 = 0) AS del
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS key, o_totalprice AS price,
+             FALSE AS del
+      FROM orders WHERE o_orderkey % 17 = 0)
+    SELECT COALESCE(t.key, s.key) AS key,
+           CASE WHEN s.key IS NOT NULL THEN s.price ELSE t.price END AS price,
+           t.status AS status,
+           CASE WHEN s.key IS NOT NULL AND t.key IS NOT NULL THEN 'updated'
+                WHEN t.key IS NULL THEN 'inserted'
+                ELSE 'kept' END AS _merge_action
+    FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+    WHERE NOT (s.key IS NOT NULL AND t.key IS NOT NULL
+               AND COALESCE(s.del, FALSE))
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as one full-outer join
+    (operators/merge.py): a simulated change batch updates every 10th
+    order's price (+10% computed IN DECIMAL — a double*1.1 hits exact
+    .xx5 halves that Spark and DuckDB round differently),
+    deletes every 100th, and inserts a renumbered copy of every 17th.
+    Matched rows take source values, source-only rows insert, the
+    delete flag drops matched rows, and _merge_action records row
+    provenance for write auditing.
+
+    Scale shape: one shuffle on the natural key; the change batch is
+    typically a small fraction of the target, so at scale AQE picks a
+    broadcast/skew-aware strategy for the same logical plan.
+    """
+    from .operators.merge import merge_upsert
+
+    t = _t(spark, sf_dir)
+    tgt = t["orders"].select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,2)"),
+                2,
+            )
+            .cast("double")
+            .alias("price"),
+            (F.col("o_orderkey") % 100 == 0).alias("del"),
+        )
+    )
+    ins = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("key"),
+            F.col("o_totalprice").alias("price"),
+            F.lit(False).alias("del"),
+        )
+    )
+    return merge_upsert(
+        tgt,
+        upd.unionAll(ins),
+        key_cols=["key"],
+        update_cols=["price"],
+        delete_col="del",
+    )
+
+
+@register(
+    "agg_salted_hot_keys",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-stage salted path
+    (operators/skew.py:salted_agg) — event_type has only a handful of
+    values, so a naive groupBy lands each key on ONE reducer; the salt
+    spreads every key over 32 reducers and re-merges algebraic
+    partials.  The oracle is the plain GROUP BY: the salt assignment
+    (seeded rand) affects only row DISTRIBUTION, never the merged
+    result, and the float sum accumulates as DECIMAL(18,6) partials so
+    the extra merge stage cannot reorder-drift it.
+    """
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir)["events"]
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        stage1={
+            "n": F.count("*"),
+            "s": F.sum(F.col("value").cast("decimal(18,6)")),
+            "mn": F.min("ts"),
+            "mx": F.max("ts"),
+        },
+        stage2={
+            "n": F.sum("n"),
+            "s": F.sum("s"),
+            "mn": F.min("mn"),
+            "mx": F.max("mx"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("mn").alias("first_ts"),
+        F.col("mx").alias("last_ts"),
+    )
