@@ -92,6 +92,7 @@ HEADLINE = [
     "graph_pagerank_suppliers",
     "merge_upsert_orders",
     "agg_salted_hot_keys",
+    "agg_cube_orders",
 ]
 
 

@@ -97,8 +97,8 @@ _DRIVER_FIRST = [
     "graph_pagerank_suppliers",
     "merge_upsert_orders",
     "agg_salted_hot_keys",
+    "agg_cube_orders",
     # previously-graded greens (r04 window), original order
-    "similarity_lsh_buckets",
     "upload_integrity",
     "request_intake_routing",
     "quality_percentiles",
@@ -5889,4 +5889,33 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_value"),
         F.col("mn").alias("first_ts"),
         F.col("mx").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with explicit GROUPING() flags
+    — the multi-dimensional-aggregate shape ROLLUP doesn't cover (all
+    2^n grouping sets in ONE Expand + ONE shuffle, no union of
+    re-scans).  GROUPING() is emitted per column (0/1 in both engines)
+    rather than a combined grouping-id bitmask, whose bit order is
+    engine-specific.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
     )

@@ -180,3 +180,72 @@ def test_jsonschema_compiled_matches_python_any_schema(spark, case):
         assert py.get(rule, 0) == n, (rule, schema, docs)
     for rule, n in py.items():
         assert got.get(rule, 0) == n, (rule, schema, docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator invariants
+# ---------------------------------------------------------------------------
+
+_KEYS = st.integers(0, 9)
+
+
+@given(
+    tgt=st.dictionaries(_KEYS, st.integers(-100, 100), max_size=8),
+    src=st.dictionaries(_KEYS, st.tuples(st.integers(-100, 100), st.booleans()), max_size=8),
+)
+@_SETTINGS
+def test_merge_upsert_key_algebra(spark, tgt, src):
+    """Output keys == (target - matched-deleted) ∪ source-only, and the
+    _merge_action census matches the set algebra exactly."""
+    from ingest_pipeline_spark.operators.merge import merge_upsert
+
+    tdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in tgt.items()] or [(None, None)],
+        "key long, v double",
+    ).filter(F.col("key").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, float(v), d) for k, (v, d) in src.items()] or [(None, None, None)],
+        "key long, v double, del boolean",
+    ).filter(F.col("key").isNotNull())
+    out = merge_upsert(tdf, sdf, ["key"], delete_col="del").collect()
+
+    matched = set(tgt) & set(src)
+    deleted = {k for k in matched if src[k][1]}
+    expect_keys = (set(tgt) - deleted) | (set(src) - set(tgt))
+    assert {r["key"] for r in out} == expect_keys
+    actions = {r["key"]: r["_merge_action"] for r in out}
+    for k in expect_keys:
+        if k in matched:
+            assert actions[k] == "updated" and k not in deleted
+        elif k in src:
+            assert actions[k] == "inserted"
+        else:
+            assert actions[k] == "kept"
+    # matched rows take the source value
+    vals = {r["key"]: r["v"] for r in out}
+    for k in matched - deleted:
+        assert vals[k] == float(src[k][0])
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from("abc"), st.integers(-50, 50)), min_size=1, max_size=40))
+@_SETTINGS
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """salted_agg is result-identical to the plain groupBy for any data
+    and any salt assignment (algebraic merge)."""
+    from ingest_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"],
+            stage1={"n": F.count("*"), "s": F.sum("v")},
+            stage2={"n": F.sum("n"), "s": F.sum("s")},
+            salt_buckets=7,
+        ).collect()
+    }
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    assert salted == plain
