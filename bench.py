@@ -93,6 +93,8 @@ HEADLINE = [
     "merge_upsert_orders",
     "agg_salted_hot_keys",
     "agg_cube_orders",
+    "events_hopping_windows",
+    "events_gapfill_daily",
 ]
 
 

@@ -98,9 +98,9 @@ _DRIVER_FIRST = [
     "merge_upsert_orders",
     "agg_salted_hot_keys",
     "agg_cube_orders",
+    "events_hopping_windows",
+    "events_gapfill_daily",
     # previously-graded greens (r04 window), original order
-    "upload_integrity",
-    "request_intake_routing",
     "quality_percentiles",
     "session_durations",
     "curation_pipeline",
@@ -5918,4 +5918,111 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count("*").alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "events_hopping_windows",
+    """
+    WITH x AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01'
+               + (CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) * 10800
+                  - i * 10800) * INTERVAL 1 SECOND AS win_start
+      FROM events, UNNEST(GENERATE_SERIES(0, 1)) t(i))
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM x GROUP BY win_start, event_type
+    """,
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows: 6-hour windows every 3 hours via
+    Spark's native F.window — each event lands in exactly
+    window/slide = 2 windows (Spark plans this as one Expand, no
+    self-join).  The oracle derives the same epoch-aligned window
+    starts arithmetically (pure NTZ interval math — no TO_TIMESTAMP,
+    whose TIMESTAMPTZ result would drag in the DuckDB session zone).
+    The same groupBy runs unchanged under readStream for the
+    streaming path (stream_window_counts covers the tumbling case).
+    """
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "events_gapfill_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events GROUP BY user_id, DATE_TRUNC('day', ts)),
+    bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+               FROM daily GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+    j AS (SELECT s.user_id, s.day, d.day_value
+          FROM spine s LEFT JOIN daily d
+            ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           LAST_VALUE(day_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           (day_value IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill (the hypertable
+    companion to hypertable_rollup): build each user's daily date
+    spine with sequence()+explode bounded by their own observed range,
+    left-join the daily aggregate, carry the last non-null value
+    forward with last(ignorenulls) over a user-keyed window.
+
+    Scale shape: the spine explodes to (users x their-own-span) rows —
+    proportional to the OUTPUT, never a global calendar cross join —
+    and the daily agg, spine join, and fill window all share the
+    user_id key.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_gap"),
     )
