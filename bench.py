@@ -95,6 +95,7 @@ HEADLINE = [
     "agg_cube_orders",
     "events_hopping_windows",
     "events_gapfill_daily",
+    "text_token_entropy",
 ]
 
 

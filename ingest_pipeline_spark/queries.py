@@ -100,8 +100,8 @@ _DRIVER_FIRST = [
     "agg_cube_orders",
     "events_hopping_windows",
     "events_gapfill_daily",
+    "text_token_entropy",
     # previously-graded greens (r04 window), original order
-    "quality_percentiles",
     "session_durations",
     "curation_pipeline",
     "profile_orders",
@@ -6025,4 +6025,71 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("day_value").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(CAST(ROUND(tf * LN(tf), 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS s
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(LN(n_tokens) - s / n_tokens, 6) AS entropy
+    FROM agg
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy + type-token ratio — the
+    lexical-diversity quality signals (low entropy = repetitive /
+    template text, a standard pretraining filter alongside
+    text_repetition_scores).
+
+    Entropy via the identity H = ln(N) - Σ tf·ln(tf) / N, so ONE
+    (doc, term) aggregation feeds everything.  Determinism: tf·ln(tf)
+    is a per-row double op on small-integer inputs (LN parity with
+    DuckDB established by tfidf_top_terms), rounded 12 dp and summed
+    as DECIMAL(28,12) — cross-term accumulation can't reorder-drift —
+    then one per-row division and a 6 dp output round.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("tf") * F.log("tf"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+        F.round(F.log("n_tokens") - F.col("s") / F.col("n_tokens"), 6).alias(
+            "entropy"
+        ),
     )

@@ -26,18 +26,25 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-key counts + value sums (streaming-safe plan).
+    """Tumbling (or, with ``slide``, hopping) per-key counts + value
+    sums (streaming-safe plan).
 
     Works on both batch and streaming DataFrames: watermark is applied
-    only when the input is streaming.
+    only when the input is streaming.  With ``slide`` each event
+    expands to window/slide rows through ONE Expand — identical
+    semantics batch and streamed.
     """
     src = events
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(
-        F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col)
-    ).agg(
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
+    return src.groupBy(win.alias("w"), F.col(key_col)).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ).select(

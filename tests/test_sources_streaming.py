@@ -448,3 +448,28 @@ def test_stateful_user_counts_across_micro_batches(spark, sf_dir, tmp_path):
         for u in {r.user_id for r in rows}
     }
     assert got_final == expected
+
+
+def test_streaming_hopping_windows_matches_batch(spark, sf_dir):
+    """Hopping (sliding) windows: the watermarked streaming aggregation
+    emits exactly the batch result for the same parquet."""
+    from ingest_pipeline_spark.session import pin_session_conf
+    from ingest_pipeline_spark.tables import normalize_event_ts
+
+    pin_session_conf(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = normalize_event_ts(raw)
+
+    def transform(src):
+        src = normalize_event_ts(src)
+        return windowed_event_counts(
+            src, window_len="6 hours", watermark="100 days", slide="3 hours"
+        )
+
+    got = run_stream_once(
+        spark, f"{sf_dir}/events.parquet", raw.schema, transform, "hop_test"
+    )
+    expected = windowed_event_counts(batch, window_len="6 hours", slide="3 hours")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
