@@ -1,0 +1,44 @@
+"""Partitioning invariance: representative queries produce BIT-IDENTICAL
+results regardless of shuffle fan-out.
+
+This is the local stand-in for "would the answer change on a
+1000-executor cluster": every accumulation-order hazard (float sums,
+first/last without order, per-partition ids leaking into results) shows
+up as a diff between shuffle.partitions=3 and =32.  The decimal-internal
+sum rule and full ORDER BY tiebreaks exist precisely to make this hold.
+"""
+
+import pytest
+
+from ingest_pipeline_spark.queries import queries
+
+# Chosen to cover the hazard classes: multi-stage float aggregation,
+# window cumsums, iterative numerics, salted two-stage merge, banded
+# join dedup, top-k ranking.
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "corpus_pack_sequences",
+    "dedup_minhash_lsh",
+    "embedding_nearest_centroid",
+    "graph_pagerank_suppliers",
+    "agg_salted_hot_keys",
+    "tfidf_top_terms",
+    "merge_upsert_orders",
+]
+
+
+def _rows(spark, name, sf_dir, partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = queries()[name](spark, sf_dir)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_result_invariant_under_shuffle_fanout(spark, sf_dir, name):
+    a = _rows(spark, name, sf_dir, 3)
+    b = _rows(spark, name, sf_dir, 32)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
