@@ -96,6 +96,7 @@ HEADLINE = [
     "events_hopping_windows",
     "events_gapfill_daily",
     "text_token_entropy",
+    "window_moving_range_sum",
 ]
 
 

@@ -101,8 +101,8 @@ _DRIVER_FIRST = [
     "events_hopping_windows",
     "events_gapfill_daily",
     "text_token_entropy",
+    "window_moving_range_sum",
     # previously-graded greens (r04 window), original order
-    "session_durations",
     "curation_pipeline",
     "profile_orders",
     "text_rolling_hash",
@@ -6092,4 +6092,53 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("n_tokens") - F.col("s") / F.col("n_tokens"), 6).alias(
             "entropy"
         ),
+    )
+
+
+@register(
+    "window_moving_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+           COUNT(*) OVER w AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour moving sum/count per user with a RANGE frame —
+    the time-valued window frame rows-based frames can't express
+    (events are irregularly spaced, so "last 24h" ≠ "last N rows").
+
+    The frame is ordered by integer epoch seconds (identical in both
+    engines; Spark's rangeBetween needs a numeric sort key anyway) and
+    the in-frame float sum is decimal-internal.  Note: ties on ts_sec
+    are IN the frame together under RANGE semantics in both engines,
+    so no row-level tiebreak is needed for determinism.
+    Scale: one user-keyed exchange + one in-partition sort.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    ts_sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec"))
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", ts_sec.alias("ts_sec"), "value"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.count("*").over(w).alias("n_24h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_24h"),
+        )
     )
