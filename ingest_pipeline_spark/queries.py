@@ -6142,3 +6142,189 @@ def window_moving_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_24h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches round 5 (cont.): HLL, count-min, bloom semi-join
+# ---------------------------------------------------------------------------
+
+from .operators.sketches import HLL_RAW_NUMERATOR as _HLL_NUM  # noqa: E402
+
+_HLL_SQL = f"""
+    WITH h AS (
+      SELECT source AS grp,
+             CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) AS h
+      FROM documents),
+    b AS (
+      SELECT grp, h // 134217728 AS bucket, h % 134217728 AS rem FROM h),
+    r AS (
+      SELECT grp, bucket,
+             MAX(CASE WHEN rem = 0 THEN 28
+                      ELSE 28 - LENGTH(BIN(rem)) END) AS mj
+      FROM b GROUP BY grp, bucket),
+    a AS (
+      SELECT grp,
+             COUNT(*) AS n_present,
+             CAST(SUM(CAST(POW(2.0, 28 - mj) AS BIGINT)) AS BIGINT)
+               AS z_present
+      FROM r GROUP BY grp)
+    SELECT grp AS source,
+           ROUND(CASE WHEN (CAST({_HLL_NUM!r} AS DOUBLE)
+                            / CAST(z_present + (32 - n_present) * 268435456
+                                   AS DOUBLE)) <= 80.0
+                       AND (32 - n_present) > 0
+                 THEN 32.0 * LN(32.0 / CAST(32 - n_present AS DOUBLE))
+                 ELSE CAST({_HLL_NUM!r} AS DOUBLE)
+                      / CAST(z_present + (32 - n_present) * 268435456
+                             AS DOUBLE)
+                 END, 6) AS est_distinct,
+           CAST(32 - n_present AS BIGINT) AS v_empty
+    FROM a
+    """
+
+
+@register("sketch_hll_distinct", _HLL_SQL)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text estimate per source with an EXACT SQL
+    oracle: registers are md5 bit math (bucket = top 5 hash bits, rho =
+    leading zeros of the remaining 27), Z is an integer sum of dyadic
+    terms (order-proof without decimal), and the only float ops are one
+    division + optional LN — per-row IEEE, identical in both engines.
+
+    Complements sketch_kmv_distinct: HLL state is 32 registers
+    (mergeable by max) vs KMV's k hashes (mergeable by min-k); HLL
+    needs no pre-distinct, so the shuffle carries at most m rows per
+    group per partition however large the table — the canonical 100 TB
+    cardinality rollup.  operators/sketches.py:hll_registers documents
+    the plan shape and merge identity.
+    """
+    from .operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir)["documents"]
+    return hll_distinct(docs, "source", "text")
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT j,
+             CAST('0x' || SUBSTR(MD5(j || ':' || user_id), 1, 8) AS BIGINT)
+               % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events, UNNEST([0, 1, 2, 3]) AS u(j)
+      GROUP BY 1, 2),
+    k AS (SELECT DISTINCT user_id FROM events),
+    kb AS (
+      SELECT user_id, j,
+             CAST('0x' || SUBSTR(MD5(j || ':' || user_id), 1, 8) AS BIGINT)
+               % 256 AS bucket
+      FROM k, UNNEST([0, 1, 2, 3]) AS u(j)),
+    e AS (SELECT kb.user_id, MIN(c.cnt) AS est_count
+          FROM kb JOIN c USING (j, bucket) GROUP BY kb.user_id),
+    x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est_count, x.exact_count
+    FROM e JOIN x USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id ASC
+    LIMIT 20
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate every user's event
+    count from a 4×256 counter grid, report the top 20 by estimate
+    (deterministic tiebreak) next to the exact count — the sketch
+    guarantee (est >= exact, never under) is visible in the output.
+
+    Scale shape: the grid build is one hash aggregate whose shuffle
+    carries at most d*w rows per input partition regardless of data
+    size; estimation broadcast-joins the 1024-row grid, so probing any
+    number of keys never shuffles the fact table.  Integer-only math —
+    no float parity surface at all.
+    """
+    from .operators.sketches import cms_counters, cms_estimate
+
+    ev = _t(spark, sf_dir)["events"]
+    counters = cms_counters(ev, "user_id", d=4, w=256)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(counters, keys, "user_id", d=4, w=256)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "bloom_prejoin_filter",
+    """
+    WITH build AS (
+      SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000.0),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || SUBSTR(MD5(i || ':' || key), 1, 8) AS BIGINT)
+               % 4096 AS pos
+      FROM build, UNNEST([0, 1, 2]) AS u(i)),
+    probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pp AS (
+      SELECT key,
+             CAST('0x' || SUBSTR(MD5(i || ':' || key), 1, 8) AS BIGINT)
+               % 4096 AS pos
+      FROM probe, UNNEST([0, 1, 2]) AS u(i)),
+    cand AS (
+      SELECT pp.key, (COUNT(bits.pos) = 3) AS is_candidate
+      FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+      GROUP BY pp.key),
+    j AS (
+      SELECT c.key, c.is_candidate, (b.key IS NOT NULL) AS in_build
+      FROM cand c LEFT JOIN build b ON c.key = b.key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN is_candidate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN in_build THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN is_candidate AND NOT in_build THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN is_candidate AND NOT in_build
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(CASE WHEN in_build THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS fp_rate
+    FROM j
+    """,
+)
+def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction audit: build a 4096-bit / k=3
+    filter over high-balance customers, probe every ordering customer,
+    and report probe/candidate/true/false-positive counts + fp rate —
+    the runtime-filter pattern that, at 100 TB, drops unmatchable probe
+    rows map-side (the ≤4096-row bit set is broadcast) before the real
+    join ever shuffles.  False negatives are impossible, so n_true rows
+    always survive; the fp_rate row quantifies the wasted candidates.
+    Integer + one rounded division — engine-portable by construction.
+    """
+    from .operators.sketches import bloom_bits, bloom_probe
+
+    t = _t(spark, sf_dir)
+    build = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    bits = bloom_bits(build, "key", k=3, m=4096)
+    probe = t["orders"].select(F.col("o_custkey").alias("key")).distinct()
+    cand = bloom_probe(probe, "key", bits, k=3, m=4096)
+    joined = cand.join(build.withColumn("__in_build", F.lit(1)), "key", "left")
+    is_fp = F.col("is_candidate") & F.col("__in_build").isNull()
+    n_true = F.sum(F.when(F.col("__in_build").isNotNull(), 1).otherwise(0))
+    n_fp = F.sum(F.when(is_fp, 1).otherwise(0))
+    return joined.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("is_candidate"), 1).otherwise(0)).alias("n_candidates"),
+        n_true.alias("n_true"),
+        n_fp.alias("n_false_pos"),
+        F.round(
+            n_fp.cast("double") / (F.count("*") - n_true).cast("double"), 6
+        ).alias("fp_rate"),
+    )

@@ -37,3 +37,121 @@ def test_kmv_plan_prunes_topk_map_side(spark, sf_dir):
     # rank<=k is pushed into a partial WindowGroupLimit before the
     # exchange: each task forwards at most k hashes per group
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# --------------------------------------------------------------------------
+# HLL
+# --------------------------------------------------------------------------
+
+
+def test_hll_merge_identity(spark):
+    """hll(A ∪ B) == finalize(max-merge(registers(A), registers(B))) —
+    the property that lets a 100 TB rollup fold partitions without
+    rescanning."""
+    from ingest_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    b = spark.range(2000, 6000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    direct = hll_distinct(a.union(b), "grp", "v").collect()[0]
+    merged_regs = (
+        hll_registers(a, "grp", "v")
+        .union(hll_registers(b, "grp", "v"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    merged = hll_estimate(merged_regs, "grp").collect()[0]
+    assert direct["est_distinct"] == merged["est_distinct"]
+    assert direct["v_empty"] == merged["v_empty"]
+
+
+def test_hll_accuracy_and_small_range(spark):
+    from ingest_pipeline_spark.operators.sketches import hll_distinct
+
+    big = spark.range(6000).select(
+        F.lit("big").alias("grp"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    est = hll_distinct(big, "grp", "v").collect()[0]["est_distinct"]
+    # m=32 → sd ~ 1.04/sqrt(32) ~ 18%; fixed data, assert 3-sigma
+    assert abs(est - 6000) / 6000 < 0.55, est
+    # tiny group: linear counting path, duplicates absorbed by max()
+    small = spark.range(5).select(
+        F.lit("s").alias("grp"), F.concat(F.lit("y"), F.col("id")).alias("v")
+    )
+    small = small.union(small)
+    row = hll_distinct(small, "grp", "v").collect()[0]
+    assert row["v_empty"] > 0 and 1.0 <= row["est_distinct"] <= 15.0
+
+
+# --------------------------------------------------------------------------
+# Count-min
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from ingest_pipeline_spark.operators.sketches import cms_counters, cms_estimate
+
+    # skewed frequencies: key i appears i+1 times
+    rows = spark.range(40).selectExpr(
+        "explode(sequence(0, cast(id as int))) as dup", "id as key"
+    )
+    exact = {r["key"]: r["n"] for r in rows.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    counters = cms_counters(rows, "key", d=4, w=64)
+    keys = rows.select("key").distinct()
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(counters, keys, "key", d=4, w=64).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS guarantee: never under
+    # merge = adding the two halves' counter grids
+    h1 = rows.filter(F.col("dup") % 2 == 0)
+    h2 = rows.filter(F.col("dup") % 2 == 1)
+    merged = (
+        cms_counters(h1, "key", d=4, w=64)
+        .union(cms_counters(h2, "key", d=4, w=64))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est_m = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(merged, keys, "key", d=4, w=64).collect()
+    }
+    assert est_m == est
+
+
+# --------------------------------------------------------------------------
+# Bloom
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from ingest_pipeline_spark.operators.sketches import bloom_bits, bloom_probe
+
+    build = spark.range(0, 500).select(F.col("id").alias("key"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("key"))
+    bits = bloom_bits(build, "key", k=3, m=2048)
+    out = {r["key"]: r["is_candidate"] for r in bloom_probe(probe, "key", bits, k=3, m=2048).collect()}
+    assert len(out) == 2000
+    for k in range(500):
+        assert out[k], f"false negative on {k}"
+    # with m=2048 bits / 500 keys the filter must actually reject most
+    # non-members (fp rate ~ (1-e^(-kn/m))^k ~ 17%)
+    rejected = sum(1 for k in range(500, 2000) if not out[k])
+    assert rejected > 900
+
+
+def test_bloom_bits_bounded(spark):
+    from ingest_pipeline_spark.operators.sketches import bloom_bits
+
+    build = spark.range(0, 10000).select(F.col("id").alias("key"))
+    n_bits = bloom_bits(build, "key", k=3, m=512).count()
+    assert n_bits <= 512  # state is the bit set, never the key set
