@@ -97,6 +97,13 @@ HEADLINE = [
     "events_gapfill_daily",
     "text_token_entropy",
     "window_moving_range_sum",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "bloom_prejoin_filter",
+    "dedup_prefix_jaccard",
+    "fuzzy_join_blocked",
+    "anomaly_zscore_events",
+    "histogram_equidepth_prices",
 ]
 
 

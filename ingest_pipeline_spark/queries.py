@@ -6328,3 +6328,216 @@ def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_fp.cast("double") / (F.count("*") - n_true).cast("double"), 6
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-join, entity-resolution, and profiling additions (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle, s.set_size,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                ORDER BY d.doc_freq ASC, sh.shingle ASC) AS rn
+      FROM sh JOIN dfreq d USING (shingle) JOIN sizes s USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rn <= set_size - CAST(FLOOR((4 * set_size + 4) / 5) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh ta ON ta.doc_id = c.id_a
+        JOIN sh tb ON tb.doc_id = c.id_b AND ta.shingle = tb.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 6)
+          >= CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE)
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-set Jaccard ≥ 0.8 pairs via PPJoin-style prefix
+    filtering: docs only meet through their rarest-first prefix
+    shingles, so candidate buckets are small BY CONSTRUCTION (no
+    df_cap needed) — the deterministic, exact counterpart to
+    dedup_minhash_lsh at high thresholds.
+    operators/dedup.py:prefix_filter_jaccard_pairs documents the
+    prefix-length math and the verify join.
+    """
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", t_num=4, t_den=5, shingle_k=3
+    )
+
+
+@register(
+    "fuzzy_join_blocked",
+    """
+    WITH canon AS (SELECT DISTINCT p_name FROM part),
+    probes AS (
+      SELECT DISTINCT SUBSTR(p_name, 1, LENGTH(p_name) - 1) AS probe_name
+      FROM canon),
+    cand AS (
+      SELECT p.probe_name, c.p_name AS matched_name,
+             CAST(LEVENSHTEIN(p.probe_name, c.p_name) AS BIGINT) AS lev
+      FROM probes p JOIN canon c
+        ON SUBSTR(p.probe_name, 1, 4) = SUBSTR(c.p_name, 1, 4)
+      WHERE LEVENSHTEIN(p.probe_name, c.p_name) <= 2),
+    r AS (
+      SELECT probe_name, matched_name, lev,
+             ROW_NUMBER() OVER (PARTITION BY probe_name
+                                ORDER BY lev ASC, matched_name ASC) AS rn
+      FROM cand)
+    SELECT probe_name, matched_name, lev FROM r WHERE rn = 1
+    """,
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — entity resolution of
+    corrupted part names (last char dropped) back to the canonical
+    dictionary: candidates meet ONLY inside a 4-char-prefix block (an
+    equi-join, never all-pairs), are verified with levenshtein ≤ 2
+    (identical classic DP in both engines), and the best match per
+    probe is picked with a full deterministic tiebreak.  At 100 TB the
+    block key is the shuffle key; skewed blocks get the same salting
+    treatment as any hot aggregation key.
+    """
+    part = _t(spark, sf_dir)["part"]
+    canon = part.select("p_name").distinct()
+    probes = canon.select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("probe_name")
+    ).distinct()
+    cand = (
+        probes.join(
+            canon,
+            F.substring(F.col("probe_name"), 1, 4)
+            == F.substring(F.col("p_name"), 1, 4),
+        )
+        .withColumn(
+            "lev", F.levenshtein(F.col("probe_name"), F.col("p_name")).cast("long")
+        )
+        .filter(F.col("lev") <= 2)
+        .select("probe_name", F.col("p_name").alias("matched_name"), "lev")
+    )
+    w = Window.partitionBy("probe_name").orderBy(
+        F.asc("lev"), F.asc("matched_name")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_name", "matched_name", "lev")
+    )
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             ROUND((e.value - s.s1 / CAST(s.n AS DOUBLE))
+                   / SQRT((CAST(s.n AS DOUBLE) * s.s2 - s.s1 * s.s1)
+                          / (CAST(s.n AS DOUBLE)
+                             * (CAST(s.n AS DOUBLE) - 1.0))), 6) AS zscore
+      FROM events e JOIN s USING (event_type))
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE ABS(zscore) >= 3.0
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: flag events more than 3
+    sample standard deviations from their event-type mean — the basic
+    distributional data-quality monitor.
+
+    Determinism recipe: Σx and Σx² are decimal-EXACT (the square is a
+    decimal×decimal product, never a rounded double; the 6-dp cast of
+    the raw double is the parity already proven by
+    window_moving_range_sum), so mean/variance start from
+    bit-identical doubles in both engines and every remaining op
+    ((n·S2 − S1²)/(n(n−1)), sqrt, the per-row z) is a
+    correctly-rounded IEEE op on identical inputs.  One scan, one
+    5-row broadcast join back — no second pass over the data.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1") / n_d
+    var = (n_d * F.col("s2") - F.col("s1") * F.col("s1")) / (n_d * (n_d - F.lit(1.0)))
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= F.lit(3.0))
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+@register(
+    "histogram_equidepth_prices",
+    """
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(8) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM b GROUP BY o_orderpriority, bucket
+    """,
+)
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value per priority
+    group — the optimizer-statistics primitive: 8 buckets of equal row
+    count with their [lo, hi] bounds.  NTILE over a fully-tiebroken
+    order is deterministic in both engines.
+
+    Scale note: the per-group sort distributes across groups (the
+    window key is the shuffle key); for a single global histogram at
+    100 TB swap in sampled range boundaries (Spark's range partitioner
+    pattern) and count between boundaries — same output contract.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(8).over(w).cast("long").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

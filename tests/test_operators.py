@@ -371,3 +371,57 @@ def test_auth_token_seal_open_and_routing(spark):
     # determinism: identical payload seals to the identical token (ECB)
     t2 = seal_requests(df, key).select("auth_token").first().auth_token
     assert sealed.select("auth_token").first().auth_token == t2
+
+
+def test_prefix_filter_jaccard_complete_vs_inverted_index(spark, sf_dir):
+    """Prefix filtering prunes candidates, never results: the pair set
+    and scores must equal the exhaustive inverted-index join."""
+    from ingest_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from ingest_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(dups)
+    base = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            aug, "text", "doc_id", shingle_k=3, threshold=0.8
+        ).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            aug, "text", "doc_id", t_num=4, t_den=5, shingle_k=3
+        ).collect()
+    }
+    assert pf == base and len(pf) > 0
+
+
+def test_fuzzy_blocked_levenshtein_parity_with_duckdb(spark):
+    """Spark and DuckDB levenshtein implement the same classic DP."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    pairs = [
+        ("kitten", "sitting"),
+        ("small ring", "small rin"),
+        ("blue bolt", "blue bole"),
+        ("", "abc"),
+        ("same", "same"),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    spark_d = [r["d"] for r in df.collect()]
+    con = duckdb.connect()
+    duck_d = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert spark_d == duck_d
