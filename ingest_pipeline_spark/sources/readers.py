@@ -185,3 +185,17 @@ def listing(
 
     rdd = spark.sparkContext.parallelize(seeds, max(1, min(num_partitions, len(seeds) or 1)))
     return spark.createDataFrame(rdd.mapPartitions(walk), schema)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source — Spark-native (no extra package), with the
+    same predicate-pushdown / column-pruning surface as parquet.  ORC
+    is the interchange format warehouse stacks (Hive/Trino) hand us;
+    reading it natively avoids a convert-to-parquet staging hop."""
+    return spark.read.orc(path)
+
+
+def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet directory scan (non-table data; the canonical
+    tables go through tables.load_table for NTZ normalization)."""
+    return spark.read.parquet(path)

@@ -168,3 +168,24 @@ def sheet_sink(
         },
     ).execute()
     return f"sheet:{spreadsheet_id}/{sheet_id}"  # pragma: no cover
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (Spark-native).  Distributed write — one file
+    per partition; repartition upstream to control file count."""
+    df.write.mode(mode).orc(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink with optional hive-style partitioning — the layout
+    that turns downstream equality filters on the partition columns
+    into directory pruning (no file even opened)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -131,3 +131,56 @@ def test_export_backup_battery_dispatch(spark, tmp_path):
     assert "u1" in body and "u5" in body and "u2" not in body
     js = glob.glob(arts["dataset_error"] + "/part-*.json")
     assert len(js) == 1 and "u2" in open(js[0]).read()
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    from ingest_pipeline_spark.sources.readers import read_orc
+    from ingest_pipeline_spark.sources.sinks import write_orc
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    # file sources surface everything nullable; names+types must survive
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_orc_scan_pushes_down_filters(spark, tmp_path):
+    """ORC scans must keep the same pushdown surface as parquet — a
+    filter on a scanned column shows up in PushedFilters."""
+    from ingest_pipeline_spark.sources.readers import read_orc
+    from ingest_pipeline_spark.sources.sinks import write_orc
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    path = str(tmp_path / "orc_pd")
+    write_orc(df, path)
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("k") == 3)
+        .select("id")
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80]
+
+
+def test_parquet_partitioned_sink_prunes_directories(spark, tmp_path):
+    from ingest_pipeline_spark.sources.sinks import write_parquet
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 4).alias("part"))
+    path = str(tmp_path / "pq_part")
+    write_parquet(df, path, partition_by=["part"])
+    back = spark.read.parquet(path).filter(F.col("part") == 2)
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # partition filter is applied at the file index, not as a data filter
+    assert "PartitionFilters" in plan
