@@ -104,6 +104,8 @@ HEADLINE = [
     "fuzzy_join_blocked",
     "anomaly_zscore_events",
     "histogram_equidepth_prices",
+    "geo_grid_join",
+    "incremental_join_maintenance",
 ]
 
 

@@ -6541,3 +6541,177 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join + incremental view maintenance (round 5 cont.)
+# ---------------------------------------------------------------------------
+
+# 2^52: 13 hex chars of md5 — exactly representable in a double (the
+# KMV hash construction), here used for synthetic planar coordinates.
+_GEO_SCALE = 4503599627370496.0
+_GEO_R = 0.02  # radius AND grid cell size (circle fits the 3x3 hood)
+_GEO_R2 = _GEO_R * _GEO_R  # computed once; embedded identically both sides
+
+
+def _geo_xy(prefix: str, key: str) -> tuple[Column, Column]:
+    """Deterministic uniform [0,1)² coordinates from md5 — exact
+    dyadic doubles, so both engines hold identical values."""
+    def u(axis: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{axis}:{prefix}:"), F.col(key).cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(_GEO_SCALE)
+        )
+
+    return u("x"), u("y")
+
+
+@register(
+    "geo_grid_join",
+    f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST('0x' || SUBSTR(MD5('x:c:' || c_custkey), 1, 13) AS BIGINT)
+               / {_GEO_SCALE!r} AS x,
+             CAST('0x' || SUBSTR(MD5('y:c:' || c_custkey), 1, 13) AS BIGINT)
+               / {_GEO_SCALE!r} AS y
+      FROM customer),
+    supp AS (
+      SELECT s_suppkey,
+             CAST('0x' || SUBSTR(MD5('x:s:' || s_suppkey), 1, 13) AS BIGINT)
+               / {_GEO_SCALE!r} AS x,
+             CAST('0x' || SUBSTR(MD5('y:s:' || s_suppkey), 1, 13) AS BIGINT)
+               / {_GEO_SCALE!r} AS y
+      FROM supplier),
+    cg AS (
+      SELECT c_custkey, x, y,
+             CAST(FLOOR(x / {_GEO_R!r}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_GEO_R!r}) AS BIGINT) AS cy
+      FROM cust),
+    sg AS (
+      SELECT s_suppkey, x, y,
+             CAST(FLOOR(x / {_GEO_R!r}) AS BIGINT) + ox AS cx,
+             CAST(FLOOR(y / {_GEO_R!r}) AS BIGINT) + oy AS cy
+      FROM supp, UNNEST([-1, 0, 1]) t1(ox), UNNEST([-1, 0, 1]) t2(oy))
+    SELECT sg.s_suppkey, cg.c_custkey,
+           ROUND(SQRT((sg.x - cg.x) * (sg.x - cg.x)
+                      + (sg.y - cg.y) * (sg.y - cg.y)), 6) AS dist
+    FROM sg JOIN cg ON sg.cx = cg.cx AND sg.cy = cg.cy
+    WHERE (sg.x - cg.x) * (sg.x - cg.x) + (sg.y - cg.y) * (sg.y - cg.y)
+          <= {_GEO_R2!r}
+    """,
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID BUCKETING: suppliers explode into
+    their 3×3 neighbor cells (cell size = radius, so the disc cannot
+    escape the neighborhood), candidates meet through a cell equi-join,
+    and the exact planar distance verifies — the standard distributed
+    spatial-join shape (points never cross-join; the shuffle key is the
+    cell).  Coordinates are md5-derived exact dyadic doubles, the
+    distance check is per-row IEEE on identical inputs, so the DuckDB
+    oracle reproduces every pair.  At 100 TB skewed cells (urban
+    hotspots) get the same salting treatment as any hot key; cell size
+    tracks the query radius.
+    """
+    t = _t(spark, sf_dir)
+    cx_, cy_ = _geo_xy("c", "c_custkey")
+    cust = t["customer"].select(
+        "c_custkey", cx_.alias("x"), cy_.alias("y")
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        F.floor(F.col("x") / F.lit(_GEO_R)).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(_GEO_R)).cast("long").alias("cy"),
+    )
+    sx_, sy_ = _geo_xy("s", "s_suppkey")
+    offs = F.expr("explode(array(-1, 0, 1))")
+    supp = (
+        t["supplier"]
+        .select("s_suppkey", sx_.alias("x"), sy_.alias("y"))
+        .withColumn("ox", offs)
+        .withColumn("oy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            "s_suppkey",
+            "x",
+            "y",
+            (F.floor(F.col("x") / F.lit(_GEO_R)).cast("long") + F.col("ox")).alias("cx"),
+            (F.floor(F.col("y") / F.lit(_GEO_R)).cast("long") + F.col("oy")).alias("cy"),
+        )
+    )
+    dx = F.col("s.x") - F.col("c.x")
+    dy = F.col("s.y") - F.col("c.y")
+    d2 = dx * dx + dy * dy
+    return (
+        supp.alias("s")
+        .join(cust.alias("c"), ["cx", "cy"])
+        .filter(d2 <= F.lit(_GEO_R2))
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join aggregate: the engine
+    maintains agg(orders ⋈ lineitem) as a materialized state and folds
+    in delta partitions WITHOUT rejoining history, via the identity
+    Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB.  Here both tables are split
+    at 1997-07-01 (order date / ship date); the returned result is
+    merge(state, delta-aggregates) — and the oracle is the DIRECT full
+    join+agg, so a hash match PROVES the maintenance identity
+    bit-for-bit (decimal-exact partials survive any merge order).
+    At 100 TB this is the nightly-ingest pattern: the three delta
+    joins touch only new partitions of one side each.
+    """
+    t = _t(spark, sf_dir)
+    cut = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    o_old = t["orders"].filter(F.col("o_orderdate") < cut)
+    o_new = t["orders"].filter(F.col("o_orderdate") >= cut)
+    l_old = t["lineitem"].filter(F.col("l_shipdate") < cut)
+    l_new = t["lineitem"].filter(F.col("l_shipdate") >= cut)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+    def part(o: DataFrame, li: DataFrame) -> DataFrame:
+        return (
+            o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"), F.sum(rev).alias("rev_dec"))
+        )
+
+    state = part(o_old, l_old)  # the standing materialized view
+    deltas = [part(o_new, l_old), part(o_old, l_new), part(o_new, l_new)]
+    merged = state
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )

@@ -73,3 +73,45 @@ def test_range_join_plan_is_equi_join(spark):
     # the interval predicate must NOT be the join itself — it's a
     # post-join codegen filter over the (key, bucket) equi-join
     assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_geo_grid_join_complete_vs_brute_force(spark, sf_dir):
+    """Grid bucketing is candidate pruning only: the pair set must
+    equal the brute-force all-pairs radius filter."""
+    from ingest_pipeline_spark.queries import queries
+    from ingest_pipeline_spark.tables import register_views
+    from pyspark.sql import functions as F
+
+    out = {
+        (r["s_suppkey"], r["c_custkey"])
+        for r in queries()["geo_grid_join"](spark, sf_dir).collect()
+    }
+    t = register_views(spark, sf_dir)
+    scale = 4503599627370496.0
+
+    def xy(prefix, key):
+        def u(axis):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{axis}:{prefix}:"), F.col(key).cast("string"))),
+                        1, 13,
+                    ), 16, 10,
+                ).cast("long") / F.lit(scale)
+            )
+        return u("x"), u("y")
+
+    cx, cy = xy("c", "c_custkey")
+    sx, sy = xy("s", "s_suppkey")
+    cust = t["customer"].select("c_custkey", cx.alias("x"), cy.alias("y"))
+    supp = t["supplier"].select("s_suppkey", sx.alias("x"), sy.alias("y"))
+    dx = F.col("s.x") - F.col("c.x")
+    dy = F.col("s.y") - F.col("c.y")
+    brute = {
+        (r["s_suppkey"], r["c_custkey"])
+        for r in supp.alias("s")
+        .crossJoin(cust.alias("c"))
+        .filter(dx * dx + dy * dy <= F.lit(0.02 * 0.02))
+        .collect()
+    }
+    assert out == brute and len(out) > 0
