@@ -106,6 +106,7 @@ HEADLINE = [
     "histogram_equidepth_prices",
     "geo_grid_join",
     "incremental_join_maintenance",
+    "sample_weighted_orders",
 ]
 
 

@@ -77,3 +77,45 @@ def hash_sample(
     if fraction is None:
         raise ValueError("need fraction or (stratum_col, fractions)")
     return df.filter(u < F.lit(float(fraction)))
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per stratum — the
+    Efraimidis-Spirakis A-ES scheme: each row draws an exponential key
+    ``-ln(u)/w`` (u uniform from a content hash, w the row's weight)
+    and the k SMALLEST keys per stratum win; inclusion probability is
+    proportional to weight, with no sequential pass.
+
+    Distributed shape: keys are per-row expressions, the per-stratum
+    top-k runs through a WindowGroupLimit (partial map-side prune →
+    each task forwards ≤ k rows per stratum) — the same
+    O(strata × k)-shuffle shape as the deterministic reservoir.
+    Determinism: u is md5-derived ((h+1)/(2^52+1), never 0), the key is
+    rounded to 9 dp BEFORE ranking (absorbs any sub-ulp LN divergence
+    between engines) and ties break on the id — so the sample is a
+    pure function of the data, reproducible anywhere, and
+    oracle-checkable.  Rows with non-positive weight are excluded
+    (their key would be infinite/undefined).
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(4503599627370497.0)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.asc("wkey"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wkey", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

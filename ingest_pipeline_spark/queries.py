@@ -6715,3 +6715,38 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_dec").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "sample_weighted_orders",
+    """
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROUND(-LN((CAST('0x' || SUBSTR(MD5(o_orderkey::VARCHAR), 1, 13)
+                             AS BIGINT) + 1) / 4503599627370497.0)
+                   / o_totalprice, 9) AS wkey
+      FROM orders WHERE o_totalprice > 0),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, wkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY wkey ASC, o_orderkey ASC) AS rn
+      FROM keyed)
+    SELECT o_orderpriority, o_orderkey, o_totalprice, wkey
+    FROM r WHERE rn <= 10
+    """,
+)
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (10 per priority group,
+    inclusion ∝ o_totalprice) via Efraimidis-Spirakis exponential keys
+    — deterministic, mergeable (min-k keys), oracle-exact.
+    operators/sampling.py:weighted_sample_aes documents the key
+    construction and the WindowGroupLimit shuffle bound.
+    """
+    from .operators.sampling import weighted_sample_aes
+
+    o = _t(spark, sf_dir)["orders"].select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return weighted_sample_aes(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", k=10
+    )

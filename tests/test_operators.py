@@ -425,3 +425,25 @@ def test_fuzzy_blocked_levenshtein_parity_with_duckdb(spark):
         for a, b in pairs
     ]
     assert spark_d == duck_d
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES inclusion probability tracks weight: with 50 rows at
+    weight 1000 among 950 at weight 1, a k=25 sample is dominated by
+    the heavy rows (deterministic data, deterministic draw)."""
+    from ingest_pipeline_spark.operators.sampling import weighted_sample_aes
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"),
+        F.col("id"),
+        F.when(F.col("id") < 50, 1000.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample_aes(df, "grp", "w", "id", k=25).collect()
+    assert len(out) == 25
+    heavy = sum(1 for r in out if r["id"] < 50)
+    assert heavy >= 20, heavy
+    # zero/negative weights never sampled
+    df2 = df.withColumn("w", F.when(F.col("id") < 990, 0.0).otherwise(1.0))
+    out2 = weighted_sample_aes(df2, "grp", "w", "id", k=25).collect()
+    assert all(r["id"] >= 990 for r in out2) and len(out2) == 10

@@ -24,6 +24,14 @@ REPRESENTATIVE = [
     "agg_salted_hot_keys",
     "tfidf_top_terms",
     "merge_upsert_orders",
+    # r5 late additions: decimal moments feeding IEEE z-scores, integer
+    # sketch registers, IVM partial-agg merge, prune-verify similarity
+    # join, exponential-key weighted sampling
+    "anomaly_zscore_events",
+    "sketch_hll_distinct",
+    "incremental_join_maintenance",
+    "dedup_prefix_jaccard",
+    "sample_weighted_orders",
 ]
 
 

@@ -473,3 +473,24 @@ def test_streaming_hopping_windows_matches_batch(spark, sf_dir):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+
+def test_streaming_cms_counters_match_batch(spark, sf_dir):
+    """The count-min grid is a pure streaming aggregation (counters
+    merge by addition), so the streamed grid must equal the batch grid
+    bit-for-bit."""
+    from ingest_pipeline_spark.operators.sketches import cms_counters
+    from ingest_pipeline_spark.streaming.events import run_stream_once
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = run_stream_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw.schema,
+        lambda src: cms_counters(src, "user_id", d=4, w=64),
+        "cms_stream_test",
+    )
+    expected = cms_counters(raw, "user_id", d=4, w=64)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
