@@ -107,6 +107,10 @@ HEADLINE = [
     "geo_grid_join",
     "incremental_join_maintenance",
     "sample_weighted_orders",
+    "skyline_pareto_parts",
+    "join_salted_hot_events",
+    "stats_correlation_lineitem",
+    "stats_chi2_independence",
 ]
 
 

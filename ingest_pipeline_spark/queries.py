@@ -6750,3 +6750,228 @@ def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_aes(
         o, "o_orderpriority", "o_totalprice", "o_orderkey", k=10
     )
+
+
+@register(
+    "skyline_pareto_parts",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice, p_size FROM part),
+    m AS (
+      SELECT p_retailprice, p_size,
+             MAX(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS best_prev
+      FROM pts)
+    SELECT p_retailprice, p_size FROM m
+    WHERE best_prev IS NULL OR best_prev < p_size
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (minimize price, maximize size) in ONE sorted
+    window pass — no dominance self-join: after ordering by
+    (price asc, size desc), a point is dominated exactly when some
+    predecessor has size ≥ its own (any such predecessor has ≤ price,
+    and on distinct points the tie case collapses to strictly-better),
+    so the skyline is a running-max comparison.
+
+    Scale: O(n log n) via Spark's distributed range-partitioned sort
+    instead of the O(n²) block-nested dominance join; for >2
+    objectives, run this per grid cell then skyline the union of the
+    (small) local skylines — same operator, two rounds.
+    """
+    part = _t(spark, sf_dir)["part"]
+    pts = part.select("p_retailprice", "p_size").distinct()
+    w = (
+        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best_prev", F.max("p_size").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size")))
+        .select("p_retailprice", "p_size")
+    )
+
+
+@register(
+    "join_salted_hot_events",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(weight AS DOUBLE) AS weight
+      FROM (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                   ('signup', 5.0), ('error', 0.0))
+             AS t(event_type, weight))
+    SELECT e.event_type, d.weight,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight
+    """,
+)
+def join_salted_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN on a pathologically hot key: events has only 5
+    distinct event_types, so an unsalted shuffle join tops out at 5
+    reducers however many executors exist.  explode_salt_join spreads
+    each key over 32 (key, salt) buckets (small side replicated 32×) —
+    and the oracle is the PLAIN join + aggregate, proving the salt is
+    distribution-only: the result is identical for ANY salt assignment,
+    which is also why the partition-dependent rand() salt is safe here.
+    Completes the skew toolkit next to agg_salted_hot_keys (the
+    aggregation case).
+    """
+    from .operators.skew import explode_salt_join
+
+    ev = _t(spark, sf_dir)["events"]
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    joined = explode_salt_join(ev, dim, "event_type", salt_buckets=32)
+    return joined.groupBy("event_type", "weight").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stats_correlation_lineitem",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag — the column-profiling statistic — computed from five
+    decimal-EXACT co-moment sums in ONE scan (every product is
+    decimal×decimal, never a rounded double), then finalized with
+    identically-structured IEEE ops, so the result hash-matches DuckDB
+    exactly (Spark's own corr() aggregates in floating point and
+    cannot make that guarantee).  Co-moments are also mergeable state:
+    the same five sums fold across partitions/days like
+    incremental_rollup_orders.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    qx = F.col("l_quantity").cast("decimal(18,2)")
+    py = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(py).cast("double").alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(py * py).cast("double").alias("syy"),
+        F.sum(qx * py).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    corr = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", F.col("n"), F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY c),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS ntot FROM cells),
+    terms AS (
+      SELECT cells.r, cells.c,
+             ROUND((CAST(obs AS DOUBLE)
+                    - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)
+                      / CAST(ntot AS DOUBLE))
+                   * (CAST(obs AS DOUBLE)
+                      - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)
+                        / CAST(ntot AS DOUBLE))
+                   / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)
+                      / CAST(ntot AS DOUBLE)), 9) AS term
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_cols,
+             CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      FROM terms)
+    SELECT ROUND(chi2, 6) AS chi2,
+           (n_rows - 1) * (n_cols - 1) AS dof
+    FROM agg
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order priority and order
+    status — the categorical-association profiling statistic.  The
+    contingency table is one 2-key count aggregation; marginals and N
+    are re-aggregations of the TINY cell table (never a second scan);
+    each (obs−exp)²/exp term is per-row IEEE on identical doubles,
+    rounded 9 dp, and cross-cell accumulation is decimal — the
+    entropy/tfidf determinism recipe.  The 1-row marginal/total joins
+    broadcast.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count("*").alias("obs"))
+    cells = cells.localCheckpoint(eager=True)  # 15 rows feed 4 consumers
+    rt = cells.groupBy("r").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("c").agg(F.sum("obs").alias("ctot"))
+    n = cells.groupBy().agg(F.sum("obs").alias("ntot"))
+    exp = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("ntot").cast("double")
+    )
+    term = F.round(
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp,
+        9,
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"))
+    )
+    dims = cells.agg(
+        F.countDistinct("r").alias("n_rows"), F.countDistinct("c").alias("n_cols")
+    )
+    return (
+        terms.agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        )
+    )

@@ -447,3 +447,39 @@ def test_weighted_sample_favors_heavy_rows(spark):
     df2 = df.withColumn("w", F.when(F.col("id") < 990, 0.0).otherwise(1.0))
     out2 = weighted_sample_aes(df2, "grp", "w", "id", k=25).collect()
     assert all(r["id"] >= 990 for r in out2) and len(out2) == 10
+
+
+def test_skyline_window_equals_dominance_definition(spark, sf_dir):
+    """The one-pass running-max skyline must equal the textbook
+    NOT-EXISTS dominance definition."""
+    from ingest_pipeline_spark.queries import queries
+    from ingest_pipeline_spark.tables import register_views
+    from pyspark.sql import functions as F
+
+    out = {
+        (r["p_retailprice"], r["p_size"])
+        for r in queries()["skyline_pareto_parts"](spark, sf_dir).collect()
+    }
+    pts = (
+        register_views(spark, sf_dir)["part"]
+        .select("p_retailprice", "p_size")
+        .distinct()
+    )
+    x, y = pts.alias("x"), pts.alias("y")
+    dominated = (
+        x.join(
+            y,
+            (F.col("y.p_retailprice") <= F.col("x.p_retailprice"))
+            & (F.col("y.p_size") >= F.col("x.p_size"))
+            & (
+                (F.col("y.p_retailprice") < F.col("x.p_retailprice"))
+                | (F.col("y.p_size") > F.col("x.p_size"))
+            ),
+            "leftsemi",
+        )
+    )
+    brute = {
+        (r["p_retailprice"], r["p_size"])
+        for r in pts.exceptAll(dominated).collect()
+    }
+    assert out == brute and len(out) > 0

@@ -32,6 +32,9 @@ REPRESENTATIVE = [
     "incremental_join_maintenance",
     "dedup_prefix_jaccard",
     "sample_weighted_orders",
+    # salted join: rand() salt is partition-dependent BY DESIGN; the
+    # result must still be invariant (salt is distribution-only)
+    "join_salted_hot_events",
 ]
 
 
