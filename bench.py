@@ -111,6 +111,8 @@ HEADLINE = [
     "join_salted_hot_events",
     "stats_correlation_lineitem",
     "stats_chi2_independence",
+    "quality_logistic_score",
+    "mine_hard_negatives",
 ]
 
 

@@ -650,3 +650,56 @@ def pq_topk_det(
             "rank",
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the single
+    most-similar corpus vector with a DIFFERENT label — the pair a
+    metric-learning loss learns the most from.
+
+    Same plan discipline as cosine_topk (norms precomputed per row
+    before the broadcast pair join, score rounded BEFORE ranking,
+    full tiebreak), plus the label-inequality predicate inside the
+    join so same-label pairs never materialize.  Returns
+    (query_id, query_label, negative_id, negative_label, cosine_sim).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        round_decimals,
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.col("query_label") != F.col("negative_label"),
+        )
+        .select("query_id", "query_label", "negative_id", "negative_label", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -6975,3 +6975,142 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
         )
     )
+
+
+@register(
+    "quality_logistic_score",
+    """
+    WITH f AS (
+      SELECT doc_id, source,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit,
+             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents),
+    z AS (
+      SELECT doc_id, source,
+             ROUND(CAST(-3.0 AS DOUBLE)
+                   + CAST(0.55 AS DOUBLE)
+                     * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   - CAST(6.0 AS DOUBLE)
+                     * (CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   - CAST(2.5 AS DOUBLE)
+                     * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   + CAST(0.002 AS DOUBLE) * CAST(n_tok AS DOUBLE), 6)
+               AS zscore
+      FROM f WHERE n_tok > 0 AND n_chars > 0),
+    lab AS (
+      SELECT source,
+             CASE WHEN zscore >= 1.5 THEN 'high'
+                  WHEN zscore >= 0.0 THEN 'medium'
+                  ELSE 'low' END AS label,
+             zscore
+      FROM z)
+    SELECT source, label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(zscore AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_z
+    FROM lab GROUP BY source, label
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference pushed into the scan: a linear quality
+    classifier (logistic-regression logit over cheap text features)
+    scored per document in pure column arithmetic, then thresholded
+    into keep/review/drop buckets and census'd per source.
+
+    The sigmoid is deliberately NOT materialized: engines disagree on
+    EXP by 1 ulp (~10% of values, measured), but sigmoid is monotone in
+    z, so every decision boundary is a z threshold — the hashed output
+    is exact-parity arithmetic only (ratios of ints, weighted sum,
+    6-dp round).  This is the 100 TB pattern for applying a trained
+    filter model to a corpus: weights ride the plan as literals (or a
+    broadcast row for many features), zero Python, zero shuffle before
+    the tiny census agg.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    n_chars = F.length("text")
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    f = docs.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tok"),
+        n_digit.alias("n_digit"),
+        n_punct.alias("n_punct"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    z = F.round(
+        F.lit(-3.0)
+        + F.lit(0.55) * (F.col("n_chars").cast("double") / F.col("n_tok").cast("double"))
+        - F.lit(6.0) * (F.col("n_digit").cast("double") / F.col("n_chars").cast("double"))
+        - F.lit(2.5) * (F.col("n_punct").cast("double") / F.col("n_chars").cast("double"))
+        + F.lit(0.002) * F.col("n_tok").cast("double"),
+        6,
+    )
+    lab = f.select(
+        "source",
+        z.alias("zscore"),
+    ).select(
+        "source",
+        F.when(F.col("zscore") >= 1.5, "high")
+        .when(F.col("zscore") >= 0.0, "medium")
+        .otherwise("low")
+        .alias("label"),
+        "zscore",
+    )
+    return lab.groupBy("source", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("zscore").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_z"),
+    )
+
+
+@register(
+    "mine_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS negative_id, label AS negative_label,
+                 embedding AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, query_label, negative_id, negative_label,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qv, cv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+               / (SQRT(LIST_REDUCE(LIST_TRANSFORM(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+                * SQRT(LIST_REDUCE(LIST_TRANSFORM(cv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))),
+               6) AS cosine_sim
+      FROM q, c WHERE query_label <> negative_label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC,
+                                            negative_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, query_label, negative_id, negative_label, cosine_sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the embedding table: per
+    query, the most-similar vector carrying a DIFFERENT label — the
+    embedding-training data-prep step that complements the dedup/ANN
+    suite.  operators/similarity.py:hard_negatives documents the plan
+    (precomputed norms, broadcast pair join with the label-inequality
+    predicate inside it, rounded-then-tiebroken top-1).  At corpus
+    scale the exact pair join swaps for the LSH/IVF candidate stages,
+    same as the ANN path.
+    """
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20))
