@@ -199,3 +199,32 @@ def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet directory scan (non-table data; the canonical
     tables go through tables.load_table for NTZ normalization)."""
     return spark.read.parquet(path)
+
+
+def read_json_with_deadletter(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest that never drops OR poisons a batch: rows
+    parse PERMISSIVE against the expected schema, malformed lines land
+    whole in a ``_corrupt_record`` column, and the caller gets
+    (good_rows, dead_letters) — route the latter to a quarantine sink
+    instead of failing the job (the 100 TB reality: some fraction of
+    any crawl is malformed, and a fail-fast reader turns one bad line
+    into a dead pipeline).
+    """
+    full = schema.add("_corrupt_record", T.StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # caching before the split is required: Spark's JSON parser may
+    # otherwise re-parse per branch and corrupt-record pushdown rules
+    # forbid filtering on the corrupt column alone over a fresh scan
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad

@@ -218,3 +218,43 @@ def interval_join_stream(
         )
     )
     return l_src.join(r_src, cond, "inner").drop(r_src[key])
+
+
+def idempotent_parquet_sink(
+    out: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> "object":
+    """Exactly-once file delivery for a streaming query: each
+    micro-batch lands in a ``batch_id=<n>`` subdirectory via
+    dynamic-partition OVERWRITE inside foreachBatch, so a replayed
+    batch (failure between write and checkpoint commit) rewrites the
+    SAME directory instead of appending duplicates — idempotent
+    retry + the streaming checkpoint's batch tracking = exactly-once
+    output, the production contract a plain append parquet sink can't
+    give.  Readers see ``spark.read.parquet(path)`` with ``batch_id``
+    as a partition column they can also prune on.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    return (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

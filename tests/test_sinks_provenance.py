@@ -184,3 +184,23 @@ def test_parquet_partitioned_sink_prunes_directories(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     # partition filter is applied at the file index, not as a data filter
     assert "PartitionFilters" in plan
+
+
+def test_json_deadletter_splits_good_and_bad(spark, tmp_path):
+    from ingest_pipeline_spark.sources.readers import read_json_with_deadletter
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        'not json at all\n'
+        '{"id": broken\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    good, bad = read_json_with_deadletter(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2 and "not json at all" in bad_rows[0]
