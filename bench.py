@@ -113,6 +113,7 @@ HEADLINE = [
     "stats_chi2_independence",
     "quality_logistic_score",
     "mine_hard_negatives",
+    "scd2_point_in_time_join",
 ]
 
 

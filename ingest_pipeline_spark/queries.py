@@ -7114,3 +7114,79 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir)["embeddings"]
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 20))
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events WHERE event_type IN ('signup', 'error')),
+    changes AS (
+      SELECT user_id, status, ts, event_id FROM ordered
+      WHERE prev_status IS NULL OR status <> prev_status),
+    versioned AS (
+      SELECT user_id, status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes),
+    facts AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT f.user_id, f.event_id,
+           COALESCE(v.status, 'unknown') AS status_at_time
+    FROM facts f LEFT JOIN versioned v
+      ON f.user_id = v.user_id
+     AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) enrichment against an SCD2 dimension:
+    every purchase fact picks up the account status (last signup/error
+    state) valid AT ITS TIMESTAMP via a [valid_from, valid_to)
+    containment join; facts before any status version read 'unknown'.
+
+    The half-open intervals partition each user's timeline, so the
+    containment join matches at most one version per fact — no
+    dedup/rank needed.  Scale shape: equi-join on user_id carries the
+    interval predicate as a residual filter (versions per user are
+    few); this is the warehouse pattern joining an append-only fact
+    stream to dimension HISTORY rather than its current snapshot.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    dim = ev.filter(F.col("event_type").isin("signup", "error"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        dim.select("user_id", F.col("event_type").alias("status"), "ts", "event_id")
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+    )
+    versioned = changes.select(
+        F.col("user_id").alias("v_user"),
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        facts.join(
+            versioned,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("status"), F.lit("unknown")).alias("status_at_time"),
+        )
+    )
