@@ -114,6 +114,7 @@ HEADLINE = [
     "quality_logistic_score",
     "mine_hard_negatives",
     "scd2_point_in_time_join",
+    "zorder_locality_stats",
 ]
 
 

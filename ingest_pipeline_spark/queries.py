@@ -7190,3 +7190,102 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("status"), F.lit("unknown")).alias("status_at_time"),
         )
     )
+
+
+def _morton_sql_terms(xn: str, yn: str, bits: int = 8) -> str:
+    """16-term integer bit-interleave, mirroring operators.zorder
+    zorder_key's layout (col j's bit i lands at position i*n + j)."""
+    return " + ".join(
+        f"(({xn} // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (({yn} // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+@register(
+    "zorder_locality_stats",
+    f"""
+    WITH stats AS (
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo_c,
+             MAX(CAST(o_custkey AS DOUBLE)) AS hi_c,
+             MIN(CAST(FLOOR(EPOCH(o_orderdate)) AS DOUBLE)) AS lo_d,
+             MAX(CAST(FLOOR(EPOCH(o_orderdate)) AS DOUBLE)) AS hi_d
+      FROM orders),
+    norm AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS d_epoch,
+             LEAST(GREATEST(CAST(ROUND(
+               (CAST(o_custkey AS DOUBLE) - lo_c)
+               / (CASE WHEN hi_c = lo_c THEN 1.0 ELSE hi_c - lo_c END)
+               * 255.0, 0) AS BIGINT), 0), 255) AS xn,
+             LEAST(GREATEST(CAST(ROUND(
+               (CAST(FLOOR(EPOCH(o_orderdate)) AS DOUBLE) - lo_d)
+               / (CASE WHEN hi_d = lo_d THEN 1.0 ELSE hi_d - lo_d END)
+               * 255.0, 0) AS BIGINT), 0), 255) AS yn
+      FROM orders CROSS JOIN stats),
+    keyed AS (
+      SELECT o_orderkey, o_custkey, d_epoch,
+             ({_morton_sql_terms('xn', 'yn')}) AS zkey
+      FROM norm)
+    SELECT zkey // 256 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(o_custkey) - MIN(o_custkey) AS cust_span,
+           MAX(d_epoch) - MIN(d_epoch) AS date_span
+    FROM keyed GROUP BY zkey // 256
+    """,
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout audit: interleave 8-bit-normalized
+    (customer, order date) into one curve key and report, per
+    256-key curve segment, how tight BOTH dimensions' value spans are
+    — the locality property that makes multi-column min/max file
+    skipping work after a z-order rewrite (operators/zorder.py
+    cluster_by_zorder materializes that layout; this query
+    oracle-checks the key math and quantifies the benefit).
+    One scan + a broadcast 1-row stats join + one keyed agg.
+    """
+    from .operators.zorder import zorder_key
+
+    o = _t(spark, sf_dir)["orders"]
+    stats = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo_c"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi_c"),
+        F.min(F.unix_timestamp("o_orderdate").cast("double")).alias("lo_d"),
+        F.max(F.unix_timestamp("o_orderdate").cast("double")).alias("hi_d"),
+    )
+
+    def norm(col: Column, lo: Column, hi: Column) -> Column:
+        span = F.when(hi == lo, F.lit(1.0)).otherwise(hi - lo)
+        scaled = (col.cast("double") - lo) / span * F.lit(255.0)
+        return F.least(
+            F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)), F.lit(255)
+        )
+
+    keyed = (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("d_epoch"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "d_epoch",
+            zorder_key(
+                [
+                    norm(F.col("o_custkey"), F.col("lo_c"), F.col("hi_c")),
+                    norm(F.col("d_epoch"), F.col("lo_d"), F.col("hi_d")),
+                ],
+                8,
+            ).alias("zkey"),
+        )
+    )
+    return (
+        keyed.groupBy(F.floor(F.col("zkey") / F.lit(256)).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("cust_span"),
+            (F.max("d_epoch") - F.min("d_epoch")).alias("date_span"),
+        )
+    )

@@ -160,6 +160,7 @@ BNLJ_BY_DESIGN = {
     "tfidf_top_terms",          # broadcast 1-row corpus doc count
     "mine_hard_negatives",      # broadcast query vectors, label<>label pred
     "stats_chi2_independence",  # broadcast 1-row N total + 1-row dims
+    "zorder_locality_stats",    # broadcast 1-row min/max stats
 }
 
 

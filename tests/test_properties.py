@@ -249,3 +249,65 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
     }
     assert salted == plain
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60))
+@_SETTINGS
+def test_cms_never_underestimates_any_multiset(spark, vals):
+    """CMS point estimates are >= true frequency for ANY input."""
+    from collections import Counter
+
+    from ingest_pipeline_spark.operators.sketches import cms_counters, cms_estimate
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    counters = cms_counters(df, "k", d=3, w=16)
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(counters, df.distinct(), "k", d=3, w=16).collect()
+    }
+    truth = Counter(vals)
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        assert est[k] >= n
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+)
+@_SETTINGS
+def test_bloom_never_false_negative_any_sets(spark, members, probes):
+    from ingest_pipeline_spark.operators.sketches import bloom_bits, bloom_probe
+
+    b = spark.createDataFrame([(v,) for v in members], "k long")
+    p = spark.createDataFrame([(v,) for v in probes], "k long")
+    bits = bloom_bits(b, "k", k=3, m=256)
+    out = {r["k"]: r["is_candidate"] for r in bloom_probe(p, "k", bits, k=3, m=256).collect()}
+    for v in probes & members:
+        assert out[v], f"false negative on {v}"
+
+
+@given(vals=st.sets(st.text(alphabet="abcdef012345", min_size=1, max_size=10), min_size=1, max_size=50))
+@_SETTINGS
+def test_hll_merge_identity_any_split(spark, vals):
+    """finalize(max-merge(registers(A), registers(B))) == hll(A∪B) for
+    ANY value set and ANY split of it."""
+    from ingest_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    vs = sorted(vals)
+    half = len(vs) // 2
+    a = spark.createDataFrame([("g", v) for v in vs[:half]] or [("g", vs[0])], "grp string, v string")
+    b = spark.createDataFrame([("g", v) for v in vs[half:]], "grp string, v string")
+    direct = hll_distinct(a.union(b), "grp", "v").collect()[0]
+    merged_regs = (
+        hll_registers(a, "grp", "v")
+        .union(hll_registers(b, "grp", "v"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    merged = hll_estimate(merged_regs, "grp").collect()[0]
+    assert direct["est_distinct"] == merged["est_distinct"]
