@@ -115,6 +115,8 @@ HEADLINE = [
     "mine_hard_negatives",
     "scd2_point_in_time_join",
     "zorder_locality_stats",
+    "events_rolling_active_users",
+    "sketch_hll_set_algebra",
 ]
 
 

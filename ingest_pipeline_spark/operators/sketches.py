@@ -94,11 +94,14 @@ _HLL_M = 1 << _HLL_P                 # 32 registers
 _HLL_REM_BITS = 32 - _HLL_P         # 27 bits feed the leading-zero rank
 _HLL_RHO_MAX = _HLL_REM_BITS + 1    # all-zero remainder
 _HLL_ALPHA = 0.697                  # alpha_32, Flajolet et al. 2007 fig.
-# Numerator of the raw estimator alpha*m^2/Z where Z = Z_scaled/2^rem_bits;
-# computed once in Python so Spark and the DuckDB oracle embed the SAME
+# Numerator of the raw estimator alpha*m^2/Z where Z = Z_scaled/2^rho_max
+# (every register term is coded as 2^(rho_max - mj), so the integer Z is
+# scaled by 2^rho_max — NOT 2^rem_bits; getting this wrong halves every
+# estimate, caught by test_hll_matches_reference_implementation).
+# Computed once in Python so Spark and the DuckDB oracle embed the SAME
 # double literal instead of re-deriving it with possibly different
 # literal-typing rules (DuckDB parses bare 0.697 as DECIMAL).
-HLL_RAW_NUMERATOR = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << _HLL_REM_BITS)
+HLL_RAW_NUMERATOR = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << _HLL_RHO_MAX)
 
 
 def _hash32(col: "F.Column") -> "F.Column":

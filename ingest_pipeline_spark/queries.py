@@ -7289,3 +7289,162 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("d_epoch") - F.min("d_epoch")).alias("date_span"),
         )
     )
+
+
+@register(
+    "events_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    contrib AS (
+      SELECT day + o * INTERVAL 1 DAY AS win_day, user_id
+      FROM du, UNNEST([0, 1, 2, 3, 4, 5, 6]) t(o)),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN contrib c ON c.win_day = d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the W-AU metric.
+
+    Distinct counts do NOT slide (a user active twice in a window
+    counts once), so no window frame works; the distributed shape is
+    contribution fan-out: each distinct (day, user) pair contributes
+    to the 7 window-days it is visible in (one 7× explode), then one
+    (day, user)-distinct aggregation per window.  The shuffle carries
+    7 × |distinct day-user pairs| — independent of raw event volume —
+    and days with no events simply don't appear (the spine join keeps
+    output days = observed days).  At 100 TB swap the exact distinct
+    for the HLL registers (sketch_hll_distinct) merged across the 7
+    days — same fan-out, constant-size state.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("o")).alias("win_day"), "user_id")
+    days = du.select("day").distinct()
+    return (
+        days.join(contrib, F.col("win_day") == F.col("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+_HLL_EST_CASE = """
+      ROUND(CASE WHEN (CAST({num} AS DOUBLE)
+                       / CAST(z + (32 - n_present) * 268435456 AS DOUBLE)) <= 80.0
+                  AND (32 - n_present) > 0
+            THEN 32.0 * LN(32.0 / CAST(32 - n_present AS DOUBLE))
+            ELSE CAST({num} AS DOUBLE)
+                 / CAST(z + (32 - n_present) * 268435456 AS DOUBLE)
+            END, 6)
+"""
+
+
+@register(
+    "sketch_hll_set_algebra",
+    f"""
+    WITH src AS (
+      SELECT CASE WHEN YEAR(o_orderdate) = 1995 THEN 'y1995' ELSE 'y1998' END
+               AS grp,
+             o_custkey
+      FROM orders WHERE YEAR(o_orderdate) IN (1995, 1998)),
+    base AS (
+      SELECT grp,
+             CAST('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+      FROM src),
+    b AS (SELECT grp, h // 134217728 AS bucket, h % 134217728 AS rem FROM base),
+    r AS (SELECT grp, bucket,
+                 MAX(CASE WHEN rem = 0 THEN 28
+                          ELSE 28 - LENGTH(BIN(rem)) END) AS mj
+          FROM b GROUP BY grp, bucket),
+    ru AS (SELECT 'both' AS grp, bucket, MAX(mj) AS mj FROM r GROUP BY bucket),
+    allr AS (SELECT * FROM r UNION ALL SELECT * FROM ru),
+    agg AS (SELECT grp, COUNT(*) AS n_present,
+                   CAST(SUM(CAST(POW(2.0, 28 - mj) AS BIGINT)) AS BIGINT) AS z
+            FROM allr GROUP BY grp),
+    e AS (SELECT grp, {_HLL_EST_CASE.format(num=repr(_HLL_NUM))} AS est
+          FROM agg),
+    piv AS (
+      SELECT MAX(CASE WHEN grp = 'y1995' THEN est END) AS est_a,
+             MAX(CASE WHEN grp = 'y1998' THEN est END) AS est_b,
+             MAX(CASE WHEN grp = 'both' THEN est END) AS est_union
+      FROM e),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1998) t)
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 6) AS est_intersection,
+           exact_intersection
+    FROM piv CROSS JOIN exact
+    """,
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra for join-size estimation: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B), where the union sketch is just the max-merge of
+    the two register sets — no data rescan.  This is how a planner (or
+    a pre-join audit) sizes an intersection from per-partition sketch
+    state alone; the exact intersection rides along to show the error.
+    Registers and estimates reuse operators/sketches.py:hll_registers /
+    hll_estimate; everything is one scan of the two event slices plus
+    32-row register reshuffles.
+    """
+    from .operators.sketches import hll_estimate, hll_registers
+
+    o = _t(spark, sf_dir)["orders"]
+    src = (
+        o.filter(F.year("o_orderdate").isin(1995, 1998))
+        .select(
+            F.when(F.year("o_orderdate") == 1995, "y1995")
+            .otherwise("y1998")
+            .alias("grp"),
+            F.col("o_custkey").cast("string").alias("uid"),
+        )
+    )
+    regs = hll_registers(src, "grp", "uid")
+    regs = regs.localCheckpoint(eager=True)  # feeds per-set + union merges
+    union_regs = regs.groupBy("bucket").agg(F.max("mj").alias("mj")).select(
+        F.lit("both").alias("grp"), "bucket", "mj"
+    )
+    ests = hll_estimate(regs.unionByName(union_regs), "grp")
+    piv = ests.groupBy().agg(
+        F.max(F.when(F.col("grp") == "y1995", F.col("est_distinct"))).alias("est_a"),
+        F.max(F.when(F.col("grp") == "y1998", F.col("est_distinct"))).alias("est_b"),
+        F.max(F.when(F.col("grp") == "both", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    a_keys = (
+        o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    b_keys = (
+        o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    )
+    exact = (
+        a_keys.join(b_keys, "o_custkey", "leftsemi")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return (
+        piv.crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

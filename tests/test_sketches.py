@@ -76,11 +76,15 @@ def test_hll_accuracy_and_small_range(spark):
     from ingest_pipeline_spark.operators.sketches import hll_distinct
 
     big = spark.range(6000).select(
-        F.lit("big").alias("grp"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        F.lit("big").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
     )
     est = hll_distinct(big, "grp", "v").collect()[0]["est_distinct"]
-    # m=32 → sd ~ 1.04/sqrt(32) ~ 18%; fixed data, assert 3-sigma
-    assert abs(est - 6000) / 6000 < 0.55, est
+    # m=32 → sd ~ 1.04/sqrt(32) ~ 18%; this fixed draw lands ~6%
+    # off, and the 0.30 bound can never admit a factor-2 scale bug
+    # (the "x"-prefixed draw instead hits the small-m heavy tail at
+    # +73% — faithful to the algorithm, verified against the pure
+    # reference implementation below, just a bad test fixture)
+    assert abs(est - 6000) / 6000 < 0.30, est
     # tiny group: linear counting path, duplicates absorbed by max()
     small = spark.range(5).select(
         F.lit("s").alias("grp"), F.concat(F.lit("y"), F.col("id")).alias("v")
@@ -155,3 +159,33 @@ def test_bloom_bits_bounded(spark):
     build = spark.range(0, 10000).select(F.col("id").alias("key"))
     n_bits = bloom_bits(build, "key", k=3, m=512).count()
     assert n_bits <= 512  # state is the bit set, never the key set
+
+
+def test_hll_matches_reference_implementation(spark):
+    """The full Spark estimate must equal a pure-Python HLL computed
+    from the same md5 bit math — guards the estimator constants
+    (register/numerator scale), which oracle parity CANNOT catch
+    because the SQL mirrors the same constants."""
+    import hashlib
+    import math
+
+    from ingest_pipeline_spark.operators.sketches import hll_distinct
+
+    vals = [f"key{i}" for i in range(2500)]
+    m = 32
+    regs = [0] * m
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        bucket, rem = h >> 27, h & ((1 << 27) - 1)
+        rho = 28 if rem == 0 else 28 - rem.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    z = sum(2.0 ** (-r) for r in regs)
+    est = 0.697 * m * m / z
+    v_empty = sum(1 for r in regs if r == 0)
+    if est <= 2.5 * m and v_empty > 0:
+        est = m * math.log(m / v_empty)
+    expected = round(est, 6)
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    got = hll_distinct(df, "grp", "v").collect()[0]["est_distinct"]
+    assert got == expected, (got, expected)
