@@ -189,3 +189,24 @@ def test_hll_matches_reference_implementation(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
     got = hll_distinct(df, "grp", "v").collect()[0]["est_distinct"]
     assert got == expected, (got, expected)
+
+
+def test_kmv_matches_reference_implementation(spark):
+    """Spark KMV estimate == a pure-Python KMV from the same md5 hash
+    — guards the estimator constants against mirrored-in-the-oracle
+    scale bugs (same rationale as the HLL reference test)."""
+    from ingest_pipeline_spark.operators.sketches import kmv_distinct
+
+    vals = [f"val{i}" for i in range(3000)]
+    import hashlib
+
+    k = 16
+    hs = sorted(
+        int(hashlib.md5(v.encode()).hexdigest()[:13], 16) / float(1 << 52)
+        for v in set(vals)
+    )
+    expected = round((k - 1) / hs[k - 1], 6) if len(hs) >= k else float(len(hs))
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    got = kmv_distinct(df, "grp", "v", k=k).collect()[0]["est_distinct"]
+    assert got == expected, (got, expected)

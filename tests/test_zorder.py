@@ -83,3 +83,27 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(single).agg(total).collect()[0][0]
     b = spark.read.parquet(zord).agg(total).collect()[0][0]
     assert a == b
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """zorder_key == the textbook bit interleave computed in Python."""
+    from ingest_pipeline_spark.operators.zorder import zorder_key
+    from pyspark.sql import functions as F
+
+    def ref(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 127, 200, 255) for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], 8).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y, z, ref(x, y))
