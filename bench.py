@@ -117,6 +117,8 @@ HEADLINE = [
     "zorder_locality_stats",
     "events_rolling_active_users",
     "sketch_hll_set_algebra",
+    "customer_rfm_segments",
+    "basket_copurchase_pairs",
 ]
 
 

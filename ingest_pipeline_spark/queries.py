@@ -7448,3 +7448,117 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(DATEDIFF('day', o_orderdate, d0)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders CROSS JOIN maxd
+      GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+      FROM per_cust)
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle-marketing cube: per-customer stats in one
+    scan, quintile scores via three fully-tiebroken NTILE windows,
+    then a segment census.  Recency is measured against the corpus
+    max date (deterministic, no wall clock).  Scale note: the three
+    global NTILEs share one pattern — at 100 TB replace with sampled
+    quantile boundaries (range-partitioner style) exactly as in
+    histogram_equidepth_prices.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    maxd = o.agg(F.max("o_orderdate").alias("d0"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("d0"), F.col("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+    f_ = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        r.cast("long").alias("r"),
+        f_.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_monetary"),
+    )
+
+
+@register(
+    "basket_copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, support
+    FROM pairs WHERE support >= 3
+    """,
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (the frequent-pair stage of
+    apriori): parts bought together in ≥3 orders.  The self-join is
+    keyed on the BASKET (orderkey), so work is Σ k_i² over basket
+    sizes — bounded by the max basket (7 lines in TPC-H), never a
+    corpus cross product; the pair aggregation is one shuffle on the
+    (part, part) key.  At 100 TB add a frequent-item prefilter (drop
+    items below min support before pairing) — the classic apriori
+    pruning, same shape as the df_cap guard in ngram_jaccard_pairs.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )

@@ -161,6 +161,8 @@ BNLJ_BY_DESIGN = {
     "mine_hard_negatives",      # broadcast query vectors, label<>label pred
     "stats_chi2_independence",  # broadcast 1-row N total + 1-row dims
     "zorder_locality_stats",    # broadcast 1-row min/max stats
+    "customer_rfm_segments",    # broadcast 1-row corpus max date
+    "sketch_hll_set_algebra",   # broadcast 1-row exact-intersection count
 }
 
 
