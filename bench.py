@@ -119,6 +119,8 @@ HEADLINE = [
     "sketch_hll_set_algebra",
     "customer_rfm_segments",
     "basket_copurchase_pairs",
+    "events_error_bursts",
+    "events_time_weighted_avg",
 ]
 
 

@@ -7562,3 +7562,100 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+@register(
+    "events_error_bursts",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rn_t AS grp,
+             CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(ts) AS run_start
+      FROM seq GROUP BY user_id, event_type, rn - rn_t)
+    SELECT user_id, run_len, run_start
+    FROM runs WHERE event_type = 'error' AND run_len >= 3
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE territory) via the
+    gaps-and-islands trick: two row_numbers — one over the user's full
+    stream, one per (user, type) — differ by a constant within any
+    run of consecutive same-type events, so ``rn − rn_t`` is a run id
+    and a plain groupBy yields run lengths.  Flags users with ≥3
+    consecutive errors (the alerting burst).  Both windows share ONE
+    user-keyed exchange; no joins, no iteration.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("ts").alias("run_start"))
+        .filter((F.col("event_type") == "error") & (F.col("run_len") >= 3))
+        .select("user_id", "run_len", "run_start")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+             LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events),
+    seg AS (
+      SELECT user_id, value, t_next - t AS dur
+      FROM seq WHERE t_next IS NOT NULL AND t_next > t)
+    SELECT user_id,
+           CAST(SUM(CAST(dur AS BIGINT)) AS BIGINT) AS total_dur,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+                 / CAST(SUM(CAST(dur AS BIGINT)) AS DOUBLE), 6) AS twap
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, so its weight is the interval duration —
+    the correct average for irregularly-sampled series (a plain AVG
+    over-weights bursts).  One user-keyed window (lead) + one keyed
+    agg; value×duration is decimal×integer (exact), durations are
+    integer seconds, the final division per-row IEEE.  Zero-length
+    intervals (same-second ties) and the last open-ended observation
+    carry no weight, identically in both engines.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    seq = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    seg = seq.filter(
+        F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t"))
+    ).select("user_id", "value", (F.col("t_next") - F.col("t")).alias("dur"))
+    return seg.groupBy("user_id").agg(
+        F.sum("dur").alias("total_dur"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double"),
+            6,
+        ).alias("twap"),
+    )
