@@ -375,9 +375,14 @@ def prefix_filter_jaccard_pairs(
     # defeats exchange-reuse canonicalization, same pathology fixed in
     # minhash_lsh_pairs).  Measured 6.3s → ~2s at sf0.1.
     toks = toks.localCheckpoint(eager=True)
-    docfreq = toks.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
     sizes = toks.groupBy("id").agg(F.count("*").alias("set_size"))
-    ranked = toks.join(docfreq, "shingle").join(sizes, "id")
+    # doc-frequency and set-size as WINDOW counts instead of agg+join
+    # pairs: two exchanges (shingle, then id — the rank window reuses
+    # the id partitioning) versus four; measured 3.2s → 1.5s for the
+    # prefix stage at sf0.1.
+    ranked = toks.withColumn(
+        "doc_freq", F.count("*").over(Window.partitionBy("shingle"))
+    ).withColumn("set_size", F.count("*").over(Window.partitionBy("id")))
     w = Window.partitionBy("id").orderBy(F.asc("doc_freq"), F.asc("shingle"))
     # ⌈t·sz⌉ as integer math: floor((t_num*sz + t_den - 1) / t_den)
     ceil_tsz = F.floor(
