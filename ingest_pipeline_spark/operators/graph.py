@@ -126,6 +126,10 @@ def pagerank(
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (e.g. an empty incremental partition): empty
+        # ranks, same schema — never a driver-side division by zero
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), 12))
     for i in range(1, iterations + 1):

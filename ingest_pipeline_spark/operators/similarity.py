@@ -384,7 +384,10 @@ def pq_index(
 
     first = df.select(vec_col).first()
     if first is None or first[0] is None:
-        raise ValueError("pq_index needs a non-empty corpus with non-null vectors")
+        raise ValueError(
+            "pq_index needs a non-empty corpus with non-null vectors "
+            "(pq_topk handles the empty case by returning an empty result)"
+        )
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
@@ -406,6 +409,18 @@ def pq_index(
         "id", "vec", F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes")
     )
     return codes, codebooks
+
+
+def _empty_topk(queries: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, dot, rank) result with the id
+    column's real type — the empty-corpus contract of the PQ scans."""
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .limit(0)
+        .withColumn("neighbor_id", F.col("query_id"))
+        .withColumn("dot", F.lit(0.0))
+        .withColumn("rank", F.lit(1).cast("int"))
+    )
 
 
 def pq_topk(
@@ -440,6 +455,10 @@ def pq_topk(
     in tests/test_storage_ivf.py).  Both ranking stages round scores to
     6 dp BEFORE ranking with an id tiebreak (determinism rule).
     """
+    if corpus.select(vec_col).first() is None:
+        # empty corpus (e.g. an empty incremental partition): there is
+        # nothing to index — empty result, same schema, no crash
+        return _empty_topk(queries, id_col)
     codes, codebooks = pq_index(corpus, vec_col, id_col, m, n_codes, seed)
     d_sub = len(codebooks[0][0])
     spark = corpus.sparkSession
@@ -575,7 +594,7 @@ def pq_topk_det(
     spark = corpus.sparkSession
     first = corpus.select(vec_col).first()
     if first is None or first[0] is None:
-        raise ValueError("pq_topk_det needs a non-empty corpus")
+        return _empty_topk(queries, id_col)
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
