@@ -121,6 +121,9 @@ HEADLINE = [
     "basket_copurchase_pairs",
     "events_error_bursts",
     "events_time_weighted_avg",
+    "events_funnel_within_7d",
+    "pareto_revenue_concentration",
+    "report_yoy_growth",
 ]
 
 

@@ -7659,3 +7659,185 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "events_funnel_within_7d",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s.signup_ts
+        AND e.ts < s.signup_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(first_purchase_ts) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(first_purchase_ts) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate,
+           CAST(SUM(CAST(FLOOR(EPOCH(first_purchase_ts))
+                         - FLOOR(EPOCH(signup_ts)) AS BIGINT)) AS BIGINT)
+             AS total_latency_sec
+    FROM s LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUND funnel: signup → first purchase within 7 days (the
+    unbounded chained funnel is events_funnel_conversion; real product
+    funnels always carry a conversion window).  Each stage is one
+    user-keyed aggregation; the window bound rides the join predicate;
+    latency sums are integer seconds (exact).
+    """
+    ev = _t(spark, sf_dir)["events"]
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    j = s.join(p, "user_id", "left")
+    return j.agg(
+        F.count("*").alias("n_signups"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        F.round(
+            F.count("first_purchase_ts").cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.sum(
+            F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("total_latency_sec"),
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev) AS DECIMAL(28,2)) AS total_rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM per_part),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_rev
+      FROM per_part)
+    SELECT CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE)
+                              < CAST(total_rev AS DOUBLE)
+                                * CAST(0.8 AS DOUBLE)
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_parts_80pct,
+           n_parts,
+           ROUND(CAST(SUM(CASE WHEN CAST(cum_rev AS DOUBLE)
+                                    < CAST(total_rev AS DOUBLE)
+                                      * CAST(0.8 AS DOUBLE)
+                               THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                 / CAST(n_parts AS DOUBLE), 6) AS part_fraction
+    FROM ranked CROSS JOIN tot
+    GROUP BY n_parts
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: how many parts carry 80% of
+    revenue.  Per-part revenue (decimal-exact) → ordered decimal
+    cumulative sum → count of parts strictly below the 80% line plus
+    the one that crosses it.  The cumsum is DECIMAL under a
+    fully-tiebroken order, so the crossing index is bit-deterministic;
+    the 0.8 threshold is evaluated as the identical double product in
+    both engines.  Scale note: the global ordered cumsum
+    range-partitions like any distributed sort.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    tot = per_part.agg(
+        F.sum("rev").cast("decimal(28,2)").alias("total_rev"),
+        F.count("*").alias("n_parts"),
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.withColumn("cum_rev", F.sum("rev").over(w))
+    below = F.sum(
+        F.when(
+            F.col("cum_rev").cast("double")
+            < F.col("total_rev").cast("double") * F.lit(0.8),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_parts")
+        .agg(
+            (below + F.lit(1)).alias("n_parts_80pct"),
+            F.round(
+                (below + F.lit(1)).cast("double") / F.col("n_parts").cast("double"),
+                6,
+            ).alias("part_fraction"),
+        )
+        .select("n_parts_80pct", "n_parts", "part_fraction")
+    )
+
+
+@register(
+    "report_yoy_growth",
+    """
+    WITH monthly AS (
+      SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT yr, mo, rev,
+             LAG(rev, 12) OVER (ORDER BY yr, mo) AS rev_prev_yr
+      FROM monthly)
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo, rev,
+           ROUND(CASE WHEN rev_prev_yr IS NULL OR rev_prev_yr = 0.0
+                      THEN NULL
+                      ELSE (rev - rev_prev_yr) / rev_prev_yr END, 6)
+             AS yoy_growth
+    FROM g
+    """,
+)
+def report_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the standard BI trend
+    report: decimal-exact monthly sums, a 12-step lag over the
+    (year, month) series, per-row IEEE growth ratio.  The month series
+    is dense in this data so lag-12 aligns with the same month last
+    year; for sparse series join on (yr−1, mo) instead (documented
+    here so nobody trusts lag-12 blindly).  Single tiny series — the
+    global window is 84 rows.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("yr", "mo")
+    g = monthly.withColumn("rev_prev_yr", F.lag("rev", 12).over(w))
+    growth = F.when(
+        F.col("rev_prev_yr").isNull() | (F.col("rev_prev_yr") == 0.0), F.lit(None)
+    ).otherwise((F.col("rev") - F.col("rev_prev_yr")) / F.col("rev_prev_yr"))
+    return g.select("yr", "mo", "rev", F.round(growth, 6).alias("yoy_growth"))

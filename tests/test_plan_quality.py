@@ -163,6 +163,7 @@ BNLJ_BY_DESIGN = {
     "zorder_locality_stats",    # broadcast 1-row min/max stats
     "customer_rfm_segments",    # broadcast 1-row corpus max date
     "sketch_hll_set_algebra",   # broadcast 1-row exact-intersection count
+    "pareto_revenue_concentration",  # broadcast 1-row total-revenue row
 }
 
 
