@@ -124,6 +124,7 @@ HEADLINE = [
     "events_funnel_within_7d",
     "pareto_revenue_concentration",
     "report_yoy_growth",
+    "search_bm25_topk",
 ]
 
 

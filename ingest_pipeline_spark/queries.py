@@ -7841,3 +7841,123 @@ def report_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_prev_yr").isNull() | (F.col("rev_prev_yr") == 0.0), F.lit(None)
     ).otherwise((F.col("rev") - F.col("rev_prev_yr")) / F.col("rev_prev_yr"))
     return g.select("yr", "mo", "rev", F.round(growth, 6).alias("yoy_growth"))
+
+
+@register(
+    "search_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    tf AS (
+      SELECT doc_id, x AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks, UNNEST(tk) t(x) GROUP BY doc_id, x),
+    dl AS (SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dlen FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS BIGINT) AS total_len
+      FROM dl),
+    q(term) AS (VALUES ('data'), ('sample'), ('model')),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf JOIN q USING (term) GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               LN(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                 / (CAST(tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE)
+                           * CAST(dlen AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))), 9)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+      FROM tf
+        JOIN q USING (term)
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scored)
+    SELECT doc_id, bm25, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the query terms
+    {data, sample, model}: the classic lexical search scorer, computed
+    relationally — tf from one (doc, term) aggregation, document
+    frequency only for the query terms (broadcast), corpus stats from
+    one tiny agg.  Per-(doc, term) BM25 contributions are per-row IEEE
+    on identical doubles (int tf/df/len inputs), rounded 9 dp and
+    summed as decimal (reorder-proof), final scores rounded 6 dp
+    before a fully-tiebroken global top-20.  At 100 TB the (doc, term)
+    explode is the inverted-index build — term-keyed, map-side
+    combined; only postings for the query terms survive the broadcast
+    semi-join.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    )
+    toks = toks.localCheckpoint(eager=True)  # tf, dlen, stats share it
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dlen").alias("total_len")
+    )
+    q = spark.createDataFrame([("data",), ("sample",), ("model",)], "term string")
+    tf_q = tf.join(F.broadcast(q), "term")
+    dfreq = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = F.round(
+        idf
+        * (tf_d * F.lit(2.2))
+        / (
+            tf_d
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dlen").cast("double") / avgdl)
+        ),
+        9,
+    )
+    scored = (
+        tf_q.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "bm25", "rank")
+    )

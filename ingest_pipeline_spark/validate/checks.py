@@ -113,3 +113,33 @@ def route_violations(df: DataFrame, checks: list[Check]) -> tuple[DataFrame, Dat
     clean = tagged.filter(F.size("violated_checks") == 0).drop("violated_checks")
     errors = tagged.filter(F.size("violated_checks") > 0)
     return clean, errors
+
+
+def schema_diff(old: "DataFrame", new: "DataFrame") -> list[dict]:
+    """Schema-drift report between two relations: one dict per change,
+    kind ∈ {added, removed, type_changed, nullability_changed}.
+
+    The ops companion to the content-drift queries (corpus_drift_report,
+    snapshot_delta): a nightly re-crawl that silently adds a column or
+    widens a type should page someone BEFORE a downstream cast fails at
+    hour six of a 100 TB job.  Pure metadata — no data is read.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(o) - set(n)):
+        out.append({"column": name, "kind": "removed",
+                    "old": o[name].dataType.simpleString(), "new": None})
+    for name in sorted(set(n) - set(o)):
+        out.append({"column": name, "kind": "added",
+                    "old": None, "new": n[name].dataType.simpleString()})
+    for name in sorted(set(o) & set(n)):
+        fo, fn = o[name], n[name]
+        if fo.dataType != fn.dataType:
+            out.append({"column": name, "kind": "type_changed",
+                        "old": fo.dataType.simpleString(),
+                        "new": fn.dataType.simpleString()})
+        elif fo.nullable != fn.nullable:
+            out.append({"column": name, "kind": "nullability_changed",
+                        "old": str(fo.nullable), "new": str(fn.nullable)})
+    return out

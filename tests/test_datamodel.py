@@ -57,3 +57,31 @@ def test_normalize_event_ts_both_generations(spark):
 
     # already-normalized input passes through untouched
     assert normalize_event_ts(got_ntz) is got_ntz
+
+
+def test_schema_diff_reports_all_drift_kinds(spark):
+    from pyspark.sql import types as T
+
+    from ingest_pipeline_spark.validate.checks import schema_diff
+
+    old = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("gone", T.StringType()),
+            T.StructField("widened", T.IntegerType()),
+        ]))
+    new = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType(), True),
+            T.StructField("widened", T.LongType()),
+            T.StructField("fresh", T.DoubleType()),
+        ]))
+    diff = schema_diff(old, new)
+    kinds = {(d["column"], d["kind"]) for d in diff}
+    assert kinds == {
+        ("gone", "removed"),
+        ("fresh", "added"),
+        ("widened", "type_changed"),
+        ("id", "nullability_changed"),
+    }
+    assert schema_diff(old, old) == []

@@ -164,6 +164,7 @@ BNLJ_BY_DESIGN = {
     "customer_rfm_segments",    # broadcast 1-row corpus max date
     "sketch_hll_set_algebra",   # broadcast 1-row exact-intersection count
     "pareto_revenue_concentration",  # broadcast 1-row total-revenue row
+    "search_bm25_topk",         # broadcast 1-row corpus stats
 }
 
 
