@@ -125,6 +125,8 @@ HEADLINE = [
     "pareto_revenue_concentration",
     "report_yoy_growth",
     "search_bm25_topk",
+    "graph_shortest_paths",
+    "text_pmi_collocations",
 ]
 
 

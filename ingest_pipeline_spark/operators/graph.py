@@ -151,3 +151,41 @@ def pagerank(
         if i % checkpoint_every == 0 and i < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    rounds: int = 4,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Single-source shortest paths by ``rounds`` Bellman-Ford
+    relaxations over a weighted edge list (src, dst, w).
+
+    Returns (node, dist) for nodes reachable within ``rounds`` hops —
+    the bounded-hop variant a distributed engine actually runs (full
+    convergence = rounds ≥ longest shortest path; each round is one
+    edges⋈frontier join + a dst-keyed MIN).  Determinism needs no
+    decimal: path sums are per-row IEEE on identical doubles and MIN
+    is order-free, so any partitioning yields the same distances.
+    Lineage is cut every ``checkpoint_every`` rounds (the
+    connected-components / pagerank discipline).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    dist = (
+        edges.sparkSession.createDataFrame([(source,)], "node long")
+        .withColumn("dist", F.lit(0.0))
+    )
+    for i in range(1, rounds + 1):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i % checkpoint_every == 0 and i < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

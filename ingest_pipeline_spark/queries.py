@@ -7961,3 +7961,181 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("doc_id", "bm25", "rank")
     )
+
+
+@register(
+    "graph_shortest_paths",
+    """
+    WITH pair AS (
+      SELECT o_custkey AS a, 1000000 + l_suppkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey),
+    e AS (
+      SELECT a AS src, b AS dst,
+             ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS w
+      FROM pair
+      UNION ALL
+      SELECT b AS src, a AS dst,
+             ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS w
+      FROM pair),
+    d0(node, dist) AS (SELECT CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.dst AS node, d0.dist + e.w AS dist
+             FROM e JOIN d0 ON e.src = d0.node) t GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.dst AS node, d1.dist + e.w AS dist
+             FROM e JOIN d1 ON e.src = d1.node) t GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.dst AS node, d2.dist + e.w AS dist
+             FROM e JOIN d2 ON e.src = d2.node) t GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d3
+             UNION ALL
+             SELECT e.dst AS node, d3.dist + e.w AS dist
+             FROM e JOIN d3 ON e.src = d3.node) t GROUP BY node)
+    SELECT node, ROUND(dist, 6) AS dist
+    FROM d4 WHERE node > 1000000
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the customer↔supplier
+    trade graph (edge weight = 1/trade-count: heavy trade = short
+    hop), 4 Bellman-Ford rounds from customer 1, supplier distances
+    out — completing the graph suite (BFS depth, components, PageRank,
+    now SSSP / min-plus).  operators/graph.py:shortest_paths documents
+    why MIN-relaxation needs no decimal: path sums are per-row IEEE on
+    identical doubles and min is accumulation-order-free.  The oracle
+    unrolls the identical 4 rounds as CTEs.
+    """
+    from .operators.graph import shortest_paths
+
+    t = _t(spark, sf_dir)
+    pair = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("a"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = F.round(F.lit(1.0) / F.col("n").cast("double"), 6)
+    e = pair.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("w")
+    ).unionAll(
+        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("w"))
+    )
+    dist = shortest_paths(e, source=1, rounds=4)
+    return dist.filter(F.col("node") > 1000000).select(
+        "node", F.round("dist", 6).alias("dist")
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    uni AS (
+      SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, UNNEST(tk) t(x) GROUP BY x),
+    big AS (
+      SELECT tk[i] AS ta, tk[i + 1] AS tb, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 1)) s(i)
+      WHERE LEN(tk) >= 2
+      GROUP BY tk[i], tk[i + 1]),
+    tot AS (
+      SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS n_uni,
+             CAST((SELECT SUM(c_ab) FROM big) AS BIGINT) AS n_big),
+    scored AS (
+      SELECT ta, tb, c_ab,
+             ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                      * CAST(n_uni AS DOUBLE)
+                      / (CAST(n_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                         * CAST(ub.c AS DOUBLE))), 6) AS pmi
+      FROM big
+        JOIN uni ua ON ua.term = big.ta
+        JOIN uni ub ON ub.term = big.tb
+        CROSS JOIN tot
+      WHERE c_ab >= 10),
+    ranked AS (
+      SELECT ta, tb, c_ab, pmi,
+             ROW_NUMBER() OVER (ORDER BY pmi DESC, ta ASC, tb ASC) AS rn
+      FROM scored)
+    SELECT ta, tb, c_ab, pmi FROM ranked WHERE rn <= 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token pairs by pointwise
+    mutual information (min support 10) — the classic phrase detector
+    ("new york" scores high because its bigram count beats chance).
+    Bigram and unigram counts come from one NGram pass + one explode
+    (linear, never an in-doc pair join); PMI is per-row IEEE on
+    integer-derived doubles (LN parity rule), rounded 6 dp before the
+    tiebroken top-20.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    )
+    toks = toks.localCheckpoint(eager=True)  # unigram + bigram + totals
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.ml.feature import NGram
+
+    ng = NGram(n=2, inputCol="tk", outputCol="bg")
+    big = (
+        ng.transform(toks)
+        .select(F.explode("bg").alias("bigram"))
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("ta"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("tb"),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c_ab").alias("n_big"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("n_uni").cast("double")
+            * F.col("n_uni").cast("double")
+            / (
+                F.col("n_big").cast("double")
+                * F.col("ua_c").cast("double")
+                * F.col("ub_c").cast("double")
+            )
+        ),
+        6,
+    )
+    scored = (
+        big.filter(F.col("c_ab") >= 10)
+        .join(F.broadcast(uni.select(F.col("term").alias("ta"), F.col("c").alias("ua_c"))), "ta")
+        .join(F.broadcast(uni.select(F.col("term").alias("tb"), F.col("c").alias("ub_c"))), "tb")
+        .crossJoin(F.broadcast(tot))
+        .select("ta", "tb", "c_ab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("ta"), F.asc("tb"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("ta", "tb", "c_ab", "pmi")
+    )

@@ -35,6 +35,8 @@ REPRESENTATIVE = [
     # salted join: rand() salt is partition-dependent BY DESIGN; the
     # result must still be invariant (salt is distribution-only)
     "join_salted_hot_events",
+    # min-plus relaxation: MIN is order-free, path sums per-row IEEE
+    "graph_shortest_paths",
 ]
 
 
