@@ -127,6 +127,8 @@ HEADLINE = [
     "search_bm25_topk",
     "graph_shortest_paths",
     "text_pmi_collocations",
+    "join_size_audit",
+    "events_markov_transitions",
 ]
 
 

@@ -8139,3 +8139,105 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("ta", "tb", "c_ab", "pmi")
     )
+
+
+@register(
+    "join_size_audit",
+    """
+    WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+               FROM orders GROUP BY o_custkey),
+    b AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM customer GROUP BY c_custkey),
+    per_key AS (
+      SELECT a.k, ca * cb AS est_rows FROM a JOIN b ON a.k = b.k),
+    hot AS (
+      SELECT k, est_rows,
+             ROW_NUMBER() OVER (ORDER BY est_rows DESC, k ASC) AS rn
+      FROM per_key)
+    SELECT CAST((SELECT SUM(est_rows) FROM per_key) AS BIGINT)
+             AS est_join_rows,
+           CAST((SELECT COUNT(*) FROM per_key) AS BIGINT) AS n_join_keys,
+           CAST((SELECT MAX(est_rows) FROM per_key) AS BIGINT)
+             AS hottest_key_rows,
+           CAST((SELECT k FROM hot WHERE rn = 1) AS BIGINT) AS hottest_key
+    """,
+)
+def join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit — the planner-style estimate run as a
+    cheap query BEFORE committing to an expensive join: per-key counts
+    on both sides multiply into exact per-key output sizes (equi-join
+    algebra), giving total join rows, key count, and the hottest key —
+    the number that decides broadcast vs shuffle vs salting.  Two
+    keyed counts + one join of the (small) count tables; the fact
+    tables are never joined.  (The sketch-only variant for when even
+    counts are too big: sketch_hll_set_algebra's register algebra.)
+    """
+    t = _t(spark, sf_dir)
+    a = t["orders"].groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    b = t["customer"].groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    per_key = a.join(b, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("est_rows")
+    )
+    per_key = per_key.localCheckpoint(eager=True)  # 4 small consumers
+    w = Window.orderBy(F.desc("est_rows"), F.asc("k"))
+    hottest = (
+        per_key.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("k").alias("hottest_key"), F.col("est_rows").alias("hottest_key_rows"))
+    )
+    totals = per_key.agg(
+        F.sum("est_rows").alias("est_join_rows"),
+        F.count("*").alias("n_join_keys"),
+    )
+    return totals.crossJoin(F.broadcast(hottest)).select(
+        "est_join_rows", "n_join_keys", "hottest_key_rows", "hottest_key"
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS row_tot FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_tot AS DOUBLE), 6) AS p
+    FROM c JOIN tot t ON c.cur = t.cur
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral-model /
+    anomalous-flow primitive.  One user-keyed lead window → one pair
+    count → row-normalize against the (tiny, broadcast) row totals;
+    probabilities are integer-ratio IEEE divisions rounded 6 dp.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("row_tot"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_tot").cast("double"), 6
+            ).alias("p"),
+        )
+    )

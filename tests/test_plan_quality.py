@@ -165,6 +165,7 @@ BNLJ_BY_DESIGN = {
     "sketch_hll_set_algebra",   # broadcast 1-row exact-intersection count
     "pareto_revenue_concentration",  # broadcast 1-row total-revenue row
     "search_bm25_topk",         # broadcast 1-row corpus stats
+    "join_size_audit",          # broadcast 1-row hottest-key row
 }
 
 
