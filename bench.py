@@ -129,6 +129,7 @@ HEADLINE = [
     "text_pmi_collocations",
     "join_size_audit",
     "events_markov_transitions",
+    "sessions_peak_concurrency",
 ]
 
 

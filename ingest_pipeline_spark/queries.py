@@ -8241,3 +8241,76 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+@register(
+    "sessions_peak_concurrency",
+    """
+    WITH s AS (
+      SELECT user_id, session_id,
+             CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS t_start,
+             CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > 1800
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events) x) y
+      GROUP BY user_id, session_id),
+    deltas AS (
+      SELECT t_start AS t, 1 AS d FROM s
+      UNION ALL
+      SELECT t_end + 1 AS t, -1 AS d FROM s),
+    sweep AS (
+      SELECT t,
+             CAST(SUM(CAST(SUM(d) AS BIGINT))
+                  OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS concurrent
+      FROM deltas GROUP BY t)
+    SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sessions,
+           CAST((SELECT MIN(t) FROM sweep) AS BIGINT) AS first_t
+    FROM sweep
+    """,
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — capacity planning's headline number —
+    via the sweep line: every session contributes (+1 at start, −1
+    just after end), deltas are summed PER TIMESTAMP first (so the
+    running order inside one instant can never matter), then one
+    ordered cumulative sum; the max is the peak.  Sessions come from
+    the gap-based sessionize operator (same 1800 s gap as
+    sessionize_users).  Scale: delta aggregation is keyed on time; the
+    ordered cumsum range-partitions like any distributed sort.
+    """
+    from .operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir)["events"]
+    s = session_stats(ev, "user_id", "ts", gap_seconds=1800).select(
+        F.unix_timestamp("session_start").alias("t_start"),
+        F.unix_timestamp("session_end").alias("t_end"),
+    )
+    s = s.localCheckpoint(eager=True)  # deltas (x2) + session count
+    deltas = s.select(F.col("t_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        s.select((F.col("t_end") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dsum"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = per_t.select("t", F.sum("dsum").over(w).cast("long").alias("concurrent"))
+    n_sessions = s.agg(F.count("*").alias("n_sessions"))
+    return (
+        sweep.agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.min("t").alias("first_t"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select("peak_concurrent", "n_sessions", "first_t")
+    )

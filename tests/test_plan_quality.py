@@ -166,6 +166,8 @@ BNLJ_BY_DESIGN = {
     "pareto_revenue_concentration",  # broadcast 1-row total-revenue row
     "search_bm25_topk",         # broadcast 1-row corpus stats
     "join_size_audit",          # broadcast 1-row hottest-key row
+    "sessions_peak_concurrency",  # broadcast 1-row session count
+    "text_pmi_collocations",    # broadcast 1-row unigram/bigram totals
 }
 
 
