@@ -130,6 +130,9 @@ HEADLINE = [
     "join_size_audit",
     "events_markov_transitions",
     "sessions_peak_concurrency",
+    "report_monthly_top_parts",
+    "window_cume_dist_prices",
+    "sessions_maintenance_overlap",
 ]
 
 

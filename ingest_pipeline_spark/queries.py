@@ -8314,3 +8314,173 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sessions))
         .select("peak_concurrent", "n_sessions", "first_t")
     )
+
+
+@register(
+    "report_monthly_top_parts",
+    """
+    WITH pm AS (
+      SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo, l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, l_partkey),
+    r AS (
+      SELECT yr, mo, l_partkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY yr, mo
+                                ORDER BY rev DESC, l_partkey ASC) AS rnk
+      FROM pm)
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo,
+           l_partkey, rev, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def report_monthly_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-faceted top-k: the 3 highest-revenue parts per month —
+    the trending-items report.  One fact join + (month, part) decimal
+    agg, then a WindowGroupLimit-pruned rank per month partition (each
+    task forwards ≤3 rows per month before the shuffle) with a full
+    deterministic tiebreak.
+    """
+    t = _t(spark, sf_dir)
+    pm = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("yr", "mo").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    return (
+        pm.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("yr", "mo", "l_partkey", "rev", "rnk")
+    )
+
+
+@register(
+    "window_cume_dist_prices",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_totalprice > 450000.0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_cume_dist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: percent_rank, cume_dist, and
+    quartile of each high-value order within its priority group —
+    completing the ranking-window family (row_number/rank/ntile/lag/
+    lead/range frames elsewhere).  Both functions are rank ratios over
+    a fully-tiebroken order (integer-derived IEEE divisions, identical
+    in both engines), rounded 6 dp.  One group-keyed exchange.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 450000.0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+    )
+
+
+@register(
+    "sessions_maintenance_overlap",
+    """
+    WITH s AS (
+      SELECT user_id, session_id,
+             CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS t_start,
+             CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > 1800
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events) x) y
+      GROUP BY user_id, session_id),
+    win AS (
+      SELECT (d * 86400) AS w_start, (d * 86400 + 3600) AS w_end
+      FROM (SELECT DISTINCT t_start // 86400 AS d FROM s) t),
+    ov AS (
+      SELECT s.user_id,
+             GREATEST(CAST(0 AS BIGINT),
+                      LEAST(s.t_end, w.w_end)
+                      - GREATEST(s.t_start, w.w_start)) AS sec
+      FROM s JOIN win w
+        ON s.t_start < w.w_end AND s.t_end > w.w_start)
+    SELECT user_id,
+           CAST(SUM(sec) AS BIGINT) AS overlap_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM ov GROUP BY user_id
+    """,
+)
+def sessions_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-intersection accounting: seconds each user's sessions
+    overlap the daily 00:00-01:00 UTC maintenance window — the
+    temporal-join arithmetic (clamped ``min(end)−max(start)``) behind
+    SLA attribution.  Window days derive from observed session days
+    (no calendar cross join); the overlap join is a bounded range
+    predicate; all math is integer seconds.  At scale, bucket both
+    sides by day (as range_join_error_clicks does) so the interval
+    join is day-keyed.
+    """
+    from .operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir)["events"]
+    s = session_stats(ev, "user_id", "ts", gap_seconds=1800).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("t_start"),
+        F.unix_timestamp("session_end").alias("t_end"),
+    )
+    s = s.localCheckpoint(eager=True)  # windows derive from sessions too
+    win = (
+        s.select(F.floor(F.col("t_start") / 86400).cast("long").alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") * 86400).alias("w_start"),
+            (F.col("d") * 86400 + 3600).alias("w_end"),
+        )
+    )
+    ov = (
+        s.join(
+            F.broadcast(win),
+            (F.col("t_start") < F.col("w_end")) & (F.col("t_end") > F.col("w_start")),
+        )
+        .select(
+            "user_id",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("t_end"), F.col("w_end"))
+                - F.greatest(F.col("t_start"), F.col("w_start")),
+            ).alias("sec"),
+        )
+    )
+    return ov.groupBy("user_id").agg(
+        F.sum("sec").alias("overlap_sec"), F.count("*").alias("n_overlaps")
+    )

@@ -168,6 +168,7 @@ BNLJ_BY_DESIGN = {
     "join_size_audit",          # broadcast 1-row hottest-key row
     "sessions_peak_concurrency",  # broadcast 1-row session count
     "text_pmi_collocations",    # broadcast 1-row unigram/bigram totals
+    "sessions_maintenance_overlap",  # broadcast ~days-sized window list
 }
 
 
