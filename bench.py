@@ -133,6 +133,9 @@ HEADLINE = [
     "report_monthly_top_parts",
     "window_cume_dist_prices",
     "sessions_maintenance_overlap",
+    "profile_functional_dependency",
+    "corpus_train_val_test_split",
+    "argmax_order_by_customer",
 ]
 
 

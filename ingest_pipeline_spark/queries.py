@@ -8484,3 +8484,123 @@ def sessions_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ov.groupBy("user_id").agg(
         F.sum("sec").alias("overlap_sec"), F.count("*").alias("n_overlaps")
     )
+
+
+@register(
+    "profile_functional_dependency",
+    """
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+    SELECT source, n_langs, n_docs,
+           (n_langs = 1) AS fd_holds
+    FROM g
+    """,
+)
+def profile_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency probe (source → lang): does each source
+    publish in exactly one language?  The FD-discovery primitive data
+    profilers run to find candidate keys and denormalization bugs —
+    one distinct-count aggregation per determinant value; violated
+    groups carry their cardinality so the report doubles as the fix
+    list.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "source", "n_langs", "n_docs", (F.col("n_langs") == 1).alias("fd_holds")
+        )
+    )
+
+
+@register(
+    "corpus_train_val_test_split",
+    """
+    WITH u AS (
+      SELECT lang,
+             CAST('0x' || SUBSTR(MD5('split:' || doc_id), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM documents),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u)
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: the split is
+    a pure md5 function of the document id, so it is stable across
+    reruns, engines, cluster sizes, and INCREMENTAL growth (a new doc
+    never moves an old one between splits — the property random
+    shuffles lack and training reproducibility requires).  Zero-
+    shuffle assignment; one census aggregation here to keep the
+    output verifiable.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "argmax_order_by_customer",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, o_totalprice AS top_price, o_orderkey AS top_orderkey
+    FROM r WHERE rn = 1
+    """,
+)
+def argmax_order_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max via STRUCT ordering: each customer's highest-value
+    order in ONE aggregation — max(struct(price, key)) compares
+    lexicographically, so the key rides along and ties break on it
+    deterministically (the pitfall this avoids: max_by/arg_max pick an
+    ARBITRARY row on ties).  Map-side-combinable, unlike the window
+    row_number formulation (window_latest_order) which needs the full
+    partition — at 100 TB this is the cheaper shape when only the
+    arg-max row is needed.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    top = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("t")
+    return (
+        o.groupBy("o_custkey")
+        .agg(top)
+        .select(
+            "o_custkey",
+            F.col("t.o_totalprice").alias("top_price"),
+            F.col("t.o_orderkey").alias("top_orderkey"),
+        )
+    )
