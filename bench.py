@@ -136,6 +136,7 @@ HEADLINE = [
     "profile_functional_dependency",
     "corpus_train_val_test_split",
     "argmax_order_by_customer",
+    "events_dow_hour_heatmap",
 ]
 
 

@@ -8604,3 +8604,40 @@ def argmax_order_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.o_orderkey").alias("top_orderkey"),
         )
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST(DAYOFWEEK(ts) AS BIGINT) AS dow,
+           CAST(HOUR(ts) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
+    FROM events
+    GROUP BY DAYOFWEEK(ts), HOUR(ts)
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and mean value per (day-of-week,
+    hour) cell — the load-pattern view behind capacity scheduling.
+    Exercises the cross-engine DOW pitfall on purpose: Spark dayofweek
+    is 1=Sunday, DuckDB's is 0=Sunday, so the Spark side ships
+    ``dayofweek − 1`` to land on the oracle's convention (the rule in
+    the working notes).  One scan, one 168-cell aggregation.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_value"),
+        )
+    )
