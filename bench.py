@@ -137,6 +137,9 @@ HEADLINE = [
     "corpus_train_val_test_split",
     "argmax_order_by_customer",
     "events_dow_hour_heatmap",
+    "orders_backlog_aging",
+    "supplier_share_of_wallet",
+    "lineitem_shipping_lag_stats",
 ]
 
 

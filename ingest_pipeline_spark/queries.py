@@ -8641,3 +8641,154 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+@register(
+    "orders_backlog_aging",
+    """
+    WITH m AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             CASE WHEN DATEDIFF('day', o_orderdate, d0) < 365 THEN '0-1y'
+                  WHEN DATEDIFF('day', o_orderdate, d0) < 1095 THEN '1-3y'
+                  ELSE '3y+' END AS age_band,
+             o_totalprice
+      FROM orders CROSS JOIN m
+      WHERE o_orderstatus <> 'F')
+    SELECT o_orderstatus, age_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS open_value
+    FROM aged GROUP BY o_orderstatus, age_band
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: unfinished orders bucketed by age band with
+    their open value — the receivables/ops aging report.  Age is
+    measured against the corpus max date (deterministic, no wall
+    clock); banding is integer day math; value sums decimal-exact.
+    One scan + a broadcast 1-row anchor date.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    m = o.agg(F.max("o_orderdate").alias("d0"))
+    age = F.datediff(F.col("d0"), F.col("o_orderdate"))
+    band = (
+        F.when(age < 365, "0-1y").when(age < 1095, "1-3y").otherwise("3y+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(m))
+        .groupBy("o_orderstatus", band.alias("age_band"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+    )
+
+
+@register(
+    "supplier_share_of_wallet",
+    """
+    WITH cs AS (
+      SELECT o_custkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS spend
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey),
+    tot AS (
+      SELECT o_custkey, CAST(SUM(spend) AS DECIMAL(28,2)) AS total_spend
+      FROM cs GROUP BY o_custkey),
+    top AS (
+      SELECT o_custkey, l_suppkey AS top_suppkey, spend,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY spend DESC, l_suppkey ASC) AS rn
+      FROM cs)
+    SELECT t.o_custkey, p.top_suppkey,
+           CAST(p.spend AS DOUBLE) AS top_spend,
+           ROUND(CAST(p.spend AS DOUBLE) / CAST(t.total_spend AS DOUBLE), 6)
+             AS wallet_share
+    FROM top p JOIN tot t ON p.o_custkey = t.o_custkey
+    WHERE p.rn = 1
+    """,
+)
+def supplier_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of wallet: each customer's top supplier and the fraction
+    of their spend it captures — the concentration/loyalty metric.
+    One (customer, supplier) decimal agg feeds both the per-customer
+    total (re-aggregation, no second scan) and the tiebroken top-1
+    (WindowGroupLimit map-side prune); the share is a per-row IEEE
+    division of exact decimals.
+    """
+    t = _t(spark, sf_dir)
+    cs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("spend")
+        )
+    )
+    cs = cs.localCheckpoint(eager=True)  # totals + top-1 share the agg
+    tot = cs.groupBy("o_custkey").agg(
+        F.sum("spend").cast("decimal(28,2)").alias("total_spend")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("spend"), F.asc("l_suppkey"))
+    top = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("l_suppkey").alias("top_suppkey"), "spend")
+    )
+    return top.join(tot, "o_custkey").select(
+        "o_custkey",
+        "top_suppkey",
+        F.col("spend").cast("double").alias("top_spend"),
+        F.round(
+            F.col("spend").cast("double") / F.col("total_spend").cast("double"), 6
+        ).alias("wallet_share"),
+    )
+
+
+@register(
+    "lineitem_shipping_lag_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MIN(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS min_lag_days,
+           CAST(MAX(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_lag_days,
+           ROUND(CAST(SUM(CAST(DATEDIFF('day', o_orderdate, l_shipdate)
+                               AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_lag_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def lineitem_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag per priority — the fulfillment SLA report:
+    integer day differences (exact), min/max/mean per priority in one
+    fact join + one keyed agg.  A negative min would expose data
+    placed "shipped before ordered" — the report doubles as a sanity
+    gate.
+    """
+    t = _t(spark, sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min(lag).cast("long").alias("min_lag_days"),
+            F.max(lag).cast("long").alias("max_lag_days"),
+            F.round(
+                F.sum(lag.cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_lag_days"),
+        )
+    )

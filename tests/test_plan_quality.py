@@ -169,6 +169,7 @@ BNLJ_BY_DESIGN = {
     "sessions_peak_concurrency",  # broadcast 1-row session count
     "text_pmi_collocations",    # broadcast 1-row unigram/bigram totals
     "sessions_maintenance_overlap",  # broadcast ~days-sized window list
+    "orders_backlog_aging",     # broadcast 1-row anchor date
 }
 
 
