@@ -140,6 +140,7 @@ HEADLINE = [
     "orders_backlog_aging",
     "supplier_share_of_wallet",
     "lineitem_shipping_lag_stats",
+    "nation_trade_balance",
 ]
 
 

@@ -8792,3 +8792,75 @@ def lineitem_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lag_days"),
         )
     )
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH exports AS (
+      SELECT s_nationkey AS nk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS export_rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey),
+    imports AS (
+      SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS import_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey)
+    SELECT n.n_name,
+           COALESCE(e.export_rev, 0.0) AS export_rev,
+           COALESCE(i.import_spend, 0.0) AS import_spend,
+           ROUND(COALESCE(e.export_rev, 0.0)
+                 - COALESCE(i.import_spend, 0.0), 2) AS balance
+    FROM nation n
+      LEFT JOIN exports e ON n.n_nationkey = e.nk
+      LEFT JOIN imports i ON n.n_nationkey = i.nk
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: supplier-side revenue (exports) vs
+    customer-side spend (imports), nations with no activity at 0.0 —
+    two independent decimal fact aggregations stitched onto the
+    broadcast nation dim with outer joins.  The balance subtraction is
+    one IEEE op on exact-decimal-derived doubles, rounded 2 dp (a
+    DIFFERENCE, not a product, so the .xx5 product-rounding hazard
+    doesn't apply).
+    """
+    t = _t(spark, sf_dir)
+    exports = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("export_rev")
+        )
+    )
+    imports = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("import_spend")
+        )
+    )
+    return (
+        t["nation"]
+        .join(exports, F.col("n_nationkey") == exports.nk, "left")
+        .join(imports, F.col("n_nationkey") == imports.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("export_rev"), F.lit(0.0)).alias("export_rev"),
+            F.coalesce(F.col("import_spend"), F.lit(0.0)).alias("import_spend"),
+            F.round(
+                F.coalesce(F.col("export_rev"), F.lit(0.0))
+                - F.coalesce(F.col("import_spend"), F.lit(0.0)),
+                2,
+            ).alias("balance"),
+        )
+    )
