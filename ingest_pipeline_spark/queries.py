@@ -62,69 +62,67 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-5 window: the 10 round-4 additions that had never been inside a
-# driver window, then round-5's new queries, then previously-graded
-# greens.  similarity_pq_topk (KMeans codebooks, no SQL oracle) is out of
-# the window for good — its deterministic sibling similarity_pq_topk_det
-# carries the oracle-checkable ADC math.  List EXACTLY 50 names (sized by
-# test_driver_contract).
+# Round-6 window: the 44 late-r5 registrations that have never held a
+# driver slot (all judge-verified green at sf0.01 at r5 HEAD), then
+# round-6's new queries.  Permanently OUT of the window: the two
+# rows-only-by-design entries — similarity_pq_topk (KMeans codebooks)
+# and source_listing (directory listing has no DuckDB-parquet oracle);
+# each would burn a slot as an eternal `no_oracle`.  List EXACTLY 50
+# names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled before round 5 (judge-verified green at HEAD)
-    "corpus_drift_report",
-    "corpus_mix_rebalance",
-    "corpus_prepare_training",
-    "embedding_label_centroids",
-    "embedding_nearest_centroid",
-    "scd2_status_history",
-    "snapshot_delta",
-    "stream_neardup_records",
-    "text_chunk_documents",
-    "source_listing",
-    # round-5 TPC-H pattern completion + analytics additions (all
-    # oracle-green locally; rotated in so they get driver rows —
-    # displaced r04 greens keep their graded rows, see COVERAGE.md)
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_census",
-    "q20_forecast_suppliers",
-    "q21_waiting_suppliers",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "sample_reservoir_groups",
-    "graph_pagerank_suppliers",
-    "merge_upsert_orders",
-    "agg_salted_hot_keys",
-    "agg_cube_orders",
-    "events_hopping_windows",
-    "events_gapfill_daily",
-    "text_token_entropy",
-    "window_moving_range_sum",
-    # previously-graded greens (r04 window), original order
-    "curation_pipeline",
-    "profile_orders",
-    "text_rolling_hash",
-    "dedup_cluster_components",
-    "dedup_simhash_pairs",
-    "q6_forecast_revenue",
-    "q11_important_parts",
-    "q13_order_count_census",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "tfidf_top_terms",
-    "text_pii_scrub",
-    "asof_join_events",
-    "range_join_error_clicks",
-    "hypertable_rollup",
-    # round-5 additions
-    "similarity_pq_topk_det",
-    "token_crypto_roundtrip",
-    "reorganize_multiassay_merge",
+    # never driver-sampled before round 6 (judge-verified green at HEAD)
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "bloom_prejoin_filter",
+    "dedup_prefix_jaccard",
+    "fuzzy_join_blocked",
+    "anomaly_zscore_events",
+    "histogram_equidepth_prices",
+    "geo_grid_join",
+    "incremental_join_maintenance",
+    "sample_weighted_orders",
+    "skyline_pareto_parts",
+    "join_salted_hot_events",
+    "stats_correlation_lineitem",
+    "stats_chi2_independence",
+    "quality_logistic_score",
+    "mine_hard_negatives",
+    "scd2_point_in_time_join",
+    "zorder_locality_stats",
+    "events_rolling_active_users",
+    "sketch_hll_set_algebra",
+    "customer_rfm_segments",
+    "basket_copurchase_pairs",
+    "events_error_bursts",
+    "events_time_weighted_avg",
+    "events_funnel_within_7d",
+    "pareto_revenue_concentration",
+    "report_yoy_growth",
+    "search_bm25_topk",
+    "graph_shortest_paths",
+    "text_pmi_collocations",
+    "join_size_audit",
+    "events_markov_transitions",
+    "sessions_peak_concurrency",
+    "report_monthly_top_parts",
+    "window_cume_dist_prices",
+    "sessions_maintenance_overlap",
+    "profile_functional_dependency",
+    "corpus_train_val_test_split",
+    "argmax_order_by_customer",
+    "events_dow_hour_heatmap",
+    "orders_backlog_aging",
+    "supplier_share_of_wallet",
+    "lineitem_shipping_lag_stats",
+    "nation_trade_balance",
+    # round-6 additions take the remaining slots as they land; until
+    # then, previously-graded greens hold them (graded rows retained)
+    "graph_bfs_descendants",
+    "graph_bfs_ancestors",
+    "sessionize_users",
+    "window_latest_order",
+    "window_topk_overflow",
+    "json_extract_props",
 ]
 
 
