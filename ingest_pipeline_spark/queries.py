@@ -6773,22 +6773,23 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and on distinct points the tie case collapses to strictly-better),
     so the skyline is a running-max comparison.
 
-    Scale: O(n log n) via Spark's distributed range-partitioned sort
-    instead of the O(n²) block-nested dominance join; for >2
-    objectives, run this per grid cell then skyline the union of the
-    (small) local skylines — same operator, two rounds.
+    Scale: O(n log n) — the running max executes as the two-phase
+    distributed prefix scan (operators/prefix.py: range-partitioned
+    local running max + broadcast per-partition offsets), never the
+    O(n²) block-nested dominance join and never a single-task global
+    window; for >2 objectives, run this per grid cell then skyline the
+    union of the (small) local skylines — same operator, two rounds.
     """
+    from .operators.prefix import running_max_exclusive
+
     part = _t(spark, sf_dir)["part"]
     pts = part.select("p_retailprice", "p_size").distinct()
-    w = (
-        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    m = running_max_exclusive(
+        pts, [F.asc("p_retailprice"), F.desc("p_size")], "p_size", "best_prev"
     )
-    return (
-        pts.withColumn("best_prev", F.max("p_size").over(w))
-        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size")))
-        .select("p_retailprice", "p_size")
-    )
+    return m.filter(
+        F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size"))
+    ).select("p_retailprice", "p_size")
 
 
 @register(
@@ -7477,13 +7478,16 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation —
     the classic lifecycle-marketing cube: per-customer stats in one
-    scan, quintile scores via three fully-tiebroken NTILE windows,
-    then a segment census.  Recency is measured against the corpus
-    max date (deterministic, no wall clock).  Scale note: the three
-    global NTILEs share one pattern — at 100 TB replace with sampled
-    quantile boundaries (range-partitioner style) exactly as in
-    histogram_equidepth_prices.
+    scan, quintile scores via three fully-tiebroken NTILEs, then a
+    segment census.  Recency is measured against the corpus max date
+    (deterministic, no wall clock).  Scale: each NTILE executes as the
+    closed-form tile over a distributed global rank
+    (operators/prefix.py:global_ntile — range-partitioned local row
+    numbers + broadcast count offsets), bit-identical to SQL NTILE and
+    never a single-task global window.
     """
+    from .operators.prefix import global_ntile
+
     o = _t(spark, sf_dir)["orders"]
     maxd = o.agg(F.max("o_orderdate").alias("d0"))
     per_cust = (
@@ -7499,16 +7503,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-    f_ = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = per_cust.select(
-        "o_custkey",
-        "monetary",
-        r.cast("long").alias("r"),
-        f_.cast("long").alias("f"),
-        m.cast("long").alias("m"),
+    scored = global_ntile(
+        per_cust, [F.asc("recency_days"), F.asc("o_custkey")], 5, "r"
     )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.asc("o_custkey")], 5, "f"
+    )
+    scored = global_ntile(
+        scored, [F.desc("monetary"), F.asc("o_custkey")], 5, "m"
+    )
+    scored = scored.select("o_custkey", "monetary", "r", "f", "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),
         F.round(
@@ -7758,23 +7762,26 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one that crosses it.  The cumsum is DECIMAL under a
     fully-tiebroken order, so the crossing index is bit-deterministic;
     the 0.8 threshold is evaluated as the identical double product in
-    both engines.  Scale note: the global ordered cumsum
-    range-partitions like any distributed sort.
+    both engines.  Scale: the cumsum runs as the two-phase distributed
+    prefix scan (operators/prefix.py) — per-range-partition partials
+    plus broadcast offsets — never a single-task global window.
     """
+    from .operators.prefix import running_sum
+
     li = _t(spark, sf_dir)["lineitem"]
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("decimal(28,2)")
         .alias("rev")
     )
+    per_part = per_part.localCheckpoint(eager=True)  # totals + cumsum
     tot = per_part.agg(
         F.sum("rev").cast("decimal(28,2)").alias("total_rev"),
         F.count("*").alias("n_parts"),
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = running_sum(
+        per_part, [F.desc("rev"), F.asc("l_partkey")], "rev", "cum_rev"
     )
-    ranked = per_part.withColumn("cum_rev", F.sum("rev").over(w))
     below = F.sum(
         F.when(
             F.col("cum_rev").cast("double")
@@ -8287,8 +8294,10 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered cumulative sum; the max is the peak.  Sessions come from
     the gap-based sessionize operator (same 1800 s gap as
     sessionize_users).  Scale: delta aggregation is keyed on time; the
-    ordered cumsum range-partitions like any distributed sort.
+    ordered cumsum runs as the two-phase distributed prefix scan
+    (operators/prefix.py) — never a single-task global window.
     """
+    from .operators.prefix import running_sum
     from .operators.sessionize import session_stats
 
     ev = _t(spark, sf_dir)["events"]
@@ -8301,8 +8310,9 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select((F.col("t_end") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     per_t = deltas.groupBy("t").agg(F.sum("d").alias("dsum"))
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    sweep = per_t.select("t", F.sum("dsum").over(w).cast("long").alias("concurrent"))
+    sweep = running_sum(per_t, [F.asc("t")], "dsum", "cum").select(
+        "t", F.col("cum").cast("long").alias("concurrent")
+    )
     n_sessions = s.agg(F.count("*").alias("n_sessions"))
     return (
         sweep.agg(

@@ -173,10 +173,39 @@ BNLJ_BY_DESIGN = {
 }
 
 
+# A Window with an EMPTY partition spec executes in ONE task (all rows
+# shuffle to a single reducer) — acceptable ONLY when its input is
+# provably not data-proportional:
+#   - ordered by __prefix_pid: the per-partition-totals window inside
+#     operators/prefix.py (≤ shuffle-partitions rows, cluster-sized);
+#   - the plan carries TakeOrderedAndProject / WindowGroupLimit: the
+#     limit was pushed below the window, bounding its input to
+#     k × partitions rows (global top-k pattern);
+#   - allow-listed here with the documented tiny input.
+GLOBAL_WINDOW_BY_DESIGN = {
+    "report_yoy_growth",  # monthly series: rows = months in corpus (~84)
+}
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes with an empty partition spec (first arg of
+    windowspecdefinition is an ORDER col — has an ASC/DESC marker —
+    rather than a bare partition col)."""
+    hits = []
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" not in ln or "WindowGroupLimit" in ln:
+            continue
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        if " ASC" in first or " DESC" in first:
+            hits.append(first.strip())
+    return hits
+
+
 def test_no_query_plans_cartesian_or_slow_udf(spark, sf_dir):
     """Fleet-wide plan gate: no cartesian products, no row-at-a-time
-    Python UDFs (BatchEvalPython), and BNLJ only where a tiny broadcast
-    side is the documented design."""
+    Python UDFs (BatchEvalPython), BNLJ only where a tiny broadcast
+    side is the documented design, and no single-task global window
+    over data-proportional input."""
     from ingest_pipeline_spark.queries import oracle_sql  # noqa: F401
 
     offenders = {}
@@ -189,6 +218,18 @@ def test_no_query_plans_cartesian_or_slow_udf(spark, sf_dir):
         ]
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
             marks.append("BroadcastNestedLoopJoin")
+        gw = [
+            g
+            for g in _global_windows(plan)
+            if "__prefix_pid" not in g
+        ]
+        if (
+            gw
+            and name not in GLOBAL_WINDOW_BY_DESIGN
+            and "TakeOrderedAndProject" not in plan
+            and "WindowGroupLimit" not in plan
+        ):
+            marks.append(f"global Window over {gw[0]}")
         if marks:
             offenders[name] = marks
     assert not offenders, f"scale-hostile plan nodes: {offenders}"
