@@ -208,25 +208,34 @@ def write_child_metadata(
     meta: DataFrame, dest_root: str, uuid_col: str = "new_uuid"
 ) -> None:
     """Single-row {uuid}-metadata.tsv per child (reference :240-249:
-    data_path rewritten to '.', contributors/antibodies to extras/)."""
-    import csv
-    import os
+    data_path rewritten to '.', contributors/antibodies to extras/).
 
-    basename = lambda p: p.rsplit("/", 1)[-1]  # noqa: E731
+    foreachPartition — executor-side against the shared filesystem,
+    same dataflow as execute_file_ops: a 100×-scale reorganize has
+    thousands of children and must not serialize writes through the
+    driver.  Idempotent (each child's file is rewritten whole)."""
     cols = [c for c in meta.columns if c != uuid_col]
-    for row in meta.toLocalIterator():
-        d = row.asDict()
-        uuid = d.pop(uuid_col)
-        d["data_path"] = "."
-        for k in ("contributors_path", "antibodies_path"):
-            if d.get(k):
-                d[k] = f"extras/{basename(d[k])}"
-        child = os.path.join(dest_root, uuid)
-        os.makedirs(child, exist_ok=True)
-        with open(os.path.join(child, f"{uuid}-metadata.tsv"), "w", newline="") as f:
-            wr = csv.DictWriter(f, fieldnames=cols, delimiter="\t")
-            wr.writeheader()
-            wr.writerow({k: ("" if d.get(k) is None else d[k]) for k in cols})
+
+    def run(partition) -> None:
+        import csv
+        import os
+
+        for row in partition:
+            d = row.asDict()
+            uuid = d.pop(uuid_col)
+            d["data_path"] = "."
+            for k in ("contributors_path", "antibodies_path"):
+                if d.get(k):
+                    d[k] = f"extras/{d[k].rsplit('/', 1)[-1]}"
+            child = os.path.join(dest_root, uuid)
+            os.makedirs(child, exist_ok=True)
+            path = os.path.join(child, f"{uuid}-metadata.tsv")
+            with open(path, "w", newline="") as f:
+                wr = csv.DictWriter(f, fieldnames=cols, delimiter="\t")
+                wr.writeheader()
+                wr.writerow({k: ("" if d.get(k) is None else d[k]) for k in cols})
+
+    meta.foreachPartition(run)
 
 
 def reorganized_integrity(
