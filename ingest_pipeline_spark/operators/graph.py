@@ -23,18 +23,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def descendants_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> DataFrame:
-    """All (root_uuid, uuid, depth) reachable downward from roots.
+def descendants_bfs(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int | None = 5,
+    checkpoint_every: int = 10,
+) -> DataFrame:
+    """All (root_uuid, uuid, depth) reachable downward from roots,
+    depth = shortest hop count.
 
     edges: (parent_uuid, child_uuid); roots: one column `uuid`.
-    Bounded-depth BFS with early exit on empty frontier.
+    ``max_depth=None`` iterates to the FIXPOINT — until the frontier
+    empties (reference lazy full walks: misc/tools/survey.py:226-263,
+    dags/utils.py:1160-1164).  Each round subtracts the visited set
+    (anti-join on the per-root key), which both guarantees termination
+    on cyclic inputs and keeps diamond-shaped DAG fan-in from
+    re-expanding already-settled nodes; BFS level order makes the first
+    arrival the min depth, so no final re-aggregation is needed.  The
+    frontier is localCheckpoint-materialized every round (it feeds the
+    expand join, the visited union, and the emptiness probe) and the
+    visited accumulator every ``checkpoint_every`` rounds — the
+    connected-components lineage-cut discipline for pathological DAGs.
     """
-    frontier = roots.select(
-        F.col("uuid").alias("root_uuid"), F.col("uuid"), F.lit(0).alias("depth")
+    frontier = (
+        roots.select(
+            F.col("uuid").alias("root_uuid"), F.col("uuid"), F.lit(0).alias("depth")
+        )
+        .distinct()  # roots are a SET; dup input rows must not fan out
+        .localCheckpoint(eager=True)
     )
-    result = frontier
-    cached: list = []
-    for depth in range(1, max_depth + 1):
+    visited = frontier
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
         frontier = (
             frontier.join(edges, frontier.uuid == edges.parent_uuid)
             .select(
@@ -43,29 +64,29 @@ def descendants_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> D
                 F.lit(depth).alias("depth"),
             )
             .distinct()
+            .join(visited, ["root_uuid", "uuid"], "left_anti")
+            .localCheckpoint(eager=True)
         )
-        frontier = frontier.cache()
-        cached.append(frontier)
         if frontier.isEmpty():
             break
-        result = result.unionByName(frontier)
-    # materialize before releasing the frontier caches (they feed the
-    # union); leaving them cached would pin storage memory per call
-    # min depth per (root, node) — a node can be reachable 2 ways
-    out = result.groupBy("root_uuid", "uuid").agg(F.min("depth").alias("depth"))
-    out = out.localCheckpoint(eager=True)
-    for f in cached:
-        f.unpersist()
-    return out
+        visited = visited.unionByName(frontier)
+        if depth % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+    return visited
 
 
-def ancestors_bfs(edges: DataFrame, roots: DataFrame, max_depth: int = 5) -> DataFrame:
+def ancestors_bfs(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int | None = 5,
+    checkpoint_every: int = 10,
+) -> DataFrame:
     """All (root_uuid, uuid, depth) reachable upward from roots."""
     flipped = edges.select(
         F.col("child_uuid").alias("parent_uuid"),
         F.col("parent_uuid").alias("child_uuid"),
     )
-    return descendants_bfs(flipped, roots, max_depth)
+    return descendants_bfs(flipped, roots, max_depth, checkpoint_every)
 
 
 def latest_child(

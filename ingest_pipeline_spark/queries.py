@@ -117,11 +117,11 @@ _DRIVER_FIRST = [
     "nation_trade_balance",
     # round-6 additions take the remaining slots as they land; until
     # then, previously-graded greens hold them (graded rows retained)
-    "graph_bfs_descendants",
-    "graph_bfs_ancestors",
-    "sessionize_users",
-    "window_latest_order",
-    "window_topk_overflow",
+    "graph_bfs_fixpoint",
+    "similarity_ivf_topk_det",
+    "dedup_containment_pairs",
+    "text_bigram_perplexity",
+    "events_top_paths",
     "json_extract_props",
 ]
 
@@ -3830,12 +3830,15 @@ def token_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intake auth-token seam (§2.8 crypto; reference Fernet round-trip
     dags/utils.py:1941-1950 consumed at hubmap_api/endpoint.py:354-355).
 
-    Every request is sealed (AES-ECB of provider:submission:process),
-    then routed twice: opened with the RIGHT key every token verifies
-    and routing proceeds normally; with a WRONG key every request lands
-    on the 'unauthorized' error route.  The oracle knows the expected
-    outcome from plaintext alone, so a broken cipher round-trip (or a
-    verifier that ignores the payload) hash-mismatches.
+    Every request is sealed (AES-GCM of provider:submission:process —
+    the authenticated production mode; the random IV never enters the
+    hashed output because only routing outcomes are compared), then
+    routed twice: opened with the RIGHT key every token verifies and
+    routing proceeds normally; with a WRONG key the AEAD tag check
+    fails and every request lands on the 'unauthorized' error route.
+    The oracle knows the expected outcome from plaintext alone, so a
+    broken cipher round-trip (or a verifier that ignores the payload)
+    hash-mismatches.
     """
     from .engine import route_requests, seal_requests
 
@@ -6365,8 +6368,8 @@ def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(n_inter AS DOUBLE)
-                / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 6)
+    WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)
           >= CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE)
     """,
 )
@@ -7542,28 +7545,18 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining (the frequent-pair stage of
     apriori): parts bought together in ≥3 orders.  The self-join is
     keyed on the BASKET (orderkey), so work is Σ k_i² over basket
-    sizes — bounded by the max basket (7 lines in TPC-H), never a
-    corpus cross product; the pair aggregation is one shuffle on the
-    (part, part) key.  At 100 TB add a frequent-item prefilter (drop
-    items below min support before pairing) — the classic apriori
-    pruning, same shape as the df_cap guard in ngram_jaccard_pairs.
+    sizes — never a corpus cross product; the pair aggregation is one
+    shuffle on the (part, part) key.  operators/baskets.py applies the
+    apriori frequent-item prefilter at the SAME threshold before
+    pairing — result-identical (a pair's support ≤ either item's
+    support, so the plain-join oracle proves the pruning is lossless)
+    while bounding every basket to its frequent items at 100 TB.
     """
+    from .operators.baskets import copurchase_pairs
+
     li = _t(spark, sf_dir)["lineitem"]
     items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 3)
-    )
+    return copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
 
 
 @register(
@@ -8871,4 +8864,325 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("balance"),
         )
+    )
+
+
+@register(
+    "graph_bfs_fixpoint",
+    """
+    WITH RECURSIVE walk(root_uuid, uuid, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+      UNION ALL
+      SELECT w.root_uuid, c.c_custkey, w.depth + 1
+      FROM walk w JOIN customer c ON c.c_custkey = w.uuid + 200
+      WHERE c.c_custkey <= 2000
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(uuid) AS BIGINT) AS sum_keys
+    FROM walk GROUP BY depth
+    """,
+)
+def graph_bfs_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-depth BFS to the FIXPOINT (J8 full walk): a synthetic
+    custkey -> custkey+100 chain walked with ``max_depth=None`` until
+    the frontier empties — the Spark restatement of the reference's
+    lazy full provenance walk (misc/tools/survey.py:226-263,
+    dags/utils.py:1160-1164), oracle-checked against DuckDB's
+    recursive CTE.  The custkey cap bounds chain depth (~10) at every
+    scale factor so the round count is data-shape-, not volume-,
+    bound; per-round work is one keyed join + anti-join, frontier
+    checkpointed each round (operators/graph.py:descendants_bfs).
+    """
+    from .operators.graph import descendants_bfs
+
+    c = (
+        _t(spark, sf_dir)["customer"]
+        .select("c_custkey")
+        .filter(F.col("c_custkey") <= 2000)
+    )
+    edges = (
+        c.alias("a")
+        .join(c.alias("b"), F.col("b.c_custkey") == F.col("a.c_custkey") + 200)
+        .select(
+            F.col("a.c_custkey").alias("parent_uuid"),
+            F.col("b.c_custkey").alias("child_uuid"),
+        )
+    )
+    roots = c.filter(F.col("c_custkey") <= 200).select(
+        F.col("c_custkey").alias("uuid")
+    )
+    reach = descendants_bfs(edges, roots, max_depth=None)
+    return reach.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("uuid").alias("sum_keys"),
+    )
+
+
+_COS6 = (
+    "ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q) "
+    "/ (SQRT(LIST_REDUCE(LIST_TRANSFORM({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) "
+    "* SQRT(LIST_REDUCE(LIST_TRANSFORM({b}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6)"
+)
+
+
+@register(
+    "similarity_ivf_topk_det",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+               FROM embeddings),
+    c_assign AS (
+      SELECT neighbor_id, c_vec, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY neighbor_id
+               ORDER BY {_COS6.format(a="c_vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (SELECT neighbor_id, c_vec, anchor_id AS cell
+              FROM c_assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id >= 20 AND vec_id < 35),
+    q_assign AS (
+      SELECT query_id, q_vec, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS6.format(a="q_vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM q, anchors),
+    probes AS (SELECT query_id, q_vec, anchor_id AS cell
+               FROM q_assign WHERE rn <= 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS6.format(a="q_vec", b="c_vec")} AS cosine_sim
+      FROM probes p JOIN cells c USING (cell)
+      WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC,
+                                         neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF ANN (the oracle-checkable sibling of the
+    KMeans ivf_topk, exactly as similarity_pq_topk_det is to PQ):
+    coarse cells from the 8 lowest-id vectors as fixed anchors, corpus
+    assigned to its best cell, queries probing their 2 best cells,
+    exact cosine top-5 inside the probed cells.  Candidates meet ONLY
+    through the cell equi-join — the inverted-file property that makes
+    ANN a bucketed join instead of a corpus cross product at 100 TB.
+    operators/similarity.py:ivf_topk_det.
+    """
+    from .operators.similarity import ivf_topk_det
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 35))
+    return ivf_topk_det(emb, queries_df, "embedding", "vec_id", k=5)
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(ni AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+             AS containment_ab,
+           ROUND(CAST(ni AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6)
+             AS containment_ba
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(ni AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+            >= CAST(3 AS DOUBLE) / CAST(5 AS DOUBLE)
+       OR CAST(ni AS DOUBLE) / CAST(sb.sz AS DOUBLE)
+            >= CAST(3 AS DOUBLE) / CAST(5 AS DOUBLE)
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.6 in either direction — the
+    sub-document duplicate detector (a short doc embedded in a long
+    one has tiny Jaccard but containment ≈ 1).  Same inverted-index
+    join shape as dedup_ngram_jaccard, df_cap-guardable at scale;
+    threshold compares the UNROUNDED ratio (identical IEEE division in
+    both engines), 6-dp rounding only for output.
+    operators/dedup.py:containment_pairs.
+    """
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", shingle_k=3, t_num=3, t_den=5
+    )
+
+
+@register(
+    "text_bigram_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+      FROM (SELECT UNNEST(tk) AS w FROM toks) GROUP BY w),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+    bigr AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 1)) t(i)
+      WHERE LEN(tk) >= 2),
+    bcnt AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM bigr GROUP BY w1, w2),
+    terms AS (
+      SELECT doc_id,
+             ROUND(LN(CAST(u.cu + v.vsize AS DOUBLE)
+                      / CAST(b.cb + 1 AS DOUBLE)), 12) AS nll
+      FROM bigr g
+        JOIN bcnt b ON b.w1 = g.w1 AND b.w2 = g.w2
+        JOIN uni u ON u.w = g.w1
+        CROSS JOIN v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document average negative
+    log-likelihood under the corpus's own add-one-smoothed bigram MLE —
+    the classic LM-based quality filter (gibberish and boilerplate
+    score far from the corpus mean), kept in LOG space so the 1-ulp
+    EXP divergence between engines never enters the hashed output
+    (perplexity = exp(avg_nll) is monotone in it, so filtering
+    thresholds translate 1:1).
+
+    Shape: one NGram pass → bigram occurrences join corpus bigram and
+    unigram counts (both keyed aggs with map-side partials; at 100 TB
+    these are the LM count tables, w1-keyed) + a broadcast 1-row
+    vocabulary size; each term's −ln p is per-row IEEE on
+    identical-integer-derived doubles (LN parity rule), rounded 12 dp
+    and decimal-summed per doc (reorder-proof), 6-dp output rounding.
+    """
+    from pyspark.ml.feature import NGram
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    )
+    toks = toks.localCheckpoint(eager=True)  # unigrams + bigrams + V
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    vsize = uni.agg(F.count("*").alias("vsize"))
+    ng = NGram(n=2, inputCol="tk", outputCol="bg")
+    bigr = (
+        ng.transform(toks.filter(F.size("tk") >= 2))
+        .select("doc_id", F.explode("bg").alias("bigram"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    bigr = bigr.localCheckpoint(eager=True)  # occurrences + bigram counts
+    bcnt = bigr.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    nll = F.round(
+        F.log(
+            (F.col("cu") + F.col("vsize")).cast("double")
+            / (F.col("cb") + F.lit(1)).cast("double")
+        ),
+        12,
+    )
+    return (
+        bigr.join(bcnt, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             COALESCE(STRING_AGG(event_type, '>' ORDER BY rn), '') AS path
+      FROM ordered WHERE rn <= 3 GROUP BY user_id),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM paths GROUP BY path)
+    SELECT path, n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC) AS BIGINT)
+             AS rank
+    FROM counted
+    ORDER BY n_users DESC, path ASC LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 20 most common first-3-event paths per
+    user (onboarding-funnel shape discovery).  Per-user ordering is a
+    keyed window (user_id partitions, full (ts, event_id) tiebreak);
+    the path string is assembled from a sort_array over struct-packed
+    rows so aggregation order can never reorder it (collect_list alone
+    is partition-order-dependent); the final top-20 is limit-pushed
+    (TakeOrderedAndProject), never a global data-proportional window.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_users"), F.asc("path")))
+        .cast("long"),
+    ).filter(F.col("rank") <= 20)
+    return ranked.orderBy(F.desc("n_users"), F.asc("path")).select(
+        "path", "n_users", "rank"
     )
