@@ -62,20 +62,28 @@ def mint_run_ids(requests: DataFrame) -> DataFrame:
     )
 
 
-def seal_requests(requests: DataFrame, auth_key: str) -> DataFrame:
+def seal_requests(
+    requests: DataFrame, auth_key: str, mode: str = "GCM"
+) -> DataFrame:
     """Attach the intake auth token: AES-sealed provider:submission:process.
 
     The engine-side analog of the reference minting an encrypted
-    submission token for the ingest endpoint (dags/utils.py:1941-1950).
-    Deterministic (ECB) so a redelivered request carries the identical
-    token — consistent with the idempotent run-id minting.
+    submission token for the ingest endpoint (dags/utils.py:1941-1950,
+    Fernet = AES-CBC + HMAC).  Default GCM: authenticated encryption —
+    a tampered token fails the AEAD tag check and routes to the 401
+    path.  Tokens are then non-deterministic (random IV, like Fernet),
+    which is fine for retry idempotence: dedup keys on the minted
+    run_id (payload-derived), never on token bytes.  mode="ECB" exists
+    solely for deterministic oracle fixtures.
     """
     from .functions.scalars import encrypt_token
 
     payload = F.concat_ws(
         ":", F.col("provider"), F.col("submission_id"), F.col("process")
     )
-    return requests.withColumn("auth_token", encrypt_token(payload, auth_key))
+    return requests.withColumn(
+        "auth_token", encrypt_token(payload, auth_key, mode)
+    )
 
 
 def route_requests(
@@ -83,6 +91,7 @@ def route_requests(
     process_rules: list[Rule] | None = None,
     queue_rules: list[Rule] | None = None,
     auth_key: str | None = None,
+    auth_mode: str = "GCM",
 ) -> DataFrame:
     """Full intake pipeline → dispatchable job rows.
 
@@ -106,7 +115,9 @@ def route_requests(
         expected = F.concat_ws(
             ":", F.col("provider"), F.col("submission_id"), F.col("process")
         )
-        authorized = decrypt_token(F.col("auth_token"), auth_key) == expected
+        authorized = (
+            decrypt_token(F.col("auth_token"), auth_key, auth_mode) == expected
+        )
     process_rules = process_rules or DEFAULT_PROCESS_RULES
     queue_rules = queue_rules or DEFAULT_QUEUE_RULES
     lowered = F.lower(F.col("process"))

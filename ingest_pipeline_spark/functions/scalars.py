@@ -114,26 +114,36 @@ def epoch_millis_to_ts(col: Column) -> Column:
     return F.timestamp_millis(col.cast("long"))
 
 
-def encrypt_token(col: Column, key: str) -> Column:
-    """Seal a token column with AES-128/192/256-ECB, base64-encoded.
+def encrypt_token(col: Column, key: str, mode: str = "GCM") -> Column:
+    """Seal a token column with AES-128/192/256, base64-encoded.
 
     The engine-side seam for the reference's intake auth token
     (Fernet encrypt of the submission payload, reference
     dags/utils.py:1941-1950, consumed by the /request_ingest endpoint
-    plugins/hubmap_api/endpoint.py:354-355).  ECB is chosen
-    deliberately: no random IV, so identical payloads seal to
-    identical tokens — the same idempotence-under-retry property the
-    deterministic run-id minting relies on.  JVM-side
+    plugins/hubmap_api/endpoint.py:354-355).  The default is GCM —
+    authenticated encryption with a random 12-byte IV and a 16-byte
+    tag, matching Fernet's AES-CBC+HMAC production semantics (tampered
+    or truncated tokens FAIL the tag check rather than decrypting to
+    garbage).  mode="ECB" remains available solely as the
+    deterministic oracle fixture (no IV ⇒ identical payloads seal to
+    identical tokens, so a DuckDB-comparable query can hash the
+    ciphertext); production callers should never pass it.  JVM-side
     (``aes_encrypt``), no Python in the path.
     """
-    return F.base64(F.aes_encrypt(col, F.lit(key), F.lit("ECB"), F.lit("PKCS")))
+    padding = "NONE" if mode == "GCM" else "PKCS"
+    return F.base64(
+        F.aes_encrypt(col, F.lit(key), F.lit(mode), F.lit(padding))
+    )
 
 
-def decrypt_token(col: Column, key: str) -> Column:
+def decrypt_token(col: Column, key: str, mode: str = "GCM") -> Column:
     """Open a sealed token; NULL (never an exception) on a wrong key
     or tampered payload — the engine's 401 path routes on that NULL
     instead of failing the batch (``try_aes_decrypt`` semantics).
+    Under the default GCM the NULL-on-tamper guarantee is
+    cryptographic (AEAD tag verification), not a padding accident.
     """
+    padding = "NONE" if mode == "GCM" else "PKCS"
     return F.try_aes_decrypt(
-        F.unbase64(col), F.lit(key), F.lit("ECB"), F.lit("PKCS")
+        F.unbase64(col), F.lit(key), F.lit(mode), F.lit(padding)
     ).cast("string")

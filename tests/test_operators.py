@@ -361,16 +361,30 @@ def test_auth_token_seal_open_and_routing(spark):
     ).first()
     assert rt.ok == "scan.begin" and rt.bad is None
 
-    sealed = seal_requests(df, key)
+    sealed = seal_requests(df, key).localCheckpoint()  # freeze the random IV
     assert route_requests(sealed, auth_key=key).first().dag_id == "scan_and_begin_processing"
     assert route_requests(sealed, auth_key=wrong).first().dag_id == "unauthorized"
     # tampered payload: token verifies cryptographically under the right
     # key but no longer matches the request fields -> still unauthorized
     tampered = sealed.withColumn("process", F.lit("mock.devtest"))
     assert route_requests(tampered, auth_key=key).first().dag_id == "unauthorized"
-    # determinism: identical payload seals to the identical token (ECB)
+    # tampered CIPHERTEXT: under default GCM the AEAD tag check fails ->
+    # decrypt yields NULL (never garbage plaintext) -> 401 path
+    flipped = sealed.withColumn(
+        "auth_token",
+        F.concat(
+            F.when(F.substring("auth_token", 1, 1) == "A", "B").otherwise("A"),
+            F.substring(F.col("auth_token"), 2, 10_000),
+        ),
+    )
+    assert route_requests(flipped, auth_key=key).first().dag_id == "unauthorized"
+    # GCM tokens are non-deterministic (random IV, Fernet-like); the
+    # deterministic oracle fixture remains available as mode="ECB"
     t2 = seal_requests(df, key).select("auth_token").first().auth_token
-    assert sealed.select("auth_token").first().auth_token == t2
+    assert sealed.select("auth_token").first().auth_token != t2
+    e1 = seal_requests(df, key, mode="ECB").select("auth_token").first().auth_token
+    e2 = seal_requests(df, key, mode="ECB").select("auth_token").first().auth_token
+    assert e1 == e2
 
 
 def test_prefix_filter_jaccard_complete_vs_inverted_index(spark, sf_dir):
