@@ -67,6 +67,55 @@ def read_yaml_docs(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.read.json(spark.sparkContext.parallelize(rows))
 
 
+def read_yaml_sidecars(
+    spark: SparkSession, path_glob: str, recursive: bool = False
+) -> DataFrame:
+    """Distributed YAML ingest: many small sidecar files → one DataFrame
+    of ``(path, doc_json)`` rows.
+
+    The reference carries one ``rslt.yml`` per dataset
+    (dags/scan_and_begin_processing.py:77-81); at 100× scale that is
+    millions of sidecars, which must be read where they live: a
+    ``binaryFile`` scan distributes both the listing and the reads
+    across executors (driver never loops over files), and
+    ``mapInPandas`` parses each Arrow batch of (path, bytes) with
+    ``yaml.safe_load``.  Docs come back as canonical JSON strings
+    (sorted keys) so downstream schema inference / ``from_json`` stays
+    engine-portable.  Import-gated on pyyaml like read_yaml_docs.
+    """
+    try:
+        import yaml  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyyaml not installed in this environment") from exc
+
+    reader = spark.read.format("binaryFile")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    bin_df = reader.load(path_glob).select("path", "content")
+
+    def parse(batches):
+        import json
+
+        import pandas as pd
+        import yaml as _yaml
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "doc_json": [
+                        json.dumps(
+                            _yaml.safe_load(content.decode("utf-8")),
+                            sort_keys=True,
+                        )
+                        for content in pdf["content"]
+                    ],
+                }
+            )
+
+    return bin_df.mapInPandas(parse, "path string, doc_json string")
+
+
 def read_text_logs(spark: SparkSession, glob: str) -> DataFrame:
     """Line-wise log source; .gz transparently decompressed."""
     return spark.read.text(glob)
@@ -219,10 +268,15 @@ def read_json_with_deadletter(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    # caching before the split is required: Spark's JSON parser may
-    # otherwise re-parse per branch and corrupt-record pushdown rules
-    # forbid filtering on the corrupt column alone over a fresh scan
-    df = df.cache()
+    # materializing before the split is required: Spark's JSON parser
+    # may otherwise re-parse per branch and corrupt-record pushdown
+    # rules forbid filtering on the corrupt column alone over a fresh
+    # scan.  localCheckpoint (not cache): its blocks are released by
+    # the ContextCleaner when the DataFrames are dropped, whereas a
+    # cache() entry would pin executor memory for the whole session
+    # across repeated ingests unless every caller remembered to
+    # unpersist.
+    df = df.localCheckpoint(eager=True)
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"

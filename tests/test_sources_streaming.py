@@ -67,6 +67,37 @@ def test_yaml_docs(spark, tmp_path):
     assert list(row.channels) == ["DAPI", "CD4"]
 
 
+def test_yaml_sidecars_distributed(spark, tmp_path):
+    """Many-file YAML ingest: N sidecars → one DataFrame through a
+    distributed binaryFile scan + mapInPandas parse — no driver loop."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline_spark.sources.readers import read_yaml_sidecars
+
+    for i in range(12):
+        d = tmp_path / f"ds{i}"
+        d.mkdir()
+        (d / "rslt.yml").write_text(
+            f"dataset: ds{i}\nassay_type: CODEX\nn_channels: {i}\n"
+        )
+    df = read_yaml_sidecars(spark, str(tmp_path / "*" / "rslt.yml"))
+    rows = df.collect()
+    assert len(rows) == 12
+    docs = {json.loads(r.doc_json)["dataset"]: json.loads(r.doc_json) for r in rows}
+    assert docs["ds7"] == {"dataset": "ds7", "assay_type": "CODEX", "n_channels": 7}
+    # structured access downstream via get_json_object stays JVM-side
+    n7 = df.filter(
+        F.get_json_object("doc_json", "$.dataset") == "ds7"
+    ).select(F.get_json_object("doc_json", "$.n_channels").cast("int"))
+    assert n7.first()[0] == 7
+    # the scan is the distributed binaryFile source, parse is Arrow-batched
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "binaryFile" in plan and "MapInPandas" in plan
+    assert "Scan ExistingRDD" not in plan  # i.e. not driver-parallelized
+
+
 def test_json_docs(spark, tmp_path):
     p = tmp_path / "doc.json"
     p.write_text('{"metadata": {"assay": "codex"}, "files": [{"rel_path": "x"}]}')
