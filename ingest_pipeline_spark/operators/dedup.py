@@ -261,6 +261,77 @@ def ngram_jaccard_pairs(
     return joined
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    t_num: int = 9,
+    t_den: int = 10,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A⊂B) = |A∩B| / |A|.
+
+    The sub-document duplication detector Jaccard structurally misses:
+    a short doc fully embedded in a long one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1.  Same inverted-index
+    shape as ngram_jaccard_pairs — shared-shingle self-join (docs meet
+    only through common shingles, never a cross product), one
+    intersection count, per-doc set sizes joined back — and the same
+    ``df_cap`` stop-shingle guard bounding hot buckets at c·(c−1)/2.
+
+    Emits one row per unordered pair (id_a < id_b) where EITHER
+    direction's containment ≥ t_num/t_den, with both directions
+    reported (containment_ab = |A∩B|/|A|, containment_ba = |A∩B|/|B|),
+    6-dp rounded for output; the threshold compares the UNROUNDED
+    ratio against the identical IEEE division in both engines.
+    """
+    shingles = _shingle_rows(df, text_col, id_col, shingle_k)
+    if df_cap is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") <= F.lit(int(df_cap)))
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("set_size"))
+    inter = (
+        shingles.alias("a")
+        .join(
+            shingles.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    thr = F.lit(float(t_num)) / F.lit(float(t_den))
+    c_ab = F.col("n_inter").cast("double") / F.col("size_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("size_b").cast("double")
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+        .filter((c_ab >= thr) | (c_ba >= thr))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32, shingle_k: int = 1
 ) -> DataFrame:
@@ -398,8 +469,12 @@ def prefix_filter_jaccard_pairs(
     # t·|B| ≤ |A| ≤ |B|/t, i.e. t_den·min_sz ≥ t_num·max_sz — checked
     # inside the candidate join so size-incompatible prefix collisions
     # never reach distinct/verify (measured 135k → far fewer candidate
-    # rows at sf0.1 with identical output; the verify filter subsumes
-    # this predicate, so the oracle needs no mirror of it).
+    # rows at sf0.1 with identical output).  The verify filter compares
+    # the UNROUNDED jaccard against t (rounding happens only for
+    # output), so J ≥ t mathematically implies the size predicate and
+    # the oracle needs no mirror of it — filtering on the 6-dp rounded
+    # value instead would re-admit J ∈ [t−5e-7, t) pairs that the
+    # length filter could prune only for ~400k-shingle docs.
     cand = (
         prefix.alias("a")
         .join(
@@ -453,15 +528,14 @@ def prefix_filter_jaccard_pairs(
             "id_b",
         )
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
-                    "double"
-                ),
-                6,
+            "jaccard_raw",
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
+                "double"
             ),
         )
-        .filter(F.col("jaccard") >= thr)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_raw") >= thr)
+        .select(
+            "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+        )
     )

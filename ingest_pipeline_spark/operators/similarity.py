@@ -326,6 +326,82 @@ def ivf_topk(
     )
 
 
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Deterministic IVF ANN — the oracle-checkable sibling of
+    ``ivf_topk`` (which quantizes with KMeans and therefore has no SQL
+    oracle), same plan shape end to end.
+
+    The coarse quantizer is the ``n_cells`` lowest-id corpus vectors
+    used as fixed anchors (any deterministic tiny sample works; ids
+    make the oracle trivial).  Cell assignment = argmax 6-dp-rounded
+    cosine to the broadcast anchor ROWS with an anchor-id tiebreak —
+    anchors travel as a broadcast DataFrame, never as Column literals
+    (the PQ codebook lesson: literal arrays blow up analysis/codegen).
+    Queries probe their ``n_probe`` best cells; candidates meet through
+    the cell equi-join (the IVF point: never a corpus cross product);
+    exact cosine top-k with full tiebreak inside the probed cells.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    anchors = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    )
+
+    def best_cells(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(anchors)).select(
+            sid,
+            svec,
+            "anchor_id",
+            F.round(cosine(F.col(svec), F.col("a_vec")), 6).alias("a_sim"),
+        )
+        w = Window.partitionBy(sid).orderBy(F.desc("a_sim"), F.asc("anchor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(sid, svec, F.col("anchor_id").alias("cell"))
+        )
+
+    cells = best_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+        1,
+    )
+    probes = best_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        n_probe,
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -455,8 +531,10 @@ def pq_topk(
     in tests/test_storage_ivf.py).  Both ranking stages round scores to
     6 dp BEFORE ranking with an id tiebreak (determinism rule).
     """
-    if corpus.select(vec_col).first() is None:
-        # empty corpus (e.g. an empty incremental partition): there is
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty corpus OR a leading NULL vector (same guard as
+        # pq_topk_det, so both scans share one empty-case contract):
         # nothing to index — empty result, same schema, no crash
         return _empty_topk(queries, id_col)
     codes, codebooks = pq_index(corpus, vec_col, id_col, m, n_codes, seed)

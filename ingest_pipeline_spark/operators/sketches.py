@@ -216,14 +216,18 @@ def cms_estimate(
     est = min over the d rows of the key's counter — an upper bound on
     the true count (never under).  The counter grid is tiny (d*w rows)
     and broadcast, so estimation is a map-side join however many keys
-    are probed.
+    are probed.  The grid stores only touched buckets, so the join is
+    LEFT with COALESCE(cnt, 0): a probe key with an empty bucket
+    estimates 0 (an inner join would silently drop never-seen keys and
+    take the min over a subset for partially-empty ones, breaking the
+    est ≥ true guarantee for arbitrary probe sets).
     """
     buckets = F.array(*[_cms_bucket(F.col(key_col), j, w) for j in range(d)])
     kb = keys.select(F.col(key_col), F.posexplode(buckets).alias("j", "bucket"))
     return (
-        kb.join(F.broadcast(counters), ["j", "bucket"])
+        kb.join(F.broadcast(counters), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 

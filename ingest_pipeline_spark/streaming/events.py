@@ -240,18 +240,17 @@ def idempotent_parquet_sink(
     from pyspark.sql import functions as F
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        # overwrite mode is a PER-WRITE option, never a session-conf
+        # toggle: mutating spark.sql.sources.partitionOverwriteMode
+        # here would let a concurrent writer on the shared session
+        # observe dynamic-overwrite during this batch's window
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     return (
         out.writeStream.foreachBatch(write_batch)

@@ -132,6 +132,27 @@ def test_cms_never_underestimates_and_merges(spark):
     assert est_m == est
 
 
+def test_cms_estimates_unseen_keys_as_zero(spark):
+    """A probe key absent from the sketched data must estimate 0 (all
+    its buckets empty ⇒ min = 0), not vanish from the output — and a
+    key whose buckets are only partially occupied must min over ALL d
+    rows, preserving est ≥ true for arbitrary probe sets."""
+    from ingest_pipeline_spark.operators.sketches import cms_counters, cms_estimate
+
+    rows = spark.range(5).select(F.col("id").alias("key"))  # keys 0-4 once
+    counters = cms_counters(rows, "key", d=4, w=64)
+    probe = spark.range(2000, 2010).select(F.col("id").alias("key"))
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(counters, probe, "key", d=4, w=64).collect()
+    }
+    assert set(est) == set(range(2000, 2010))  # nothing dropped
+    assert all(v >= 0 for v in est.values())
+    # with only 5 seen keys on a 4x64 grid most foreign probes hit at
+    # least one empty bucket -> exact 0
+    assert any(v == 0 for v in est.values())
+
+
 # --------------------------------------------------------------------------
 # Bloom
 # --------------------------------------------------------------------------
