@@ -147,6 +147,9 @@ HEADLINE = [
     "dedup_containment_pairs",
     "text_bigram_perplexity",
     "events_top_paths",
+    "sketch_hll_rolling_users",
+    "orders_price_decile_stats",
+    "cdc_apply_changes",
 ]
 
 

@@ -122,7 +122,7 @@ _DRIVER_FIRST = [
     "dedup_containment_pairs",
     "text_bigram_perplexity",
     "events_top_paths",
-    "json_extract_props",
+    "sketch_hll_rolling_users",
 ]
 
 
@@ -9186,3 +9186,169 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(F.desc("n_users"), F.asc("path")).select(
         "path", "n_users", "rank"
     )
+
+
+@register(
+    "sketch_hll_rolling_users",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM events),
+    b AS (
+      SELECT day, h // 134217728 AS bucket, h % 134217728 AS rem FROM h),
+    r AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN rem = 0 THEN 28
+                      ELSE 28 - LENGTH(BIN(rem)) END) AS mj
+      FROM b GROUP BY day, bucket),
+    days AS (SELECT DISTINCT day FROM r),
+    merged AS (
+      SELECT d.day, r.bucket, MAX(r.mj) AS mj
+      FROM days d JOIN r ON r.day <= d.day AND r.day >= d.day - 6
+      GROUP BY d.day, r.bucket),
+    a AS (
+      SELECT day,
+             COUNT(*) AS n_present,
+             CAST(SUM(CAST(POW(2.0, 28 - mj) AS BIGINT)) AS BIGINT)
+               AS z_present
+      FROM merged GROUP BY day)
+    SELECT day,
+           ROUND(CASE WHEN (CAST({_HLL_NUM!r} AS DOUBLE)
+                            / CAST(z_present + (32 - n_present) * 268435456
+                                   AS DOUBLE)) <= 80.0
+                       AND (32 - n_present) > 0
+                 THEN 32.0 * LN(32.0 / CAST(32 - n_present AS DOUBLE))
+                 ELSE CAST({_HLL_NUM!r} AS DOUBLE)
+                      / CAST(z_present + (32 - n_present) * 268435456
+                             AS DOUBLE)
+                 END, 6) AS est_distinct,
+           CAST(32 - n_present AS BIGINT) AS v_empty
+    FROM a
+    """,
+)
+def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day from MERGED daily
+    HLL register state — the sketch property that matters at 100 TB:
+    daily registers are 32 tiny rows however large the day (map-side
+    partial max, no pre-distinct), and ANY window over days is a
+    further max-merge of register rows — the raw events are scanned
+    once, never re-aggregated per window (contrast
+    events_rolling_active_users, which re-counts exactly).  Same
+    estimator bit math as sketch_hll_distinct (exact SQL oracle);
+    user_id is hashed via its string form so md5 agrees across
+    engines.  operators/sketches.py:hll_registers/hll_estimate.
+    """
+    from .operators.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir)["events"].select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    )
+    daily = hll_registers(ev, "day", "uid")
+    daily = daily.localCheckpoint(eager=True)  # spine + rolling merge
+    days = daily.select(F.col("grp").alias("day")).distinct()
+    merged = (
+        F.broadcast(days)
+        .join(
+            daily,
+            (F.col("grp") <= F.col("day"))
+            & (F.col("grp") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.col("day").alias("grp"), "bucket", "mj")
+    )
+    return hll_estimate(merged, "day")
+
+
+@register(
+    "orders_price_decile_stats",
+    """
+    WITH d AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS decile
+      FROM orders)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM d GROUP BY decile
+    """,
+)
+def orders_price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning (the ML feature-bucketing primitive): exact
+    global deciles of order price with per-bin census — computed with
+    the distributed NTILE (operators/prefix.py:global_ntile —
+    range-partitioned local row numbers + broadcast count offsets,
+    closed-form tile), bit-identical to SQL NTILE and never a
+    single-task global window.  Per-bin sums are decimal-exact.
+    """
+    from .operators.prefix import global_ntile
+
+    o = _t(spark, sf_dir)["orders"].select("o_totalprice", "o_orderkey")
+    binned = global_ntile(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], 10, "decile"
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH ch AS (
+      SELECT user_id AS k, value AS v, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT k, v, op FROM (
+        SELECT k, v, op,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ch) x
+      WHERE rn = 1),
+    merged AS (
+      SELECT COALESCE(c.c_custkey, l.k) AS custkey,
+             CASE WHEN l.k IS NOT NULL THEN l.v
+                  ELSE c.c_acctbal END AS bal,
+             CASE WHEN l.k IS NOT NULL AND c.c_custkey IS NOT NULL
+                    THEN 'updated'
+                  WHEN c.c_custkey IS NULL THEN 'inserted'
+                  ELSE 'kept' END AS action
+      FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+      WHERE NOT COALESCE(l.op = 'D', FALSE))
+    SELECT custkey, bal, action FROM merged
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (the lakehouse CDC-merge primitive,
+    Delta CHANGE-FEED shape): events replay as a change stream over the
+    customer snapshot — latest change per key wins ('error' = delete,
+    anything else = upsert of the event value), deletes on unseen keys
+    are no-ops (never insert), untouched rows pass through.  One keyed
+    compaction window + ONE full-outer join on the key
+    (operators/merge.py:cdc_apply); action column audits the write.
+    """
+    from .operators.merge import cdc_apply
+
+    t = _t(spark, sf_dir)
+    base = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("bal")
+    )
+    changes = t["events"].select(
+        F.col("user_id").alias("custkey"),
+        F.col("value").alias("bal"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    out = cdc_apply(base, changes, ["custkey"], ["ts", "event_id"])
+    return out.select("custkey", "bal", F.col("_cdc_action").alias("action"))

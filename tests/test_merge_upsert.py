@@ -35,3 +35,36 @@ def test_unknown_update_col_raises(spark):
     src = spark.createDataFrame([(1, 2.0)], "key long, v double")
     with pytest.raises(KeyError):
         merge_upsert(tgt, src, ["key"], update_cols=["nope"])
+
+
+def test_cdc_apply_semantics(spark):
+    """Latest-change-wins CDC apply: update, insert, delete, no-op
+    delete on unseen key, pass-through — and a stale delete superseded
+    by a later upsert must survive."""
+    from ingest_pipeline_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 11.0, 1, "U"),   # update key 1
+            (2, 0.0, 1, "D"),    # delete key 2
+            (4, 40.0, 1, "U"),   # insert key 4
+            (5, 0.0, 1, "D"),    # delete unseen key 5: no-op, NOT insert
+            (6, 60.0, 1, "D"),   # stale delete...
+            (6, 61.0, 2, "U"),   # ...superseded: key 6 inserts at 61
+            (1, 12.0, 2, "U"),   # later update wins for key 1
+        ],
+        "key long, v double, seq long, op string",
+    )
+    got = {
+        r.key: (r.v, r._cdc_action)
+        for r in cdc_apply(base, changes, ["key"], ["seq"]).collect()
+    }
+    assert got == {
+        1: (12.0, "updated"),
+        3: (30.0, "kept"),
+        4: (40.0, "inserted"),
+        6: (61.0, "inserted"),
+    }

@@ -170,6 +170,10 @@ BNLJ_BY_DESIGN = {
     "text_pmi_collocations",    # broadcast 1-row unigram/bigram totals
     "sessions_maintenance_overlap",  # broadcast ~days-sized window list
     "orders_backlog_aging",     # broadcast 1-row anchor date
+    "orders_price_decile_stats",  # global_ntile's broadcast 1-row total
+    "similarity_ivf_topk_det",  # broadcast 8-row anchor set (IVF cells)
+    "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
+    "text_bigram_perplexity",   # broadcast 1-row vocabulary size
 }
 
 
