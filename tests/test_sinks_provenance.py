@@ -204,3 +204,22 @@ def test_json_deadletter_splits_good_and_bad(spark, tmp_path):
     assert sorted(r["id"] for r in good.collect()) == [1, 2]
     bad_rows = [r["_corrupt_record"] for r in bad.collect()]
     assert len(bad_rows) == 2 and "not json at all" in bad_rows[0]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """128 tiny files -> few files sized toward the target; data
+    identical; tiny dirs are a no-op."""
+    from ingest_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).repartition(128).write.parquet(path)
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    rep = compact_parquet(spark, path, target_bytes=1 << 20)
+    assert rep["files_before"] == 128
+    assert rep["files_after"] < 10
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
+
+    single = str(tmp_path / "s")
+    spark.range(10).coalesce(1).write.parquet(single)
+    rep2 = compact_parquet(spark, single)
+    assert rep2["files_before"] == rep2["files_after"] == 1

@@ -578,3 +578,66 @@ def test_idempotent_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out_dir).count() == n_src
+
+
+def test_streaming_cdc_upsert_sink(spark, tmp_path):
+    """foreachBatch CDC merge over plain parquet: two micro-batches of
+    changes applied sequentially must land on the same state as one
+    batch cdc_apply of the whole stream, and replaying a batch must be
+    a no-op (latest-change-wins idempotence)."""
+    import time
+
+    from ingest_pipeline_spark.operators.merge import cdc_apply
+    from ingest_pipeline_spark.streaming.events import cdc_upsert_sink
+
+    base_path = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, v double"
+    ).write.parquet(base_path)
+
+    ch_dir = tmp_path / "changes"
+    ch_dir.mkdir()
+    schema = "key long, v double, seq long, op string"
+    b1 = spark.createDataFrame([(1, 11.0, 1, "U"), (2, 0.0, 2, "D")], schema)
+    b2 = spark.createDataFrame([(2, 22.0, 3, "U"), (4, 40.0, 4, "U")], schema)
+    b1.coalesce(1).write.parquet(str(ch_dir / "b1"))
+    time.sleep(0.05)
+    b2.coalesce(1).write.parquet(str(ch_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(ch_dir / "*"))
+    )
+    q = cdc_upsert_sink(
+        stream, base_path, str(tmp_path / "ckpt"), ["key"], ["seq"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.key: r.v for r in spark.read.parquet(base_path).collect()}
+    # one-shot apply of the full change stream over the ORIGINAL base
+    want = {
+        r.key: r.v
+        for r in cdc_apply(
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, v double"
+            ),
+            b1.unionByName(b2),
+            ["key"],
+            ["seq"],
+        ).collect()
+    }
+    assert got == want == {1: 11.0, 2: 22.0, 3: 30.0, 4: 40.0}
+
+    # replaying the last batch against the post-batch state is a no-op
+    from ingest_pipeline_spark.operators.merge import cdc_apply as replay
+    re_applied = {
+        r.key: r.v
+        for r in replay(
+            spark.read.parquet(base_path), b2, ["key"], ["seq"]
+        ).collect()
+    }
+    assert re_applied == got
