@@ -311,3 +311,90 @@ def test_hll_merge_identity_any_split(spark, vals):
     )
     merged = hll_estimate(merged_regs, "grp").collect()[0]
     assert direct["est_distinct"] == merged["est_distinct"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_prefix_scans_match_python_fold_any_input(spark, rows):
+    """running_sum / running_max_exclusive / global_row_number equal a
+    pure-Python fold over the sorted rows, for ANY multiset of values
+    (duplicate sort values included — the id tiebreak totalizes)."""
+    from ingest_pipeline_spark.operators.prefix import (
+        global_row_number,
+        running_max_exclusive,
+        running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, x) for i, (v, x) in enumerate(rows)], "id long, v long, x long"
+    ).localCheckpoint()
+    order = [F.asc("v"), F.asc("id")]
+    key = sorted((v, i) for i, (v, _) in enumerate(rows))
+    xs = {i: x for i, (_, x) in enumerate(rows)}
+
+    cum, mx, ref_cum, ref_max, ref_rn = 0, None, {}, {}, {}
+    for rn, (_, i) in enumerate(key, start=1):
+        ref_max[i] = mx
+        cum += xs[i]
+        mx = xs[i] if mx is None else max(mx, xs[i])
+        ref_cum[i] = cum
+        ref_rn[i] = rn
+
+    got_cum = {r.id: r.c for r in running_sum(df, order, "x", "c").collect()}
+    assert got_cum == ref_cum
+    got_max = {
+        r.id: r.m for r in running_max_exclusive(df, order, "x", "m").collect()
+    }
+    assert got_max == ref_max
+    got_rn = {r.id: r.rn for r in global_row_number(df, order, "rn").collect()}
+    assert got_rn == ref_rn
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.integers(-99, 99), max_size=10),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 20),          # key
+            st.integers(-99, 99),        # value
+            st.booleans(),               # delete?
+        ),
+        max_size=15,
+    ),
+)
+@_SETTINGS
+def test_cdc_apply_matches_python_fold(spark, base, changes):
+    """cdc_apply == replaying the change log in sequence order over a
+    dict, for ANY base/changes (multiple changes per key, deletes on
+    unseen keys, re-inserts after delete)."""
+    from ingest_pipeline_spark.operators.merge import cdc_apply
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "key long, v long"
+    )
+    if not base:
+        base_df = base_df.filter(F.col("key").isNotNull())
+    ch_df = spark.createDataFrame(
+        [(k, v, seq, "D" if d else "U") for seq, (k, v, d) in enumerate(changes)]
+        or [(None, None, None, None)],
+        "key long, v long, seq long, op string",
+    )
+    if not changes:
+        ch_df = ch_df.filter(F.col("key").isNotNull())
+
+    state = dict(base)
+    for k, v, d in changes:  # sequence order = list order
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    got = {
+        r.key: r.v for r in cdc_apply(base_df, ch_df, ["key"], ["seq"]).collect()
+    }
+    assert got == state
