@@ -115,8 +115,21 @@ def global_ntile(
     (ORDER BY order)`` for any total order.
     """
     rn = "__prefix_rn"
-    d = global_row_number(df, order_cols, rn)
-    n_total = d.groupBy().agg(F.count("*").alias("__n"))
+    d = _ranged(df, order_cols)
+    wloc = Window.partitionBy(_PID).orderBy(*order_cols)
+    d = d.withColumn(_LOCAL, F.row_number().over(wloc).cast("long"))
+    counts = d.groupBy(_PID).agg(F.count("*").alias("__ptot"))
+    counts = counts.localCheckpoint(eager=True)  # offsets + total share it
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(_PID, F.sum("__ptot").over(woff).alias(_OFF))
+    # total rows from the SAME tiny per-partition counts — never a
+    # second scan of the data
+    n_total = counts.agg(F.sum("__ptot").alias("__n"))
+    d = (
+        d.join(F.broadcast(offsets), _PID)
+        .withColumn(rn, F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFF)
+    )
     q = (F.col("__n") / k).cast("long")  # floor: n, k ≥ 0
     rem = F.col("__n") % k
     big = rem * (q + 1)  # rows covered by the ⌈n/k⌉-sized tiles
