@@ -9352,3 +9352,231 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cdc_apply(base, changes, ["custkey"], ["ts", "event_id"])
     return out.select("custkey", "bal", F.col("_cdc_action").alias("action"))
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+    t1 AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup')) x
+      WHERE rn = 1),
+    m AS (
+      SELECT p.event_id, p.value, tt.event_type AS touch
+      FROM p LEFT JOIN (
+        SELECT p2.event_id AS pid, t.event_type,
+               ROW_NUMBER() OVER (PARTITION BY p2.event_id
+                                  ORDER BY t.ts DESC) AS rn
+        FROM p p2 JOIN t1 t
+          ON t.user_id = p2.user_id AND t.ts <= p2.ts
+         AND FLOOR(EPOCH(p2.ts)) - FLOOR(EPOCH(t.ts)) <= 604800) tt
+        ON tt.pid = p.event_id AND tt.rn = 1)
+    SELECT COALESCE(touch, 'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM m GROUP BY COALESCE(touch, 'direct')
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    user's most recent non-purchase touch within 7 days ('direct' when
+    none) — the standard marketing-attribution rollup.  The match is
+    the distributed as-of join (operators/asof.py: union + ONE keyed
+    window, no join node, no row explosion); equal-timestamp touches
+    are pre-deduped (max event_id) so the carried payload is
+    deterministic; the oracle states the same match relationally.
+    Purchase values are credited decimal-exact.
+    """
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("t_ts"), "event_type")
+    )
+    m = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="t_ts",
+        value_cols=["event_type"],
+        tolerance_sec=604800,
+    )
+    return m.groupBy(
+        F.coalesce(F.col("matched_event_type"), F.lit("direct")).alias("touch")
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@register(
+    "stats_linear_trend",
+    """
+    WITH x0 AS (SELECT CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) AS t0 FROM events),
+    pts AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) - t0 AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events CROSS JOIN x0),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,6)) AS sxy
+      FROM pts GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_per_sec
+    FROM m
+    """,
+)
+def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope of value over time) — the
+    time-series drift detector, computed from EXACT decimal co-moments
+    in one scan + one keyed agg (the stats_correlation discipline:
+    accumulation is decimal, so partitioning can never flip a bit; the
+    slope formula then runs in double on identical inputs in both
+    engines).  x is epoch seconds re-based to the corpus minimum
+    (broadcast 1-row) so squared sums stay inside DECIMAL(38).
+    """
+    ev = _t(spark, sf_dir)["events"]
+    t0 = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0")
+    )
+    pts = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.col("t0")).alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,6)")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = F.round(
+        (n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+        6,
+    )
+    return m.select("event_type", "n", slope.alias("slope_per_sec"))
+
+
+@register(
+    "quantiles_histogram_estimate",
+    """
+    WITH s AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem),
+    b AS (
+      SELECT CASE WHEN hi > lo
+                  THEN LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                                        / (hi - lo) * 1024.0) AS BIGINT),
+                             1023)
+                  ELSE 0 END AS bucket
+      FROM lineitem CROSS JOIN s),
+    c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM b GROUP BY bucket),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(cnt) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c),
+    q AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    tgt AS (
+      SELECT q.q, CAST(q.q AS DOUBLE) * CAST(s.n AS DOUBLE) AS target
+      FROM q CROSS JOIN s),
+    hit AS (
+      SELECT t.q, MIN(cum.bucket) AS bucket
+      FROM tgt t JOIN cum ON CAST(cum.cum AS DOUBLE) >= t.target
+      GROUP BY t.q)
+    SELECT CAST(h.q AS DOUBLE) AS q,
+           ROUND(s.lo + (s.hi - s.lo) * CAST(h.bucket AS DOUBLE) / 1024.0, 6)
+             AS est_value
+    FROM hit h CROSS JOIN s
+    """,
+)
+def quantiles_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable quantile estimation: equi-width 1024-bucket histogram +
+    distributed prefix scan over the BUCKET COUNTS (cluster-sized: the
+    running sum never touches row-proportional data) → the first bucket
+    crossing q·n gives the estimate's lower edge.  This is the
+    approx-percentile path whose error is bounded by the bucket width,
+    computed with fully engine-portable arithmetic (every float op is
+    the identical IEEE expression in both engines) — unlike Spark's
+    built-in approx_percentile sketch, which is not reproducible
+    outside Spark.  One scan + one ≤1024-row agg however large the
+    input; exact-sort quantiles would shuffle the world.
+    """
+    from .operators.prefix import running_sum
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    s = li.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    s = s.localCheckpoint(eager=True)  # bucketing + edges + targets
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 1024.0),
+            F.lit(1023),
+        ),
+    ).otherwise(0)
+    counts = (
+        li.crossJoin(F.broadcast(s))
+        .select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = running_sum(counts, [F.asc("bucket")], "cnt", "cum")
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        F.broadcast(qs)
+        .join(
+            cum.crossJoin(F.broadcast(s.select("n"))),
+            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double"),
+        )
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.crossJoin(F.broadcast(s)).select(
+        "q",
+        F.round(
+            F.col("lo")
+            + (F.col("hi") - F.col("lo")) * F.col("bucket").cast("double") / 1024.0,
+            6,
+        ).alias("est_value"),
+    )

@@ -37,6 +37,17 @@ REPRESENTATIVE = [
     "join_salted_hot_events",
     # min-plus relaxation: MIN is order-free, path sums per-row IEEE
     "graph_shortest_paths",
+    # r6 hazard classes: two-phase prefix scans (pid count varies WITH
+    # the partitioning — offsets must compose to the same totals),
+    # fixpoint frontier rounds, CDC latest-wins compaction, HLL
+    # register merge across a time window, decimal OLS co-moments
+    "pareto_revenue_concentration",
+    "customer_rfm_segments",
+    "orders_price_decile_stats",
+    "graph_bfs_fixpoint",
+    "cdc_apply_changes",
+    "sketch_hll_rolling_users",
+    "stats_linear_trend",
 ]
 
 
