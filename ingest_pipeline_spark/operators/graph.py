@@ -210,3 +210,81 @@ def shortest_paths(
         if i % checkpoint_every == 0 and i < rounds:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected simple edge list (each edge once, ``src < dst``).
+
+    The scale problem with the naive 3-way self-join is wedge
+    explosion around hubs (a degree-d node spawns d² wedge rows).  The
+    classic fix — degree-ordered orientation (point every edge at the
+    higher-degree endpoint, id tiebreak) — bounds every out-degree by
+    O(√m), so wedge volume is O(m^1.5) worst-case and tiny on real
+    skewed graphs; each triangle is then generated exactly once.  All
+    joins are key-equi (node / edge keys) and every count is exact
+    integer math, so the result is partitioning-invariant by
+    construction.  Reference has no graph analytics beyond BFS walks
+    (tools/survey.py:226-263); this is the training-pipeline grade
+    structure probe over, e.g., co-occurrence graphs.
+
+    Returns ONE row: n_nodes, n_edges, n_triangles, n_wedges,
+    clustering (3·T/W, NULL when W = 0).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)  # degrees + orientation share it
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=True)  # 3 consumers below
+    da, db = deg.alias("da"), deg.alias("db")
+    flip = (F.col("db.d") < F.col("da.d")) | (
+        (F.col("db.d") == F.col("da.d")) & (F.col("v") < F.col("u"))
+    )
+    oriented = (
+        e.join(da, F.col("u") == F.col("da.node"))
+        .join(db, F.col("v") == F.col("db.node"))
+        .select(
+            F.when(flip, F.col("v")).otherwise(F.col("u")).alias("s"),
+            F.when(flip, F.col("u")).otherwise(F.col("v")).alias("t"),
+        )
+    )
+    oriented = oriented.localCheckpoint(eager=True)  # 3 consumers
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = deg.agg(
+        F.count("*").alias("n_nodes"),
+        # DIV keeps the arithmetic integral (long / long would go
+        # through double and drift past 2^53)
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    out = (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )
+    return out

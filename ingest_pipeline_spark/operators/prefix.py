@@ -146,6 +146,55 @@ def global_ntile(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out_col: str,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-group 1-based row number for LOW-CARDINALITY heavy groups.
+
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY order)`` executes one
+    task per group — with a handful of groups over a 100 TB table that
+    is the same straggler as an empty partition spec, just sharded a
+    few ways.  This restates it as a grouped two-phase prefix scan:
+    range-partition on (group, order) so every partition holds a
+    contiguous run of one-or-more group slices, number rows locally
+    per (partition, group), then offset by the prefix-combined
+    per-(partition, group) counts — a relation of at most
+    ``n_partitions × n_groups`` rows, cluster-sized, never
+    data-proportional.  If ``count_col`` is given, the per-group total
+    row count is attached from the SAME tiny counts relation (no
+    second scan).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    d = _ranged(df, [*gcols, *order_cols])
+    wloc = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
+    d = d.withColumn(_LOCAL, F.row_number().over(wloc).cast("long"))
+    counts = d.groupBy(_PID, *group_cols).agg(F.count("*").alias("__ptot"))
+    counts = counts.localCheckpoint(eager=True)  # offsets + totals share it
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        _PID, *group_cols, F.sum("__ptot").over(woff).alias(_OFF)
+    )
+    d = (
+        d.join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(out_col, F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFF)
+    )
+    if count_col is not None:
+        totals = counts.groupBy(*group_cols).agg(
+            F.sum("__ptot").alias(count_col)
+        )
+        d = d.join(F.broadcast(totals), group_cols)
+    return d
+
+
 def running_max_exclusive(
     df: DataFrame, order_cols: list[Column], value_col: str, out_col: str
 ) -> DataFrame:

@@ -9580,3 +9580,194 @@ def quantiles_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_value"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pairs WHERE support >= 3),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN db.d < da.d OR (db.d = da.d AND e.v < e.u)
+                  THEN e.v ELSE e.u END AS s,
+             CASE WHEN db.d < da.d OR (db.d = da.d AND e.v < e.u)
+                  THEN e.u ELSE e.v END AS t
+      FROM edges e
+        JOIN deg da ON da.node = e.u
+        JOIN deg db ON db.node = e.v),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM oriented e1
+        JOIN oriented e2 ON e2.s = e1.t
+        JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN ROUND(CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                           / CAST(n_wedges AS DOUBLE), 6)
+           END AS clustering
+    FROM nd CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + global clustering coefficient of the
+    co-purchase graph (parts bought together in ≥3 orders).  The naive
+    3-way edge self-join explodes d² wedges around hub items; the
+    degree-ordered orientation (operators/graph.py:triangle_stats)
+    points every edge at its higher-degree endpoint, bounding every
+    out-degree by O(√m) — the standard 100 TB-safe formulation.  Every
+    count is exact integer math (wedge halves via DIV), so any
+    partitioning bit-matches; the single double division is guarded
+    for the W = 0 empty graph.
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    return triangle_stats(edges, "u", "v")
+
+
+@register(
+    "basket_item_cosine",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.support,
+             ROUND(CAST(p.support AS DOUBLE)
+                   / SQRT(CAST(fa.nb * fb.nb AS DOUBLE)), 6) AS cosine
+      FROM pairs p
+        JOIN freq fa ON fa.l_partkey = p.part_a
+        JOIN freq fb ON fb.l_partkey = p.part_b
+      WHERE p.support >= 3)
+    SELECT part_a, part_b, support, cosine
+    FROM scored
+    ORDER BY cosine DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: cosine similarity of
+    co-purchase incidence vectors, computable from COUNTS alone
+    (support / √(n_a·n_b)) — the item-based recommender primitive.
+    The pair stage reuses the apriori-pruned basket self-join
+    (operators/baskets.py — pruning at the same min_support is
+    result-identical), item frequencies come from the unpruned
+    incidence in one keyed agg, and the top-20 is fully tiebroken with
+    the 6-dp rounding applied BEFORE ranking (CLAUDE.md rule).  SQRT
+    on identical doubles is engine-parity-safe.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = items.localCheckpoint(eager=True)  # freq + pair stage share it
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("nb"))
+    pairs = copurchase_pairs(items, "l_orderkey", "l_partkey", 3)
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("nb").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("nb").alias("mb"))
+    scored = (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt((F.col("na") * F.col("mb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+@register(
+    "stats_group_median",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, l_linestatus, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM g)
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           ROUND(AVG(v), 6) AS median_price
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag, l_linestatus, n
+    """,
+)
+def stats_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median by positional selection — the quantile
+    case where the histogram estimate isn't enough.  A keyed window
+    over a LOW-cardinality group (6 flag/status combos) is the same
+    100 TB straggler as an empty partition spec, just sharded 6 ways;
+    operators/prefix.py:grouped_row_number restates it as a grouped
+    two-phase prefix scan (range-partition on (group, v), local row
+    numbers, cluster-sized per-(partition, group) count offsets), so
+    every partition works regardless of group cardinality.  Ties in v
+    get arbitrary rank order, but the VALUES at the two middle
+    positions are multiset-deterministic, and avg of ≤2 doubles is
+    order-free IEEE — output invariant under any partitioning.
+    """
+    from .operators.prefix import grouped_row_number
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    d = grouped_row_number(
+        li, ["l_returnflag", "l_linestatus"], [F.asc("v")], "rn", count_col="n"
+    )
+    mid = d.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return (
+        mid.groupBy("l_returnflag", "l_linestatus", "n")
+        .agg(F.round(F.avg("v"), 6).alias("median_price"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("n").cast("long").alias("n_rows"),
+            "median_price",
+        )
+    )

@@ -36,3 +36,37 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(e, iterations=3).collect()))
     b = sorted(map(tuple, pagerank(e, iterations=3).collect()))
     assert a == b
+
+
+def test_triangle_stats_known_graphs(spark):
+    from ingest_pipeline_spark.operators.graph import triangle_stats
+
+    # K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u long, v long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+    assert r.clustering == 1.0
+
+    # path graph a-b-c: one wedge, no triangle
+    path = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (3, 2, 0, 1)
+    assert r.clustering == 0.0
+
+    # hub star K1,5 plus one closing edge: exactly 1 triangle
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "u long, v long"
+    )
+    r = triangle_stats(star).collect()[0]
+    assert r.n_triangles == 1
+
+
+def test_triangle_stats_empty_graph(spark):
+    from ingest_pipeline_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame([], "u long, v long")
+    r = triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)
+    assert r.clustering is None

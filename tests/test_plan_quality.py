@@ -174,6 +174,9 @@ BNLJ_BY_DESIGN = {
     "similarity_ivf_topk_det",  # broadcast 8-row anchor set (IVF cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
+    "stats_linear_trend",       # broadcast 1-row corpus-min epoch
+    "quantiles_histogram_estimate",  # broadcast 1-row lo/hi/n stats
+    "graph_triangle_count",     # broadcast 1-row edge/triangle totals
 }
 
 

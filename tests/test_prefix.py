@@ -93,3 +93,40 @@ def test_no_data_proportional_global_window_in_plan(spark, points):
         first = inner.split(",", 1)[0]
         if " ASC" in first or " DESC" in first:  # empty partition spec
             assert "__prefix_pid" in first, ln
+
+
+def test_grouped_row_number_matches_keyed_window(spark, points):
+    from ingest_pipeline_spark.operators.prefix import grouped_row_number
+
+    g = points.withColumn("grp", (F.col("id") % 3).cast("string"))
+    g = g.localCheckpoint(eager=True)
+    order = [F.asc("v"), F.asc("id")]
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = g.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count("*").over(Window.partitionBy("grp")).cast("long")
+    )
+    got = grouped_row_number(g, ["grp"], order, "rn", count_col="n")
+    assert _rows(got, "id", "grp", "rn", "n") == _rows(
+        want, "id", "grp", "rn", "n"
+    )
+
+
+def test_grouped_row_number_partition_invariant(spark, points):
+    from ingest_pipeline_spark.operators.prefix import grouped_row_number
+
+    g = points.withColumn("grp", (F.col("id") % 2).cast("string"))
+    order = [F.asc("v"), F.asc("id")]
+    base = None
+    for parts in ("3", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            rows = _rows(
+                grouped_row_number(g, ["grp"], order, "rn", count_col="n"),
+                "id", "grp", "rn", "n",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if base is None:
+            base = rows
+        else:
+            assert rows == base
