@@ -150,6 +150,12 @@ HEADLINE = [
     "sketch_hll_rolling_users",
     "orders_price_decile_stats",
     "cdc_apply_changes",
+    "events_attribution_last_touch",
+    "stats_linear_trend",
+    "quantiles_histogram_estimate",
+    "graph_triangle_count",
+    "basket_item_cosine",
+    "stats_group_median",
 ]
 
 
