@@ -48,6 +48,10 @@ REPRESENTATIVE = [
     "cdc_apply_changes",
     "sketch_hll_rolling_users",
     "stats_linear_trend",
+    # grouped prefix rank (per-group offsets compose across pid counts)
+    # and degree-ordered triangle orientation (pure integer, any split)
+    "stats_group_median",
+    "graph_triangle_count",
 ]
 
 
