@@ -156,6 +156,8 @@ HEADLINE = [
     "graph_triangle_count",
     "basket_item_cosine",
     "stats_group_median",
+    "similarity_ann_recall",
+    "compliance_delete_cascade",
 ]
 
 

@@ -9771,3 +9771,213 @@ def stats_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_price",
         )
     )
+
+
+@register(
+    "similarity_ann_recall",
+    f"""
+    WITH planes AS (
+      SELECT p, LIST_TRANSFORM(GENERATE_SERIES(0, 63),
+               i -> CAST(('0x' || SUBSTR(MD5('h' || CAST(p AS VARCHAR) || ':'
+                                          || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) AS plane
+      FROM UNNEST(GENERATE_SERIES(0, 3)) t(p)),
+    dots AS (
+      SELECT vec_id, p,
+             LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(embedding, plane),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+               AS d
+      FROM embeddings, planes),
+    buckets AS (
+      SELECT vec_id AS id,
+             STRING_AGG(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bucket
+      FROM dots GROUP BY vec_id),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 15),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {{cos}} DESC, c.vec_id ASC) AS rnk
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    exact10 AS (SELECT query_id, neighbor_id FROM exact WHERE rnk <= 10),
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {{cos}} DESC, c.vec_id ASC) AS rnk
+      FROM q
+        JOIN buckets bq ON bq.id = q.vec_id
+        JOIN buckets bc ON bc.bucket = bq.bucket AND bc.id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = bc.id),
+    approx10 AS (SELECT query_id, neighbor_id FROM approx WHERE rnk <= 10),
+    agg_e AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM exact10 GROUP BY query_id),
+    agg_a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+              FROM approx10 GROUP BY query_id),
+    agg_h AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact10 e JOIN approx10 a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id)
+    SELECT e.query_id, e.n_exact,
+           COALESCE(a.n_approx, CAST(0 AS BIGINT)) AS n_approx,
+           COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                 / CAST(10 AS DOUBLE), 6) AS recall_at_10
+    FROM agg_e e
+      LEFT JOIN agg_a a ON a.query_id = e.query_id
+      LEFT JOIN agg_h h ON h.query_id = e.query_id
+    """.format(cos=_COS6.format(a="q.embedding", b="c.embedding")),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@10 of the LSH-bucketed scale path
+    against the exact brute-force top-10, per query — the measurement
+    every approximate index needs before it replaces the exact scan
+    (SURVEY similarity family; the reference has no ANN, this is the
+    engine's own engineering gauge).  Both sides rank on the 6-dp
+    ROUNDED cosine with a full neighbor-id tiebreak, so the k-boundary
+    is engine-portable; LSH candidates meet ONLY through the 4-plane
+    bucket equi-join (never all-pairs), and a query whose bucket is
+    empty scores recall 0 via the left joins.
+    """
+    from .operators.similarity import cosine, cosine_topk, lsh_bucket_candidates
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    emb = emb.localCheckpoint(eager=True)  # queries/corpus/buckets share it
+    queries_df = emb.filter(F.col("vec_id") < 15)
+    exact10 = cosine_topk(
+        emb, queries_df, "embedding", "vec_id", k=10, round_decimals=6
+    ).select("query_id", "neighbor_id")
+    buckets = lsh_bucket_candidates(emb, num_planes=4, dim=64)
+    qb = buckets.join(
+        queries_df.select(F.col("vec_id").alias("id")), "id"
+    ).select(F.col("id").alias("query_id"), "bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(buckets.alias("c"), "bucket")
+        .filter(F.col("c.id") != F.col("query_id"))
+        .select("query_id", F.col("c.id").alias("neighbor_id"))
+    )
+    qv = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    approx10 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    agg_e = exact10.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    agg_a = approx10.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    agg_h = (
+        exact10.join(approx10, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        agg_e.join(agg_a, "query_id", "left")
+        .join(agg_h, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("long")).alias(
+                "n_approx"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(10).cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "compliance_delete_cascade",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (
+      SELECT DISTINCT o_orderkey FROM orders o
+      JOIN forget f ON o.o_custkey = f.c_custkey)
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_purged,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IN (SELECT c_custkey FROM forget))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM forget))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IN (SELECT o_orderkey FROM del_o))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM del_o))
+                AS BIGINT)
+    """,
+)
+def compliance_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a key set to forget
+    (synthetic: custkey % 97 = 0) propagated customer → orders →
+    lineitem, reporting purged/retained row counts per table — the
+    governance primitive every 100 TB corpus needs before a delete
+    job runs.  Each hop is a semi/anti join on the foreign key (never
+    a broadcast of the data, only of the key set when small); the
+    child hop keys on DISTINCT purged orderkeys so duplicate parents
+    can't double-count.  All-integer output.
+    """
+    t = _t(spark, sf_dir)
+    cust, orders, li = t["customer"], t["orders"], t["lineitem"]
+    forget = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    forget = forget.localCheckpoint(eager=True)  # 3 consumers
+    del_o = (
+        orders.join(
+            forget, orders.o_custkey == forget.c_custkey, "left_semi"
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    del_o = del_o.localCheckpoint(eager=True)  # purged + retained share it
+
+    def _counts(name, purged_df, total_df):
+        p = purged_df.agg(F.count("*").alias("n_purged"))
+        tot = total_df.agg(F.count("*").alias("n_total"))
+        return p.crossJoin(F.broadcast(tot)).select(
+            F.lit(name).alias("table_name"),
+            "n_purged",
+            (F.col("n_total") - F.col("n_purged")).alias("n_retained"),
+        )
+
+    purged_orders = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "left_semi"
+    )
+    purged_li = li.join(
+        del_o, li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+    return (
+        _counts("customer", forget, cust)
+        .unionByName(_counts("orders", purged_orders, orders))
+        .unionByName(_counts("lineitem", purged_li, li))
+    )

@@ -177,6 +177,10 @@ BNLJ_BY_DESIGN = {
     "stats_linear_trend",       # broadcast 1-row corpus-min epoch
     "quantiles_histogram_estimate",  # broadcast 1-row lo/hi/n stats
     "graph_triangle_count",     # broadcast 1-row edge/triangle totals
+    "similarity_ann_recall",    # brute-force exact side broadcasts the
+                                # 15-query set (the audited baseline);
+                                # the LSH side is a bucket equi-join
+    "compliance_delete_cascade",  # broadcast 1-row per-table totals
 }
 
 
