@@ -186,3 +186,37 @@ def tile_plan(
         F.least(F.lit(tile), w - F.col("x0")).alias("tile_w"),
         F.least(F.lit(tile), h - F.col("y0")).alias("tile_h"),
     )
+
+
+def audio_window_plan(
+    assets: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio-windowing plumbing: explode fixed-length analysis windows
+    per audio asset — the temporal analog of tile_plan (images) and
+    frame_sample_plan (video).  Decode stays stubbed (duration_ms from
+    metadata, not the codec); the window grid is the real distributed
+    shape: per-row explode, no shuffle, repartitionable by asset_id
+    for downstream decode workers.  Short clips yield one clamped
+    window; the final window is clamped to the clip end.
+    """
+    if hop_ms <= 0 or window_ms <= 0:
+        raise ValueError(
+            f"audio_window_plan needs positive window/hop (got "
+            f"window_ms={window_ms}, hop_ms={hop_ms})"
+        )
+    dur = (
+        F.coalesce(F.col("meta.duration_s"), F.lit(0.0)) * 1000
+    ).cast("long")
+    n = F.when(dur <= window_ms, F.lit(1)).otherwise(
+        F.ceil((dur - window_ms).cast("double") / hop_ms).cast("int") + 1
+    )
+    starts = F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * hop_ms)
+    return (
+        assets.filter((F.col("modality") == "audio") & (dur > 0))
+        .withColumn("t0_ms", F.explode(starts))
+        .select(
+            "asset_id",
+            "t0_ms",
+            (F.least(F.lit(window_ms), dur - F.col("t0_ms"))).alias("win_ms"),
+        )
+    )

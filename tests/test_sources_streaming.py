@@ -641,3 +641,34 @@ def test_streaming_cdc_upsert_sink(spark, tmp_path):
         ).collect()
     }
     assert re_applied == got
+
+
+def test_audio_window_plan(spark):
+    from ingest_pipeline_spark.operators.multimodal import audio_window_plan
+
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(b""), ("audio/wav", None, None, 16000, 2.2, None)),
+         (2, "audio", bytearray(b""), ("audio/wav", None, None, 16000, 0.4, None)),
+         (3, "audio", bytearray(b""), ("audio/wav", None, None, 16000, None, None)),
+         (4, "image", bytearray(b""), ("image/png", 10, 10, None, 5.0, None))],
+        "asset_id long, modality string, media binary, "
+        "meta struct<mime string, width int, height int, sample_rate int, "
+        "duration_s double, n_frames int>",
+    )
+    rows = audio_window_plan(assets, window_ms=1000, hop_ms=500).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append((r.t0_ms, r.win_ms))
+    # only audio with known duration; image/unknown excluded
+    assert set(by_asset) == {1, 2}
+    # 2200 ms, window 1000, hop 500 → starts 0,500,1000,1500(clamped 700)
+    assert sorted(by_asset[1]) == [(0, 1000), (500, 1000), (1000, 1000), (1500, 700)]
+    # short clip → one clamped window
+    assert by_asset[2] == [(0, 400)]
+    # coverage: windows reach the clip end
+    assert max(t + w for t, w in by_asset[1]) == 2200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_window_plan(assets, window_ms=0, hop_ms=10)
