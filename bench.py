@@ -158,6 +158,7 @@ HEADLINE = [
     "stats_group_median",
     "similarity_ann_recall",
     "compliance_delete_cascade",
+    "multimodal_work_plan",
 ]
 
 

@@ -9986,3 +9986,100 @@ def compliance_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_counts("orders", purged_orders, orders))
         .unionByName(_counts("lineitem", purged_li, li))
     )
+
+
+@register(
+    "multimodal_work_plan",
+    """
+    WITH a AS (
+      SELECT doc_id, doc_id % 3 AS m,
+             200 + (doc_id % 7) * 100 AS w,
+             150 + (doc_id % 5) * 80 AS h,
+             10 + (doc_id % 50) AS nf,
+             CAST((0.5 + (doc_id % 40) * 0.25) * 1000 AS BIGINT) AS dur_ms
+      FROM documents),
+    units AS (
+      SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+             ELSE 'audio' END AS modality,
+             CASE m
+               WHEN 0 THEN
+                 (CASE WHEN w <= 256 THEN 1
+                       ELSE CAST(CEIL(CAST(w - 256 AS DOUBLE) / 224)
+                                 AS BIGINT) + 1 END)
+                 * (CASE WHEN h <= 256 THEN 1
+                         ELSE CAST(CEIL(CAST(h - 256 AS DOUBLE) / 224)
+                                   AS BIGINT) + 1 END)
+               WHEN 1 THEN CAST((nf - 1) // 10 AS BIGINT) + 1
+               ELSE CASE WHEN dur_ms <= 1000 THEN 1
+                         ELSE CAST(CEIL(CAST(dur_ms - 1000 AS DOUBLE) / 500)
+                                   AS BIGINT) + 1 END
+             END AS n_units
+      FROM a)
+    SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_units) AS BIGINT) AS total_units
+    FROM units GROUP BY modality
+    """,
+)
+def multimodal_work_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode WORK PLAN census: documents deterministically
+    assigned a modality (doc_id mod 3) with synthetic metadata, then
+    the REAL plan operators expand the per-asset work grid — image
+    tiles (tile_plan 256/32), video frame samples (frame_sample_plan
+    every 10), audio windows (audio_window_plan 1000/500 ms) — and the
+    census counts assets + work units per modality.  The oracle
+    derives the same counts in CLOSED FORM (independent derivation, so
+    an off-by-one in any explode grid is caught, not mirrored).  At
+    100 TB this relation IS the decode scheduler's input: per-row
+    explodes, no shuffle until the final tiny census agg.  Audio
+    durations are k/4 seconds so the ms conversion is exact in both
+    engines.
+    """
+    from .operators.multimodal import (
+        audio_window_plan,
+        frame_sample_plan,
+        tile_plan,
+    )
+
+    d = _t(spark, sf_dir)["documents"].select("doc_id")
+    m = F.col("doc_id") % 3
+    modality = (
+        F.when(m == 0, "image").when(m == 1, "video").otherwise("audio")
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.lit(b"").alias("media"),
+        F.named_struct(
+            F.lit("mime"), F.lit(None).cast("string"),
+            F.lit("width"),
+            F.when(m == 0, 200 + (F.col("doc_id") % 7) * 100).cast("int"),
+            F.lit("height"),
+            F.when(m == 0, 150 + (F.col("doc_id") % 5) * 80).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("duration_s"),
+            F.when(m == 2, 0.5 + (F.col("doc_id") % 40) * 0.25).cast("double"),
+            F.lit("n_frames"),
+            F.when(m == 1, 10 + F.col("doc_id") % 50).cast("int"),
+        ).alias("meta"),
+    )
+    assets = assets.localCheckpoint(eager=True)  # census + 3 grids share it
+    units = (
+        tile_plan(assets, tile=256, overlap=32)
+        .select(F.lit("image").alias("modality"))
+        .unionByName(
+            frame_sample_plan(assets, every_n=10).select(
+                F.lit("video").alias("modality")
+            )
+        )
+        .unionByName(
+            audio_window_plan(assets, window_ms=1000, hop_ms=500).select(
+                F.lit("audio").alias("modality")
+            )
+        )
+        .groupBy("modality")
+        .agg(F.count("*").alias("total_units"))
+    )
+    census = assets.groupBy("modality").agg(F.count("*").alias("n_assets"))
+    return census.join(units, "modality").select(
+        "modality", "n_assets", "total_units"
+    )
