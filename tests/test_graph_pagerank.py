@@ -70,3 +70,36 @@ def test_triangle_stats_empty_graph(spark):
     r = triangle_stats(e).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)
     assert r.clustering is None
+
+
+def test_triangle_stats_matches_brute_force_reference(spark):
+    """Independent pure-Python check on a pseudo-random graph: the SQL
+    oracle mirrors the same orientation algorithm, so an orientation
+    bug would be invisible there — this counts triangles by neighbor-
+    set intersection instead (the estimator-reference discipline)."""
+    from ingest_pipeline_spark.operators.graph import triangle_stats
+
+    # deterministic scale-free-ish graph: node i links to i*7 % 97 etc.
+    edges = set()
+    for i in range(97):
+        for k in (7, 13, 29):
+            j = (i * k + 3) % 97
+            if i != j:
+                edges.add((min(i, j), max(i, j)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected_tri = (
+        sum(len(adj[u] & adj[v]) for u, v in edges) // 3
+    )  # each triangle counted once per edge = 3 times
+    expected_wedges = sum(
+        len(n) * (len(n) - 1) // 2 for n in adj.values()
+    )
+
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    assert r.n_edges == len(edges)
+    assert r.n_nodes == len(adj)
+    assert r.n_triangles == expected_tri, (r.n_triangles, expected_tri)
+    assert r.n_wedges == expected_wedges
