@@ -159,6 +159,8 @@ HEADLINE = [
     "similarity_ann_recall",
     "compliance_delete_cascade",
     "multimodal_work_plan",
+    "agg_grouping_sets",
+    "stats_winsorized_mean",
 ]
 
 

@@ -10083,3 +10083,134 @@ def multimodal_work_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.join(units, "modality").select(
         "modality", "n_assets", "total_units"
     )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    WITH o AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(YEAR(o_orderdate) AS INT) AS yr, o_totalprice
+      FROM orders)
+    SELECT o_orderstatus, o_orderpriority, yr,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(yr) AS INT) AS g_yr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM o
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus, yr), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the shape CUBE/ROLLUP can't express
+    (two unrelated drill paths + grand total in ONE Expand + ONE
+    shuffle, instead of a union of three re-scans).  GROUPING() flags
+    are emitted per column (0/1 in both engines); the grouping-id
+    bitmask is engine-specific and never hashed.
+    """
+    o = _t(spark, sf_dir)["orders"].select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_totalprice",
+    )
+    return o.groupingSets(
+        [
+            [F.col("o_orderstatus"), F.col("o_orderpriority")],
+            [F.col("o_orderstatus"), F.col("yr")],
+            [],
+        ],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("yr"),
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("yr").cast("int").alias("g_yr"),
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "stats_winsorized_mean",
+    """
+    WITH g AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM g),
+    k AS (
+      SELECT l_returnflag, n,
+             (n + 19) // 20 AS k_lo,
+             (19 * n + 19) // 20 AS k_hi
+      FROM r GROUP BY l_returnflag, n),
+    b AS (
+      SELECT r.l_returnflag,
+             MAX(CASE WHEN r.rn = k.k_lo THEN r.v END) AS lo,
+             MAX(CASE WHEN r.rn = k.k_hi THEN r.v END) AS hi
+      FROM r JOIN k ON k.l_returnflag = r.l_returnflag
+      GROUP BY r.l_returnflag),
+    w AS (
+      SELECT r.l_returnflag, r.n,
+             CASE WHEN r.rn < k.k_lo THEN b.lo
+                  WHEN r.rn > k.k_hi THEN b.hi
+                  ELSE r.v END AS vw
+      FROM r
+        JOIN k ON k.l_returnflag = r.l_returnflag
+        JOIN b ON b.l_returnflag = r.l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(vw AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS winsorized_mean
+    FROM w GROUP BY l_returnflag, n
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-winsorized) per-group mean: values below the 5th /
+    above the 95th positional percentile are clamped to those bound
+    VALUES before averaging — the outlier-resistant mean a quality
+    pipeline uses where raw means are hostage to heavy tails.  Rank
+    positions come from grouped_row_number (grouped two-phase prefix
+    scan — low-cardinality groups never serialize into one task);
+    percentile positions are PURE INTEGER math (ceil(n/20) =
+    (n+19) DIV 20), so no 0.05 float literal crosses engines.  Tied
+    boundary values rank arbitrarily but clamp to themselves, so the
+    output multiset is partitioning-invariant; the final mean is
+    decimal-summed.
+    """
+    from .operators.prefix import grouped_row_number
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    r = grouped_row_number(li, ["l_returnflag"], [F.asc("v")], "rn", count_col="n")
+    r = r.withColumn("k_lo", F.expr("(n + 19) DIV 20")).withColumn(
+        "k_hi", F.expr("(19 * n + 19) DIV 20")
+    )
+    b = r.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("v"))).alias("hi"),
+    )
+    w = r.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.when(F.col("rn") < F.col("k_lo"), F.col("lo"))
+        .when(F.col("rn") > F.col("k_hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("vw"),
+    )
+    return w.groupBy("l_returnflag", "n").agg(
+        F.round(
+            F.sum(F.col("vw").cast("decimal(18,2)")).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("winsorized_mean")
+    ).select(
+        "l_returnflag", F.col("n").cast("long").alias("n_rows"), "winsorized_mean"
+    )
