@@ -161,6 +161,7 @@ HEADLINE = [
     "multimodal_work_plan",
     "agg_grouping_sets",
     "stats_winsorized_mean",
+    "text_bpe_token_budget",
 ]
 
 

@@ -32,6 +32,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokenize_ws(col))
 
 
+# GPT-2-style pretokenizer, restricted to the lookahead-free subset so
+# RE2 (DuckDB) and Java regex (Spark) agree token-for-token: a token is
+# a letter run, a digit run, or a punctuation run, each with an
+# optional single leading space.  The real BPE merge table is a model
+# artifact; this pretokenization is what the token-budget accounting
+# of a training pipeline needs (counts track BPE counts closely).
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def tokenize_bpe_ish(col: Column) -> Column:
+    """BPE-style pretokenizer → array<string> (JVM regex, no UDF)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingles → array<string> (space-joined, order-preserving).
 

@@ -10214,3 +10214,47 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", F.col("n").cast("long").alias("n_rows"), "winsorized_mean"
     )
+
+
+@register(
+    "text_bpe_token_budget",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_ws,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS n_bpe
+      FROM documents)
+    SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN n_ws > 0
+                THEN ROUND(CAST(n_bpe AS DOUBLE) / CAST(n_ws AS DOUBLE), 6)
+           END AS bpe_per_word
+    FROM t
+    """,
+)
+def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with a BPE-style pretokenizer (the
+    GPT-2 pattern restricted to its lookahead-free subset so RE2 and
+    Java regex agree token-for-token): per document, whitespace words,
+    BPE-ish tokens, and the tokens-per-word inflation ratio the
+    training-data cost model runs on.  Pure regexp_extract_all in
+    codegen — no UDF, one scan, no shuffle at all (row-local), so the
+    100 TB version is scan-bound by construction.
+    functions/text.py:tokenize_bpe_ish.
+    """
+    from .functions.text import token_count, tokenize_bpe_ish
+
+    d = _t(spark, sf_dir)["documents"]
+    n_ws = token_count(F.col("text"))
+    n_bpe = F.size(tokenize_bpe_ish(F.col("text")))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.when(
+            n_ws > 0,
+            F.round(n_bpe.cast("double") / n_ws.cast("double"), 6),
+        ).alias("bpe_per_word"),
+    )

@@ -497,3 +497,23 @@ def test_skyline_window_equals_dominance_definition(spark, sf_dir):
         for r in pts.exceptAll(dominated).collect()
     }
     assert out == brute and len(out) > 0
+
+
+def test_bpe_ish_tokenizer_known_strings(spark):
+    """Pin the pretokenizer semantics on known strings (the oracle
+    mirrors the same regex, so a wrong pattern would be invisible to
+    parity — this is the independent fixture)."""
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline_spark.functions.text import tokenize_bpe_ish
+
+    rows = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "a1b2"), (3, "  x  "), (4, ""), (5, "don't stop")],
+        "id int, s string",
+    ).select("id", tokenize_bpe_ish(F.col("s")).alias("t")).collect()
+    got = {r.id: r.t for r in rows}
+    assert got[1] == ["Hello", ",", " world", "!"]
+    assert got[2] == ["a", "1", "b", "2"]
+    assert got[3] == [" x"]  # single leading space kept, rest dropped
+    assert got[4] == []
+    assert got[5] == ["don", "'", "t", " stop"]
