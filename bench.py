@@ -162,6 +162,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "stats_winsorized_mean",
     "text_bpe_token_budget",
+    "stats_mode_per_group",
+    "market_concentration_hhi",
 ]
 
 

@@ -10258,3 +10258,108 @@ def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_bpe.cast("double") / n_ws.cast("double"), 6),
         ).alias("bpe_per_word"),
     )
+
+
+@register(
+    "stats_mode_per_group",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def stats_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value, smallest-value tiebreak):
+    one keyed count agg + a rank-1 window over the COUNTS relation —
+    the window input is |statuses × priorities| rows (domain-sized,
+    never data-proportional), so this is the scale-safe mode shape;
+    WindowGroupLimit prunes it map-side.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "market_concentration_hhi",
+    """
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)
+               AS tot_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM q GROUP BY l_partkey),
+    terms AS (
+      SELECT q.l_partkey, tot.n_suppliers,
+             ROUND((q.qty / tot.tot_qty) * (q.qty / tot.tot_qty), 12)
+               AS term
+      FROM q JOIN tot ON tot.l_partkey = q.l_partkey)
+    SELECT l_partkey, n_suppliers,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS hhi
+    FROM terms
+    GROUP BY l_partkey, n_suppliers
+    ORDER BY hhi DESC, l_partkey ASC
+    LIMIT 25
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part (Σ share² over
+    suppliers): the supply-risk metric — HHI→1 means a single-supplier
+    part.  Two keyed aggs share the (part, supp) grain; the share
+    ratio and its square are per-row IEEE on identical doubles, each
+    term rounded 12 dp BEFORE the decimal sum (the tfidf/entropy
+    discipline — double accumulation is order-dependent, decimal is
+    not), and the top-25 is fully tiebroken.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty")
+    )
+    tot = q.groupBy("l_partkey").agg(
+        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("tot_qty"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = F.col("qty") / F.col("tot_qty")
+    terms = q.join(tot, "l_partkey").select(
+        "l_partkey",
+        "n_suppliers",
+        F.round(share * share, 12).alias("term"),
+    )
+    return (
+        terms.groupBy("l_partkey", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("hhi")
+        )
+        .orderBy(F.desc("hhi"), F.asc("l_partkey"))
+        .limit(25)
+    )
