@@ -52,6 +52,10 @@ REPRESENTATIVE = [
     # and degree-ordered triangle orientation (pure integer, any split)
     "stats_group_median",
     "graph_triangle_count",
+    # 12-dp-rounded ratio terms decimal-summed (the tfidf discipline)
+    "market_concentration_hhi",
+    # positional clamping via grouped prefix rank; tied bounds self-clamp
+    "stats_winsorized_mean",
 ]
 
 
