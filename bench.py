@@ -164,6 +164,7 @@ HEADLINE = [
     "text_bpe_token_budget",
     "stats_mode_per_group",
     "market_concentration_hhi",
+    "orders_seasonal_index",
 ]
 
 

@@ -10363,3 +10363,53 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hhi"), F.asc("l_partkey"))
         .limit(25)
     )
+
+
+@register(
+    "orders_seasonal_index",
+    """
+    WITH m AS (
+      SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_years,
+             CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS tot
+      FROM m GROUP BY mo),
+    o AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS g_tot,
+             CAST(COUNT(*) AS BIGINT) AS g_n
+      FROM m)
+    SELECT mo AS month, n_years,
+           ROUND(tot / CAST(n_years AS DOUBLE), 6) AS month_avg,
+           ROUND((tot / CAST(n_years AS DOUBLE))
+                 / (g_tot / CAST(g_n AS DOUBLE)), 6) AS seasonal_index
+    FROM s CROSS JOIN o
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index (month's average monthly revenue
+    over the all-months average — >1 = hot season): the classical
+    multiplicative seasonal decomposition factor, computed from
+    (year, month) totals so partial years weight correctly.  All sums
+    decimal-internal; the two averages and their ratio are the
+    IDENTICAL IEEE expression in both engines; the 1-row grand total
+    broadcasts (12-row output, one Expand-free shuffle chain).
+    """
+    o = _t(spark, sf_dir)["orders"]
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(dsum(F.col("o_totalprice")).alias("rev"))
+    m = m.localCheckpoint(eager=True)  # per-month + grand agg share it
+    s = m.groupBy("mo").agg(
+        F.count("*").alias("n_years"), dsum(F.col("rev")).alias("tot")
+    )
+    g = m.agg(dsum(F.col("rev")).alias("g_tot"), F.count("*").alias("g_n"))
+    month_avg = F.col("tot") / F.col("n_years").cast("double")
+    overall_avg = F.col("g_tot") / F.col("g_n").cast("double")
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("mo").alias("month"),
+        "n_years",
+        F.round(month_avg, 6).alias("month_avg"),
+        F.round(month_avg / overall_avg, 6).alias("seasonal_index"),
+    )

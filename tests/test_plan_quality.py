@@ -181,6 +181,7 @@ BNLJ_BY_DESIGN = {
                                 # 15-query set (the audited baseline);
                                 # the LSH side is a bucket equi-join
     "compliance_delete_cascade",  # broadcast 1-row per-table totals
+    "orders_seasonal_index",    # broadcast 1-row grand-total average
 }
 
 
