@@ -165,6 +165,9 @@ HEADLINE = [
     "stats_mode_per_group",
     "market_concentration_hhi",
     "orders_seasonal_index",
+    "orders_benford_digit_audit",
+    "customer_gini_by_nation",
+    "orders_autocorr_daily",
 ]
 
 

@@ -10413,3 +10413,209 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(month_avg, 6).alias("month_avg"),
         F.round(month_avg / overall_avg, 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "orders_benford_digit_audit",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTRING(REGEXP_REPLACE(
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM d)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS obs_share,
+           ROUND(LN(CAST(1.0 AS DOUBLE)
+                    + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+                 / LN(CAST(10.0 AS DOUBLE)), 6) AS benford_share
+    FROM d CROSS JOIN t
+    """,
+)
+def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fraud / synthetic-data detector.  The first digit is
+    taken from the DECIMAL(18,2) string form (stored 2-dp doubles cast
+    exactly; stripping non-1-9 chars also skips leading zeros of
+    sub-unit values), never from floor(log10(x)) whose boundary ulps
+    differ between engines.  Expected shares are ln(1+1/d)/ln(10) —
+    the identical libm expression both sides (LN-parity rule).  One
+    9-row agg + a broadcast 1-row total; zero data-proportional state.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    d = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = d.agg(F.sum("n_obs").alias("n_total"))
+    obs = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("benford_share"),
+    )
+
+
+@register(
+    "customer_gini_by_nation",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey, c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_nationkey, spend,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY spend, custkey) AS BIGINT) AS rn
+      FROM spend),
+    g AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(spend AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(rn AS DECIMAL(18,0)) * spend
+                           AS DECIMAL(38,2))) AS DOUBLE) AS sxi
+      FROM r GROUP BY 1)
+    SELECT n_name AS nation, n_customers,
+           sx AS total_spend,
+           ROUND((CAST(2.0 AS DOUBLE) * sxi)
+                 / (CAST(n_customers AS DOUBLE) * sx)
+                 - (CAST(n_customers AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                   / CAST(n_customers AS DOUBLE), 6) AS gini
+    FROM g JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend — the inequality
+    / concentration profile a data-curation pipeline uses to spot
+    skewed contributor distributions.  Uses the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over a KEYED row_number (25 nation
+    partitions, deterministic (spend, custkey) tiebreak — never a
+    global window); both Σ terms are exact decimal sums (rank cast
+    DECIMAL(18,0) so the product precision is engine-identical), the
+    final expression is the same IEEE algebra both sides.  Scale: one
+    custkey shuffle + one nation-keyed window; nations are bounded so
+    per-partition rank state is the per-nation customer count — for
+    unbounded keys the grouped prefix scan (operators/prefix.py) is
+    the drop-in.
+    """
+    t = _t(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"), "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+            "decimal(18,2)").alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend", "custkey")
+    r = spend.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    g = r.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum(
+            (F.col("rn").cast("decimal(18,0)") * F.col("spend")).cast(
+                "decimal(38,2)"
+            )
+        )
+        .cast("double")
+        .alias("sxi"),
+    )
+    n_d = F.col("n_customers").cast("double")
+    gini = (F.lit(2.0) * F.col("sxi")) / (n_d * F.col("sx")) - (
+        n_d + F.lit(1.0)
+    ) / n_d
+    return g.join(
+        F.broadcast(_t(spark, sf_dir)["nation"]),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        F.col("sx").alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+@register(
+    "orders_autocorr_daily",
+    """
+    WITH daily AS (
+      SELECT YEAR(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT yr, rev,
+             LAG(rev) OVER (PARTITION BY yr ORDER BY day) AS prev
+      FROM daily),
+    s AS (
+      SELECT yr, COUNT(*) AS n,
+             CAST(SUM(prev) AS DOUBLE) AS sx,
+             CAST(SUM(rev) AS DOUBLE) AS sy,
+             CAST(SUM(prev * prev) AS DOUBLE) AS sxx,
+             CAST(SUM(rev * rev) AS DOUBLE) AS syy,
+             CAST(SUM(prev * rev) AS DOUBLE) AS sxy
+      FROM pairs WHERE prev IS NOT NULL GROUP BY yr)
+    SELECT yr, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM s
+    """,
+)
+def orders_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue per year — the
+    time-series momentum statistic (near 0 = white noise, >0 =
+    persistent demand).  Daily totals are exact DECIMAL(18,2); the lag
+    pairs come from a YEAR-keyed window (≤366 rows per partition,
+    never a global sort); the five co-moments are decimal×decimal
+    exact sums finalized with the identical IEEE Pearson expression
+    both engines (stats_correlation_lineitem pattern).  Scale: one
+    (yr,day) agg shuffle + one bounded keyed window.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.partitionBy("yr").orderBy("day")
+    pairs = daily.withColumn("prev", F.lag("rev").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    s = pairs.groupBy("yr").agg(
+        F.count("*").alias("n"),
+        F.sum("prev").cast("double").alias("sx"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("prev") * F.col("prev")).cast("double").alias("sxx"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("syy"),
+        F.sum(F.col("prev") * F.col("rev")).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    corr = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "yr",
+        F.col("n").alias("n_pairs"),
+        F.round(corr, 6).alias("autocorr_lag1"),
+    )

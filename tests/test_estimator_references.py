@@ -94,3 +94,118 @@ def test_linear_trend_matches_reference(spark):
         for r in q.stats_linear_trend(spark, SF).collect()
     }
     assert got == expected, (got, expected)
+
+
+def _dec2(v: float) -> Decimal:
+    return Decimal(repr(float(v))).quantize(Decimal("1e-2"), ROUND_HALF_UP)
+
+
+def test_benford_matches_reference(spark):
+    """orders_benford_digit_audit == a pure-Python first-digit census
+    with log10 expectations (guards the digit extraction rule and the
+    ln(1+1/d)/ln(10) constant, which oracle parity would mirror)."""
+    from ingest_pipeline_spark import queries as q
+
+    vals = (
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+        .column(0)
+        .to_pylist()
+    )
+    counts: dict[int, int] = {}
+    for v in vals:
+        s = "".join(ch for ch in str(_dec2(v)) if ch in "123456789")
+        d = int(s[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    expected = {
+        d: (
+            n,
+            float(_dec6(n / total)),
+            float(_dec6(math.log(1.0 + 1.0 / d) / math.log(10.0))),
+        )
+        for d, n in counts.items()
+    }
+    got = {
+        r["digit"]: (r["n_obs"], r["obs_share"], r["benford_share"])
+        for r in q.orders_benford_digit_audit(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)
+
+
+def test_gini_matches_reference(spark):
+    """customer_gini_by_nation == a pure-Python rank-formula Gini over
+    decimal spends (guards the 2·Σ(i·x)/(n·Σx) − (n+1)/n algebra and
+    the (spend, custkey) rank tiebreak)."""
+    from ingest_pipeline_spark import queries as q
+
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pydict()
+    c = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pydict()
+    n = pq.read_table(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nat_of = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    name_of = dict(zip(n["n_nationkey"], n["n_name"]))
+    spend: dict[int, Decimal] = {}
+    for ck, tp in zip(o["o_custkey"], o["o_totalprice"]):
+        if ck in nat_of:
+            spend[ck] = spend.get(ck, Decimal(0)) + _dec2(tp)
+    by_nation: dict[int, list] = {}
+    for ck, sp in spend.items():
+        by_nation.setdefault(nat_of[ck], []).append((sp, ck))
+    expected = {}
+    for nk, rows in by_nation.items():
+        rows.sort()
+        cnt = len(rows)
+        sx = sum(sp for sp, _ in rows)
+        sxi = sum(Decimal(i + 1) * sp for i, (sp, _) in enumerate(rows))
+        gini = (2.0 * float(sxi)) / (cnt * float(sx)) - (cnt + 1.0) / cnt
+        expected[name_of[nk]] = (cnt, float(sx), float(_dec6(gini)))
+    got = {
+        r["nation"]: (r["n_customers"], r["total_spend"], r["gini"])
+        for r in q.customer_gini_by_nation(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)
+
+
+def test_autocorr_matches_reference(spark):
+    """orders_autocorr_daily == a pure-Python day-sorted lag-1 Pearson
+    over decimal daily totals (guards the year-keyed lag pairing)."""
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pydict()
+    daily: dict[tuple, Decimal] = {}
+    for ts, tp in zip(t["o_orderdate"], t["o_totalprice"]):
+        k = (ts.year, ts.date())
+        daily[k] = daily.get(k, Decimal(0)) + _dec2(tp)
+    by_year: dict[int, list] = {}
+    for (yr, day), rev in daily.items():
+        by_year.setdefault(yr, []).append((day, rev))
+    expected = {}
+    for yr, rows in by_year.items():
+        rows.sort()
+        pairs = [
+            (rows[i - 1][1], rows[i][1]) for i in range(1, len(rows))
+        ]
+        if not pairs:
+            continue
+        cnt = len(pairs)
+        sx = float(sum(p for p, _ in pairs))
+        sy = float(sum(r for _, r in pairs))
+        sxx = float(sum(p * p for p, _ in pairs))
+        syy = float(sum(r * r for _, r in pairs))
+        sxy = float(sum(p * r for p, r in pairs))
+        corr = (cnt * sxy - sx * sy) / (
+            math.sqrt(cnt * sxx - sx * sx) * math.sqrt(cnt * syy - sy * sy)
+        )
+        expected[yr] = (cnt, float(_dec6(corr)))
+    got = {
+        r["yr"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in q.orders_autocorr_daily(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)

@@ -182,6 +182,7 @@ BNLJ_BY_DESIGN = {
                                 # the LSH side is a bucket equi-join
     "compliance_delete_cascade",  # broadcast 1-row per-table totals
     "orders_seasonal_index",    # broadcast 1-row grand-total average
+    "orders_benford_digit_audit",  # broadcast 1-row digit grand total
 }
 
 
