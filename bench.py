@@ -168,6 +168,8 @@ HEADLINE = [
     "orders_benford_digit_audit",
     "customer_gini_by_nation",
     "orders_autocorr_daily",
+    "corpus_token_shards",
+    "text_vocab_coverage",
 ]
 
 

@@ -10619,3 +10619,120 @@ def orders_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(corr, 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "corpus_token_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token-budget training shard assignment: documents are
+    packed in deterministic doc_id order into ~2048-token output
+    shards (the writer-side analogue of sequence packing — each shard
+    becomes one training file of near-constant cost).  The global
+    cumulative token count uses the two-phase distributed prefix scan
+    (operators/prefix.py running_sum: range-partition → per-partition
+    partials → ≤#partitions broadcast offsets), NEVER a single-task
+    global window, so shard assignment scales to 100 TB corpora.
+    """
+    from .functions.text import token_count
+    from .operators.prefix import running_sum
+
+    docs = _t(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    c = running_sum(sized, [F.col("doc_id")], "n_tokens", "cum")
+    return (
+        c.withColumn("shard_id", F.expr("(cum - n_tokens) div 2048").cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH tk AS (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+    c AS (
+      SELECT tok, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM v),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM v),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) AS x(q))
+    SELECT q,
+           CAST(1 + SUM(CASE WHEN CAST(cum AS DOUBLE)
+                                  < q * CAST(total_tokens AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS vocab_types,
+           total_tokens
+    FROM c CROSS JOIN t CROSS JOIN qs
+    GROUP BY q, total_tokens
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: for each mass threshold q, the
+    number of distinct whitespace token types (most-frequent-first,
+    deterministic (cnt DESC, tok) order) needed to cover q of all
+    token occurrences — the statistic that sizes a tokenizer vocab.
+    The frequency cumsum is the two-phase distributed prefix scan over
+    the VOCABULARY relation (token types, sublinear in corpus size but
+    still data-proportional — never a single-task window); the
+    crossing rank is found order-free as 1 + COUNT(cum < q·total), so
+    no row_number pass is needed.  The 1-row total and the 5-row
+    threshold list broadcast.
+    """
+    from .operators.prefix import running_sum
+
+    docs = _t(spark, sf_dir)["documents"]
+    v = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c = running_sum(v, [F.col("cnt").desc(), F.col("tok")], "cnt", "cum")
+    t = v.agg(F.sum("cnt").alias("total_tokens"))
+    qs = spark.createDataFrame(
+        [(0.5,), (0.8,), (0.9,), (0.95,), (0.99,)], "q double"
+    )
+    hit = F.when(
+        F.col("cum").cast("double")
+        < F.col("q") * F.col("total_tokens").cast("double"),
+        1,
+    ).otherwise(0)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(qs))
+        .groupBy("q", "total_tokens")
+        .agg((F.lit(1) + F.sum(hit)).cast("bigint").alias("vocab_types"))
+        .select("q", "vocab_types", "total_tokens")
+    )

@@ -56,6 +56,10 @@ REPRESENTATIVE = [
     "market_concentration_hhi",
     # positional clamping via grouped prefix rank; tied bounds self-clamp
     "stats_winsorized_mean",
+    # global token prefix scan → shard ids (pid-count-dependent offsets
+    # must compose identically) and keyed-rank Gini decimal Σ(i·x)
+    "corpus_token_shards",
+    "customer_gini_by_nation",
 ]
 
 

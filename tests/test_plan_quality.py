@@ -183,6 +183,7 @@ BNLJ_BY_DESIGN = {
     "compliance_delete_cascade",  # broadcast 1-row per-table totals
     "orders_seasonal_index",    # broadcast 1-row grand-total average
     "orders_benford_digit_audit",  # broadcast 1-row digit grand total
+    "text_vocab_coverage",      # broadcast 1-row total + 5-row thresholds
 }
 
 
