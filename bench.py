@@ -170,6 +170,9 @@ HEADLINE = [
     "orders_autocorr_daily",
     "corpus_token_shards",
     "text_vocab_coverage",
+    "survival_customer_churn",
+    "linkage_surprisal_pairs",
+    "graph_kcore_parts",
 ]
 
 

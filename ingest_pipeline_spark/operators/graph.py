@@ -288,3 +288,52 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         )
     )
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel vertices of
+    degree < k until the remaining subgraph has min degree ≥ k.
+
+    The standard graph-pruning step before expensive pairwise work
+    (e.g. dropping weakly-connected items from a dedup/co-occurrence
+    graph).  Input is an undirected simple edge list (each edge once,
+    any orientation); returns ``(node, core_degree)`` for the
+    surviving vertices, where ``core_degree`` is the degree INSIDE the
+    k-core.
+
+    Execution shape: each round is one degree aggregation + two
+    hash-semi-joins keyed on the endpoints (never all-pairs).  Every
+    round removes EVERY current sub-k vertex at once, so the round
+    count is the peeling depth, not the vertex count; lineage is cut
+    with localCheckpoint every ``checkpoint_every`` rounds (the
+    connected-components cadence) so the plan does not unroll.  Not
+    SQL-expressible (iterative deletion with re-aggregation) — no
+    DuckDB oracle; correctness rests on the pure-Python peeling
+    reference unit (tests/test_estimator_references.py) and shape
+    fixtures (tests/test_graph_fixpoint.py).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    rounds = 0
+    while True:
+        deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+        survivors = deg.where(F.col("d") >= k).select("a")
+        n_bad = deg.where(F.col("d") < k).count()
+        if n_bad == 0:
+            return deg.select(F.col("a").alias("node"), F.col("d").alias("core_degree"))
+        sym = sym.join(survivors, "a", "semi").join(
+            survivors.select(F.col("a").alias("b")), "b", "semi"
+        )
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)

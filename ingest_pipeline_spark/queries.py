@@ -10736,3 +10736,248 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(1) + F.sum(hit)).cast("bigint").alias("vocab_types"))
         .select("q", "vocab_types", "total_tokens")
     )
+
+
+@register(
+    "survival_customer_churn",
+    """
+    WITH pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_day,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders GROUP BY 1),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+    obs AS (
+      SELECT c_mktsegment AS segment,
+             DATEDIFF('day', first_day, last_day) AS dur,
+             CASE WHEN DATEDIFF('day', last_day, max_day) > 90
+                  THEN 1 ELSE 0 END AS churn
+      FROM pc JOIN customer ON o_custkey = c_custkey CROSS JOIN mx),
+    counts AS (
+      SELECT segment, dur,
+             CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(churn) AS BIGINT) AS d
+      FROM obs GROUP BY 1, 2),
+    risk AS (
+      SELECT segment, dur, c_all, d,
+             CAST(SUM(c_all) OVER (PARTITION BY segment ORDER BY dur DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM counts),
+    terms AS (
+      SELECT segment, dur, d, n_risk,
+             CASE WHEN d > 0 AND n_risk > d
+                  THEN ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE)), 12)
+                  ELSE CAST(0.0 AS DOUBLE) END AS term
+      FROM risk),
+    km AS (
+      SELECT segment, dur, d, n_risk,
+             CAST(SUM(CAST(term AS DECIMAL(28,12)))
+                  OVER (PARTITION BY segment ORDER BY dur
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS log_s
+      FROM terms)
+    SELECT segment, dur AS t_days, n_risk, d AS d_events,
+           ROUND(log_s, 6) AS log_survival
+    FROM km WHERE d > 0 AND n_risk > d
+    """,
+)
+def survival_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer lifetime per market segment —
+    the churn-analysis estimator.  Lifetime = days between a
+    customer's first and last order; churn event = last order more
+    than 90 days before the corpus max date (later = right-censored;
+    censored rows leave the risk set but add no hazard step).  The
+    product-limit estimate is kept in LOG space (Σ ln((n−d)/n), each
+    term rounded 12 dp and decimal-summed) because EXP differs by 1
+    ulp between engines — callers exponentiate downstream.  Both
+    cumulative windows run over the (segment × distinct-duration)
+    counts relation — DOMAIN-bounded (≤ segments × calendar days),
+    never data-proportional, so the keyed windows are safe at 100 TB.
+    Steps with n_risk == d (log S → −inf) are excluded from the
+    hazard sum and the output.
+    """
+    t = _t(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    pc = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    obs = (
+        pc.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("last_day", "first_day").cast("long").alias("dur"),
+            F.when(F.datediff("max_day", "last_day") > 90, 1)
+            .otherwise(0)
+            .alias("churn"),
+        )
+    )
+    counts = obs.groupBy("segment", "dur").agg(
+        F.count("*").alias("c_all"), F.sum("churn").alias("d")
+    )
+    w_desc = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = counts.withColumn("n_risk", F.sum("c_all").over(w_desc))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    w_asc = (
+        Window.partitionBy("segment")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = risk.withColumn(
+        "log_s",
+        F.sum(term.cast("decimal(28,12)")).over(w_asc).cast("double"),
+    )
+    return km.where((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "segment",
+        F.col("dur").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round("log_s", 6).alias("log_survival"),
+    )
+
+
+@register(
+    "linkage_surprisal_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             n_chars // 16 AS len_bucket,
+             STRING_SPLIT_REGEX(TRIM(text), '\\s+')[1] AS first_tok
+      FROM documents),
+    fs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS f_src
+           FROM d GROUP BY 1),
+    ft AS (SELECT first_tok, CAST(COUNT(*) AS BIGINT) AS f_tok
+           FROM d GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS src_agree,
+             CASE WHEN a.first_tok = b.first_tok THEN 1 ELSE 0 END
+               AS tok_agree,
+             a.source AS a_source, a.first_tok AS a_tok
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT a_id, b_id, src_agree, tok_agree,
+             ROUND(CASE WHEN src_agree = 1
+                        THEN LN(CAST(n_docs AS DOUBLE)
+                                / CAST(f_src AS DOUBLE))
+                        ELSE CAST(0.0 AS DOUBLE) END
+                   + CASE WHEN tok_agree = 1
+                          THEN LN(CAST(n_docs AS DOUBLE)
+                                  / CAST(f_tok AS DOUBLE))
+                          ELSE CAST(0.0 AS DOUBLE) END, 6) AS score
+      FROM pairs
+      JOIN fs ON a_source = fs.source
+      JOIN ft ON a_tok = ft.first_tok
+      CROSS JOIN n)
+    SELECT a_id, b_id, src_agree, tok_agree, score
+    FROM scored WHERE score > CAST(0.0 AS DOUBLE)
+    ORDER BY score DESC, a_id, b_id LIMIT 100
+    """,
+)
+def linkage_surprisal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted record-linkage scoring (the Newcombe /
+    Fellegi-Sunter surprisal idea): candidate pairs meet through a
+    BLOCKED equi-join on (lang, 16-char length bucket) — never
+    all-pairs — and each agreeing field contributes ln(N/freq(value)),
+    so agreement on a RARE source or leading token is strong linkage
+    evidence while agreement on a common one is weak.  Field
+    frequencies come from broadcast-sized dimension aggs joined on the
+    agreed value; the score is a fixed 2-term IEEE expression rounded
+    6 dp BEFORE the deterministic top-k.  Scale: block sizes bound the
+    join fan-out (hot blocks would get the df_cap treatment,
+    operators/dedup.py); frequency tables are value-domain-sized.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 16").alias("len_bucket"),
+        F.split(F.trim(F.col("text")), r"\s+")[0].alias("first_tok"),
+    )
+    d = d.localCheckpoint(eager=True)  # pairs + 3 freq aggs share it
+    fs = d.groupBy("source").agg(F.count("*").alias("f_src"))
+    ft = d.groupBy("first_tok").agg(F.count("*").alias("f_tok"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.when(F.col("a.source") == F.col("b.source"), 1).otherwise(0)
+        .alias("src_agree"),
+        F.when(F.col("a.first_tok") == F.col("b.first_tok"), 1).otherwise(0)
+        .alias("tok_agree"),
+        F.col("a.source").alias("a_source"),
+        F.col("a.first_tok").alias("a_tok"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    score = F.round(
+        F.when(
+            F.col("src_agree") == 1, F.log(n_d / F.col("f_src").cast("double"))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("tok_agree") == 1, F.log(n_d / F.col("f_tok").cast("double"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(fs), F.col("a_source") == F.col("source"))
+        .join(F.broadcast(ft), F.col("a_tok") == F.col("first_tok"))
+        .crossJoin(F.broadcast(n))
+        .select("a_id", "b_id", "src_agree", "tok_agree", score.alias("score"))
+        .where(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), "a_id", "b_id")
+        .limit(100)
+    )
+
+
+@register("graph_kcore_parts", None)
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (parts bought together in ≥3
+    orders): iterative degree-peeling until every remaining part has
+    ≥3 strong co-purchase partners — the standard pruning pass before
+    pairwise similarity work on a co-occurrence graph.  Each peel
+    round removes ALL sub-k vertices at once (rounds = peeling depth,
+    not vertex count), with the connected-components checkpoint
+    cadence.  Iterative deletion + re-aggregation is not
+    SQL-expressible, so there is no DuckDB oracle (rows-only driver
+    check); exactness rests on the pure-Python peeling reference unit
+    and shape fixtures (clique+tail, cycle, star).
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.graph import kcore
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    return (
+        kcore(edges, 3)
+        .orderBy(F.desc("core_degree"), F.asc("node"))
+        .limit(100)
+    )

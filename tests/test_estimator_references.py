@@ -209,3 +209,102 @@ def test_autocorr_matches_reference(spark):
         for r in q.orders_autocorr_daily(spark, SF).collect()
     }
     assert got == expected, (got, expected)
+
+
+def test_kaplan_meier_matches_reference(spark):
+    """survival_customer_churn == a pure-Python product-limit fold
+    (guards the risk-set direction, the censoring rule, and the
+    Σ ln((n−d)/n) hazard algebra)."""
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).to_pydict()
+    c = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pydict()
+    seg_of = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    span: dict[int, list] = {}
+    for ck, ts in zip(t["o_custkey"], t["o_orderdate"]):
+        d = ts.date()
+        lo, hi = span.get(ck, (d, d))
+        span[ck] = (min(lo, d), max(hi, d))
+    max_day = max(hi for _, hi in span.values())
+    by_seg: dict[str, dict[int, list]] = {}
+    for ck, (lo, hi) in span.items():
+        if ck not in seg_of:
+            continue
+        dur = (hi - lo).days
+        churn = 1 if (max_day - hi).days > 90 else 0
+        cell = by_seg.setdefault(seg_of[ck], {}).setdefault(dur, [0, 0])
+        cell[0] += 1
+        cell[1] += churn
+    expected = {}
+    for seg, cells in by_seg.items():
+        remaining = sum(ca for ca, _ in cells.values())
+        log_s = Decimal(0)
+        for dur in sorted(cells):
+            c_all, d_ev = cells[dur]
+            n_risk = remaining
+            remaining -= c_all
+            if d_ev > 0 and n_risk > d_ev:
+                term = Decimal(
+                    repr(math.log(float(n_risk - d_ev) / float(n_risk)))
+                ).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+                log_s += term
+                expected[(seg, dur)] = (
+                    n_risk,
+                    d_ev,
+                    float(_dec6(float(log_s))),
+                )
+    got = {
+        (r["segment"], r["t_days"]): (
+            r["n_risk"],
+            r["d_events"],
+            r["log_survival"],
+        )
+        for r in q.survival_customer_churn(spark, SF).collect()
+    }
+    assert got == expected, (len(got), len(expected))
+
+
+def test_kcore_matches_reference(spark):
+    """graph_kcore_parts == a pure-Python peeling loop over the same
+    co-purchase edges (guards the symmetrize/dedup step, the peel-all
+    round semantics, and the in-core degree reporting)."""
+    import duckdb
+
+    from ingest_pipeline_spark import queries as q
+
+    edges = duckdb.sql(
+        f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '{SF}/lineitem.parquet')
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """
+    ).fetchall()
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    while True:
+        bad = [n for n, nb in adj.items() if len(nb) < 3]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected = sorted(
+        ((n, len(nb)) for n, nb in adj.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:100]
+    got = [
+        (r["node"], r["core_degree"])
+        for r in q.graph_kcore_parts(spark, SF).collect()
+    ]
+    assert got == expected, (len(got), len(expected), got[:5], expected[:5])

@@ -58,3 +58,35 @@ def test_fixpoint_ancestors_inverts(spark):
         ).collect()
     }
     assert got == {f"n{8-i}": i for i in range(9)}
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "u long, v long")
+
+    def test_clique_with_tail_peels_to_clique(self, spark):
+        from ingest_pipeline_spark.operators.graph import kcore
+
+        k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        tail = [(4, 10), (10, 11), (11, 12)]
+        out = {
+            (r["node"], r["core_degree"])
+            for r in kcore(self._edges(spark, k5 + tail), 4).collect()
+        }
+        assert out == {(n, 4) for n in range(5)}
+
+    def test_cycle_is_its_own_2core(self, spark):
+        from ingest_pipeline_spark.operators.graph import kcore
+
+        cyc = [(i, (i + 1) % 6) for i in range(6)]
+        out = {
+            (r["node"], r["core_degree"])
+            for r in kcore(self._edges(spark, cyc), 2).collect()
+        }
+        assert out == {(n, 2) for n in range(6)}
+
+    def test_star_has_empty_2core(self, spark):
+        from ingest_pipeline_spark.operators.graph import kcore
+
+        star = [(0, i) for i in range(1, 8)]
+        assert kcore(self._edges(spark, star), 2).count() == 0

@@ -184,6 +184,8 @@ BNLJ_BY_DESIGN = {
     "orders_seasonal_index",    # broadcast 1-row grand-total average
     "orders_benford_digit_audit",  # broadcast 1-row digit grand total
     "text_vocab_coverage",      # broadcast 1-row total + 5-row thresholds
+    "survival_customer_churn",  # broadcast 1-row corpus max date
+    "linkage_surprisal_pairs",  # broadcast 1-row doc total
 }
 
 
