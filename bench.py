@@ -173,6 +173,9 @@ HEADLINE = [
     "survival_customer_churn",
     "linkage_surprisal_pairs",
     "graph_kcore_parts",
+    "text_source_kl_divergence",
+    "stats_group_mad",
+    "events_cusum_changepoint",
 ]
 
 

@@ -10981,3 +10981,238 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_degree"), F.asc("node"))
         .limit(100)
     )
+
+
+@register(
+    "text_source_kl_divergence",
+    """
+    WITH tk AS (
+      SELECT source,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    csv_ AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sv
+             FROM tk GROUP BY 1, 2),
+    voc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_v FROM tk GROUP BY 1),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tk GROUP BY 1),
+    scal AS (SELECT CAST(SUM(c_v) AS BIGINT) AS n_tot,
+                    CAST(COUNT(*) AS BIGINT) AS v_size FROM voc),
+    grid AS (
+      SELECT ns.source, ns.n_s, voc.tok, voc.c_v, scal.n_tot, scal.v_size,
+             COALESCE(csv_.c_sv, 0) AS c0
+      FROM voc CROSS JOIN ns CROSS JOIN scal
+      LEFT JOIN csv_ ON csv_.source = ns.source AND csv_.tok = voc.tok),
+    terms AS (
+      SELECT source, n_s, v_size,
+             ROUND((CAST(c0 + 1 AS DOUBLE) / CAST(n_s + v_size AS DOUBLE))
+                   * LN((CAST(c0 + 1 AS DOUBLE)
+                         / CAST(n_s + v_size AS DOUBLE))
+                        / (CAST(c_v + 1 AS DOUBLE)
+                           / CAST(n_tot + v_size AS DOUBLE))), 12) AS term
+      FROM grid)
+    SELECT source, n_s AS n_tokens, v_size AS vocab_size,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS kl_divergence
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the add-1-smoothed unigram
+    distribution vs the whole corpus — the corpus-mix drift detector
+    that, unlike TVD (corpus_drift_report), weights surprise by the
+    source's own usage.  The source×vocab probability grid comes from
+    a broadcast of the BOUNDED source dimension against the
+    (sublinear) vocabulary relation — never a data-proportional cross
+    join; zero counts materialize via left join + COALESCE.  Each
+    p·ln(p/q) term is the identical IEEE expression both engines,
+    rounded 12 dp and decimal-summed (the tfidf discipline).
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    tk = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tk = tk.localCheckpoint(eager=True)  # 3 aggregations share it
+    c_sv = tk.groupBy("source", "tok").agg(F.count("*").alias("c_sv"))
+    voc = tk.groupBy("tok").agg(F.count("*").alias("c_v"))
+    ns = tk.groupBy("source").agg(F.count("*").alias("n_s"))
+    scal = voc.agg(
+        F.sum("c_v").alias("n_tot"), F.count("*").alias("v_size")
+    )
+    grid = (
+        voc.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(scal))
+        .join(c_sv, ["source", "tok"], "left")
+        .withColumn("c0", F.coalesce(F.col("c_sv"), F.lit(0)))
+    )
+    p = (F.col("c0") + F.lit(1)).cast("double") / (
+        F.col("n_s") + F.col("v_size")
+    ).cast("double")
+    q_ = (F.col("c_v") + F.lit(1)).cast("double") / (
+        F.col("n_tot") + F.col("v_size")
+    ).cast("double")
+    term = F.round(p * F.log(p / q_), 12).cast("decimal(28,12)")
+    out = (
+        grid.withColumn("term", term)
+        .groupBy("source", "n_s", "v_size")
+        .agg(F.sum("term").cast("double").alias("kl_raw"))
+    )
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.col("v_size").alias("vocab_size"),
+        F.round("kl_raw", 6).alias("kl_divergence"),
+    )
+
+
+@register(
+    "stats_group_mad",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS val
+      FROM orders),
+    r1 AS (
+      SELECT grp, val,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY val, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM v),
+    med AS (SELECT grp, val AS med, CAST(n AS BIGINT) AS n
+            FROM r1 WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT v.grp, v.o_orderkey, ABS(v.val - med.med) AS dev
+      FROM v JOIN med ON v.grp = med.grp),
+    r2 AS (
+      SELECT grp, dev,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY dev, o_orderkey) AS rn2,
+             COUNT(*) OVER (PARTITION BY grp) AS n2
+      FROM d),
+    mad AS (SELECT grp, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+    SELECT med.grp AS priority, med.n,
+           CAST(med.med AS DOUBLE) AS median_price,
+           CAST(mad.mad AS DOUBLE) AS mad_price
+    FROM med JOIN mad ON med.grp = mad.grp
+    """,
+)
+def stats_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value per priority — the
+    robust dispersion statistic completing the median / winsorized
+    family.  BOTH medians (value, then |value − median|) are the lower
+    median at exact integer position (n+1)÷2, found with
+    grouped_row_number (operators/prefix.py) — the 5 priority groups
+    are the low-cardinality heavy-group case where a plain keyed
+    window is a 5-task straggler at 100 TB.  All deviations are exact
+    DECIMAL subtractions; doubles appear only in the final cast.
+    """
+    from .operators.prefix import grouped_row_number
+
+    o = _t(spark, sf_dir)["orders"]
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+    )
+    r1 = grouped_row_number(
+        v, ["grp"], [F.col("val"), F.col("o_orderkey")], "rn", count_col="n"
+    )
+    med = r1.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("val").alias("med"), "n"
+    )
+    d = v.join(F.broadcast(med), "grp").select(
+        "grp", "o_orderkey", F.abs(F.col("val") - F.col("med")).alias("dev")
+    )
+    r2 = grouped_row_number(
+        d, ["grp"], [F.col("dev"), F.col("o_orderkey")], "rn2", count_col="n2"
+    )
+    mad = r2.where(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
+        "grp", F.col("dev").alias("mad")
+    )
+    return med.join(mad, "grp").select(
+        F.col("grp").alias("priority"),
+        "n",
+        F.col("med").cast("double").alias("median_price"),
+        F.col("mad").cast("double").alias("mad_price"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    s AS (
+      SELECT daily.event_type, day, n_days,
+             n_days * CAST(SUM(c) OVER (PARTITION BY daily.event_type
+                                        ORDER BY day
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             - CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
+                                       ORDER BY day) AS BIGINT) * total
+               AS s_scaled
+      FROM daily JOIN tot ON daily.event_type = tot.event_type),
+    ranked AS (
+      SELECT event_type, day, n_days, s_scaled,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(s_scaled) DESC, day) AS r
+      FROM s)
+    SELECT event_type, day AS change_day, n_days,
+           ROUND(CAST(s_scaled AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS cusum_dev
+    FROM ranked WHERE r = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume: per event
+    type, the day where the cumulative deviation from the type's mean
+    daily count peaks — the classic level-shift locator.  The CUSUM is
+    kept in SCALED INTEGERS (n·Σc − rank·total ≡ n·Σ(c − μ)), so the
+    entire accumulation is exact bigint math and the single double
+    division happens once at output.  All windows run over the
+    (event_type × day) counts relation — domain-bounded, never
+    data-proportional; the per-type totals join is a broadcast.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_days")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrank = Window.partitionBy("event_type").orderBy("day")
+    s = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.col("n_days") * F.sum("c").over(wcum)
+            - F.row_number().over(wrank).cast("long") * F.col("total"),
+        )
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.asc("day")
+    )
+    return (
+        s.withColumn("r", F.row_number().over(wbest))
+        .where(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "n_days",
+            F.round(
+                F.col("s_scaled").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("cusum_dev"),
+        )
+    )

@@ -19,7 +19,11 @@ def test_registry_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # rows-only queries are the deliberate non-SQL-expressible ones
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"source_listing", "similarity_pq_topk"}
+    assert rows_only == {
+        "source_listing",
+        "similarity_pq_topk",
+        "graph_kcore_parts",  # iterative peeling: not SQL-expressible
+    }
     # no duplicate registrations silently overwrote each other
     assert len(qs) >= 104
 

@@ -308,3 +308,43 @@ def test_kcore_matches_reference(spark):
         for r in q.graph_kcore_parts(spark, SF).collect()
     ]
     assert got == expected, (len(got), len(expected), got[:5], expected[:5])
+
+
+def test_cusum_matches_reference(spark):
+    """events_cusum_changepoint == a pure-Python scaled-integer CUSUM
+    fold (guards the n·Σc − rank·total ≡ n·Σ(c−μ) identity and the
+    |S| argmax tiebreak)."""
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type"]
+    ).to_pydict()
+    daily: dict[tuple, int] = {}
+    for ts, et in zip(t["ts"], t["event_type"]):
+        k = (et, ts.date())
+        daily[k] = daily.get(k, 0) + 1
+    by_type: dict[str, list] = {}
+    for (et, day), c in daily.items():
+        by_type.setdefault(et, []).append((day, c))
+    expected = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        total = sum(c for _, c in rows)
+        n_days = len(rows)
+        cum, best = 0, None
+        for rank, (day, c) in enumerate(rows, start=1):
+            cum += c
+            s = n_days * cum - rank * total
+            key = (-abs(s), day)
+            if best is None or key < best[0]:
+                best = (key, day, s)
+        expected[et] = (
+            best[1],
+            n_days,
+            float(_dec6(float(best[2]) / float(n_days))),
+        )
+    got = {
+        r["event_type"]: (r["change_day"], r["n_days"], r["cusum_dev"])
+        for r in q.events_cusum_changepoint(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)

@@ -60,6 +60,10 @@ REPRESENTATIVE = [
     # must compose identically) and keyed-rank Gini decimal Σ(i·x)
     "corpus_token_shards",
     "customer_gini_by_nation",
+    # smoothed-probability grid decimal term sum; double grouped
+    # positional medians via the grouped prefix scan
+    "text_source_kl_divergence",
+    "stats_group_mad",
 ]
 
 

@@ -186,6 +186,7 @@ BNLJ_BY_DESIGN = {
     "text_vocab_coverage",      # broadcast 1-row total + 5-row thresholds
     "survival_customer_churn",  # broadcast 1-row corpus max date
     "linkage_surprisal_pairs",  # broadcast 1-row doc total
+    "text_source_kl_divergence",  # broadcast bounded source dim + 1-row scalars
 }
 
 
