@@ -176,6 +176,7 @@ HEADLINE = [
     "text_source_kl_divergence",
     "stats_group_mad",
     "events_cusum_changepoint",
+    "events_interarrival_stats",
 ]
 
 

@@ -11216,3 +11216,49 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_dev"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts)))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST(gap_s AS BIGINT)) AS BIGINT) AS total_gap_s,
+           CAST(MIN(CAST(gap_s AS BIGINT)) AS BIGINT) AS min_gap_s,
+           CAST(MAX(CAST(gap_s AS BIGINT)) AS BIGINT) AS max_gap_s,
+           ROUND(CAST(SUM(CAST(gap_s AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap_s
+    FROM seq WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics of each user's event stream —
+    the point-process intensity profile (mean/min/max seconds between
+    a user's consecutive events of a type).  Gaps come from a lag
+    window keyed by (user_id, event_type) — high-cardinality
+    partitions, so the window shards across the cluster (never the
+    5-task per-type straggler); every gap is an exact INTEGER epoch
+    difference (FLOOR(EPOCH) ↔ unix_timestamp parity), summed as
+    bigints, with the single double division at output.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    seq = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_gap_s"),
+    )
