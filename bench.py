@@ -177,6 +177,7 @@ HEADLINE = [
     "stats_group_mad",
     "events_cusum_changepoint",
     "events_interarrival_stats",
+    "stats_ks_two_sample",
 ]
 
 

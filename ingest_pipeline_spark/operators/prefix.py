@@ -59,27 +59,49 @@ def running_sum(
     PRECEDING)`` but executed as a two-phase distributed prefix scan;
     ``order_cols`` must totally order the rows (include a tiebreak).
     """
+    return running_sums(df, order_cols, [(value_col, out_col)])
+
+
+def running_sums(
+    df: DataFrame, order_cols: list[Column], sums: list[tuple[str, str]]
+) -> DataFrame:
+    """Globally-ordered inclusive running sums of SEVERAL value
+    columns over ONE shared range partitioning — one ranged
+    checkpoint, one totals aggregation, one broadcast offsets join,
+    however many ``(value_col, out_col)`` pairs are requested (e.g.
+    the two empirical CDFs of a KS statistic).
+    """
     d = _ranged(df, order_cols)
     wloc = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn(_LOCAL, F.sum(value_col).over(wloc))
-    totals = d.groupBy(_PID).agg(F.sum(value_col).alias("__ptot"))
+    for i, (value_col, _out) in enumerate(sums):
+        d = d.withColumn(f"{_LOCAL}{i}", F.sum(value_col).over(wloc))
+    totals = d.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__ptot{i}") for i, (v, _o) in enumerate(sums)]
+    )
     # offsets: prefix over ≤ shuffle-partitions rows (cluster-sized)
     woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(_PID, F.sum("__ptot").over(woff).alias(_OFF))
-    return (
-        d.join(F.broadcast(offsets), _PID)
-        .withColumn(
-            out_col,
-            F.when(F.col(_OFF).isNull(), F.col(_LOCAL)).otherwise(
-                F.col(_OFF) + F.col(_LOCAL)
-            ),
-        )
-        .drop(_PID, _LOCAL, _OFF)
+    offsets = totals.select(
+        _PID,
+        *[
+            F.sum(f"__ptot{i}").over(woff).alias(f"{_OFF}{i}")
+            for i in range(len(sums))
+        ],
     )
+    d = d.join(F.broadcast(offsets), _PID)
+    drop = [_PID]
+    for i, (_v, out_col) in enumerate(sums):
+        d = d.withColumn(
+            out_col,
+            F.when(
+                F.col(f"{_OFF}{i}").isNull(), F.col(f"{_LOCAL}{i}")
+            ).otherwise(F.col(f"{_OFF}{i}") + F.col(f"{_LOCAL}{i}")),
+        )
+        drop += [f"{_LOCAL}{i}", f"{_OFF}{i}"]
+    return d.drop(*drop)
 
 
 def global_row_number(

@@ -11262,3 +11262,80 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_s").cast("double") / F.count("*").cast("double"), 6
         ).alias("mean_gap_s"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH f AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS is_n
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    g AS (
+      SELECT val, CAST(SUM(is_r) AS BIGINT) AS c1,
+             CAST(SUM(is_n) AS BIGINT) AS c2
+      FROM f GROUP BY val),
+    c AS (
+      SELECT val,
+             CAST(SUM(c1) OVER (ORDER BY val
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY val
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+      FROM g),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+    SELECT n1 AS n_r, n2 AS n_n,
+           CAST(ABS(n2 * cum1 - n1 * cum2) AS BIGINT) AS ks_scaled,
+           CAST(val AS DOUBLE) AS at_value,
+           ROUND(CAST(ABS(n2 * cum1 - n1 * cum2) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_stat
+    FROM c CROSS JOIN t
+    ORDER BY ks_scaled DESC, val LIMIT 1
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between returned ('R')
+    and non-returned ('N') line-item prices — the continuous
+    distribution-shift test completing the chi2 (categorical), TVD,
+    and KL family.  Both empirical CDFs come from ONE shared
+    distributed prefix scan over the distinct-value counts
+    (operators/prefix.py running_sums — one range partitioning, two
+    cumulative columns), and the sup-gap is EXACT SCALED-INTEGER math:
+    D·n1·n2 = max|n2·F1 − n1·F2| over bigints (safe to ~3e9 rows per
+    side), with the argmax found by a deterministic top-1.  Doubles
+    appear only in the two output normalizations.
+    """
+    from .operators.prefix import running_sums
+
+    li = _t(spark, sf_dir)["lineitem"]
+    f = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("is_n"),
+    )
+    g = f.groupBy("val").agg(
+        F.sum("is_r").alias("c1"), F.sum("is_n").alias("c2")
+    )
+    g = g.localCheckpoint(eager=True)  # cdf scan + totals share it
+    c = running_sums(g, [F.asc("val")], [("c1", "cum1"), ("c2", "cum2")])
+    t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d_scaled = F.abs(
+        F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("n1").alias("n_r"),
+            F.col("n2").alias("n_n"),
+            d_scaled.alias("ks_scaled"),
+            F.col("val").cast("double").alias("at_value"),
+            F.round(
+                d_scaled.cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.desc("ks_scaled"), F.asc("at_value"))
+        .limit(1)
+    )

@@ -348,3 +348,41 @@ def test_cusum_matches_reference(spark):
         for r in q.events_cusum_changepoint(spark, SF).collect()
     }
     assert got == expected, (got, expected)
+
+
+def test_ks_two_sample_matches_reference(spark):
+    """stats_ks_two_sample == a pure-Python scaled-integer KS fold
+    (guards the n2·F1 − n1·F2 identity, the distinct-value grouping,
+    and the sup argmax tiebreak)."""
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pydict()
+    cells: dict[Decimal, list] = {}
+    for fl, pr in zip(t["l_returnflag"], t["l_extendedprice"]):
+        if fl not in ("R", "N"):
+            continue
+        cell = cells.setdefault(_dec2(pr), [0, 0])
+        cell[0 if fl == "R" else 1] += 1
+    n1 = sum(c[0] for c in cells.values())
+    n2 = sum(c[1] for c in cells.values())
+    cum1 = cum2 = 0
+    best = None
+    for val in sorted(cells):
+        cum1 += cells[val][0]
+        cum2 += cells[val][1]
+        s = abs(n2 * cum1 - n1 * cum2)
+        key = (-s, val)
+        if best is None or key < best[0]:
+            best = (key, s, val)
+    expected = (
+        n1,
+        n2,
+        best[1],
+        float(best[2]),
+        float(_dec6(float(best[1]) / (float(n1) * float(n2)))),
+    )
+    [r] = q.stats_ks_two_sample(spark, SF).collect()
+    got = (r["n_r"], r["n_n"], r["ks_scaled"], r["at_value"], r["ks_stat"])
+    assert got == expected, (got, expected)

@@ -64,6 +64,8 @@ REPRESENTATIVE = [
     # positional medians via the grouped prefix scan
     "text_source_kl_divergence",
     "stats_group_mad",
+    # two shared-scan prefix CDFs + scaled-integer sup argmax
+    "stats_ks_two_sample",
 ]
 
 

@@ -187,6 +187,7 @@ BNLJ_BY_DESIGN = {
     "survival_customer_churn",  # broadcast 1-row corpus max date
     "linkage_surprisal_pairs",  # broadcast 1-row doc total
     "text_source_kl_divergence",  # broadcast bounded source dim + 1-row scalars
+    "stats_ks_two_sample",      # broadcast 1-row sample totals
 }
 
 

@@ -130,3 +130,15 @@ def test_grouped_row_number_partition_invariant(spark, points):
             base = rows
         else:
             assert rows == base
+
+
+def test_running_sums_two_columns_match_global_window(spark, points):
+    from ingest_pipeline_spark.operators.prefix import running_sums
+
+    order = [F.asc("v"), F.asc("id")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = points.withColumn("ca", F.sum("dec").over(w)).withColumn(
+        "cb", F.sum("v").over(w)
+    )
+    got = running_sums(points, order, [("dec", "ca"), ("v", "cb")])
+    assert _rows(got, "id", "ca", "cb") == _rows(want, "id", "ca", "cb")
