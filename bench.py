@@ -178,6 +178,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "events_interarrival_stats",
     "stats_ks_two_sample",
+    "stats_mannwhitney_u",
 ]
 
 

@@ -11339,3 +11339,101 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_scaled"), F.asc("at_value"))
         .limit(1)
     )
+
+
+@register(
+    "stats_mannwhitney_u",
+    """
+    WITH f AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS is_n
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    g AS (
+      SELECT val, CAST(SUM(is_r) AS BIGINT) AS c1,
+             CAST(SUM(is_n) AS BIGINT) AS c2,
+             CAST(SUM(is_r) + SUM(is_n) AS BIGINT) AS c_all
+      FROM f GROUP BY val),
+    c AS (
+      SELECT val, c1, c2, c_all,
+             CAST(SUM(c_all) OVER (ORDER BY val
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumall
+      FROM g),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cumall - c_all + 1)) AS BIGINT) AS two_r1,
+             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS ties_t
+      FROM c)
+    SELECT n1 AS n_r, n2 AS n_n,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+           ties_t,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                    / CAST(2.0 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(2.0 AS DOUBLE))
+                 / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         / CAST(12.0 AS DOUBLE))
+                        * ((CAST(n1 + n2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                           - CAST(ties_t AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (CAST(n1 + n2 AS DOUBLE)
+                                   - CAST(1.0 AS DOUBLE))))), 6) AS z_score
+    FROM s
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (returned vs kept line-item
+    prices) — the non-parametric location-shift companion to the KS
+    sup test.  Tied values get average ranks; keeping DOUBLED rank
+    sums (2R₁ = Σ c₁·(2·cum − c + 1)) makes the whole accumulation
+    exact bigint math, as is the tie-correction Σ(t³−t) (bounded:
+    per-price tie groups must stay below ~2·10⁶ rows for the cube to
+    fit a bigint — far above any real price multiplicity).  The rank
+    CDF is the distributed prefix scan over distinct-value counts;
+    the normal z finalization is one identical IEEE expression both
+    engines.  One scan, one value-keyed agg, one cluster-sized prefix
+    — no global window, no crossJoin.
+    """
+    from .operators.prefix import running_sum
+
+    li = _t(spark, sf_dir)["lineitem"]
+    f = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("is_n"),
+    )
+    g = f.groupBy("val").agg(
+        F.sum("is_r").alias("c1"),
+        F.sum("is_n").alias("c2"),
+        (F.sum("is_r") + F.sum("is_n")).alias("c_all"),
+    )
+    c = running_sum(g, [F.asc("val")], "c_all", "cumall")
+    s = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (F.lit(2) * F.col("cumall") - F.col("c_all") + F.lit(1))
+        ).alias("two_r1"),
+        F.sum(
+            F.col("c_all") * F.col("c_all") * F.col("c_all") - F.col("c_all")
+        ).alias("ties_t"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nnd = (F.col("n1") + F.col("n2")).cast("double")
+    u_x2 = F.col("two_r1") - F.col("n1") * (F.col("n1") + F.lit(1))
+    u1d = u_x2.cast("double") / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nnd + F.lit(1.0))
+        - F.col("ties_t").cast("double") / (nnd * (nnd - F.lit(1.0)))
+    )
+    return s.select(
+        F.col("n1").alias("n_r"),
+        F.col("n2").alias("n_n"),
+        u_x2.alias("u_x2"),
+        "ties_t",
+        F.round((u1d - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

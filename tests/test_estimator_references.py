@@ -386,3 +386,41 @@ def test_ks_two_sample_matches_reference(spark):
     [r] = q.stats_ks_two_sample(spark, SF).collect()
     got = (r["n_r"], r["n_n"], r["ks_scaled"], r["at_value"], r["ks_stat"])
     assert got == expected, (got, expected)
+
+
+def test_mannwhitney_matches_reference(spark):
+    """stats_mannwhitney_u == a pure-Python average-rank fold (guards
+    the doubled rank-sum identity, the U₁ = R₁ − n₁(n₁+1)/2 algebra,
+    and the tie-corrected variance)."""
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pydict()
+    cells: dict[Decimal, list] = {}
+    for fl, pr in zip(t["l_returnflag"], t["l_extendedprice"]):
+        if fl not in ("R", "N"):
+            continue
+        cell = cells.setdefault(_dec2(pr), [0, 0])
+        cell[0 if fl == "R" else 1] += 1
+    n1 = sum(c[0] for c in cells.values())
+    n2 = sum(c[1] for c in cells.values())
+    cum = 0
+    two_r1 = 0
+    ties_t = 0
+    for val in sorted(cells):
+        c1, c2 = cells[val]
+        call = c1 + c2
+        cum += call
+        # average rank of the tie block, doubled: first+last rank
+        two_r1 += c1 * (2 * cum - call + 1)
+        ties_t += call**3 - call
+    u_x2 = two_r1 - n1 * (n1 + 1)
+    u1 = u_x2 / 2.0
+    mu = n1 * n2 / 2.0
+    nn = float(n1 + n2)
+    var = (n1 * n2 / 12.0) * ((nn + 1.0) - ties_t / (nn * (nn - 1.0)))
+    z = float(_dec6((u1 - mu) / math.sqrt(var)))
+    [r] = q.stats_mannwhitney_u(spark, SF).collect()
+    got = (r["n_r"], r["n_n"], r["u_x2"], r["ties_t"], r["z_score"])
+    assert got == (n1, n2, u_x2, ties_t, z), (got, (n1, n2, u_x2, ties_t, z))
