@@ -179,6 +179,8 @@ HEADLINE = [
     "events_interarrival_stats",
     "stats_ks_two_sample",
     "stats_mannwhitney_u",
+    "orders_cohort_ltv",
+    "quantiles_exact_global",
 ]
 
 

@@ -11437,3 +11437,151 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_t",
         F.round((u1d - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH fc AS (
+      SELECT o_custkey AS custkey,
+             MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS m0
+      FROM orders GROUP BY 1),
+    cells AS (
+      SELECT fc.m0,
+             (YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) - fc.m0
+               AS month_index,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders JOIN fc ON o_custkey = fc.custkey
+      GROUP BY 1, 2),
+    sizes AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM fc GROUP BY 1),
+    cum AS (
+      SELECT m0, month_index,
+             CAST(SUM(rev) OVER (PARTITION BY m0 ORDER BY month_index
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(28,2)) AS cum_rev
+      FROM cells)
+    SELECT CAST((m0 - 1) // 12 AS BIGINT) * 100
+             + CAST((m0 - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(month_index AS BIGINT) AS month_index,
+           n_customers,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+             AS ltv_per_customer
+    FROM cum JOIN sizes USING (m0)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: for each first-order month cohort,
+    cumulative revenue (and per-customer LTV) by months since
+    acquisition — the retention-revenue matrix behind payback
+    analysis.  Cohort and month index are pure INTEGER calendar math
+    (y·12+m differences — no interval semantics to drift between
+    engines); revenue cumsums are exact decimals over the
+    (cohort × month-index) relation, DOMAIN-bounded by the calendar,
+    so the keyed window is safe at any scale; cohort sizes join back
+    broadcast.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fc = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(mcol).alias("m0")
+    )
+    cells = (
+        o.join(fc, F.col("o_custkey") == F.col("custkey"))
+        .groupBy(
+            "m0", (mcol - F.col("m0")).alias("month_index")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    sizes = fc.groupBy("m0").agg(F.count("*").alias("n_customers"))
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn(
+        "cum_rev", F.sum("rev").over(w).cast("decimal(28,2)")
+    )
+    cohort = (
+        F.expr("(m0 - 1) div 12").cast("long") * 100
+        + ((F.col("m0") - 1) % 12 + 1).cast("long")
+    )
+    return cum.join(F.broadcast(sizes), "m0").select(
+        cohort.alias("cohort_month"),
+        F.col("month_index").cast("long").alias("month_index"),
+        "n_customers",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("ltv_per_customer"),
+    )
+
+
+@register(
+    "quantiles_exact_global",
+    """
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    r AS (
+      SELECT val,
+             CAST(ROW_NUMBER() OVER (ORDER BY val, l_orderkey, l_linenumber)
+                  AS BIGINT) AS rn
+      FROM v),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q, num, den
+           FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+                AS x(q, num, den)),
+    pos AS (SELECT q, n, CAST((n * num + den - 1) // den AS BIGINT) AS p
+            FROM qs CROSS JOIN n)
+    SELECT pos.q, pos.n, pos.p AS position,
+           CAST(r.val AS DOUBLE) AS exact_value
+    FROM pos JOIN r ON r.rn = pos.p
+    """,
+)
+def quantiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p50/p90/p99 of line-item price) at
+    integer position ⌈q·n⌉ — the companion to
+    quantiles_histogram_estimate: pay one range-partitioned sort
+    shuffle (operators/prefix.py global_row_number — never a
+    single-task window) when exactness matters, use the histogram
+    scan when it doesn't.  Positions come from RATIONAL quantiles
+    ((n·num + den − 1) div den — no float ceil boundary), and the
+    3-row position table joins the ranked relation by rank equality
+    (broadcast hash join).  Values at fixed positions are
+    multiset-deterministic regardless of tie ordering.
+    """
+    from .operators.prefix import global_row_number
+
+    li = _t(spark, sf_dir)["lineitem"]
+    v = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = global_row_number(
+        v,
+        [F.asc("val"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "rn",
+    )
+    n = v.agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [(0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)],
+        "q double, num int, den int",
+    )
+    pos = qs.crossJoin(F.broadcast(n)).select(
+        "q", "n", F.expr("(n * num + den - 1) div den").cast("bigint").alias("p")
+    )
+    return r.join(F.broadcast(pos), F.col("rn") == F.col("p")).select(
+        "q", "n", F.col("p").alias("position"),
+        F.col("val").cast("double").alias("exact_value"),
+    )

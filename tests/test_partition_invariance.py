@@ -66,6 +66,8 @@ REPRESENTATIVE = [
     "stats_group_mad",
     # two shared-scan prefix CDFs + scaled-integer sup argmax
     "stats_ks_two_sample",
+    # value-at-global-rank extraction (tie order varies, value must not)
+    "quantiles_exact_global",
 ]
 
 

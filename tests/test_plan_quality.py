@@ -188,6 +188,7 @@ BNLJ_BY_DESIGN = {
     "linkage_surprisal_pairs",  # broadcast 1-row doc total
     "text_source_kl_divergence",  # broadcast bounded source dim + 1-row scalars
     "stats_ks_two_sample",      # broadcast 1-row sample totals
+    "quantiles_exact_global",   # broadcast 3-row rational-quantile table
 }
 
 
