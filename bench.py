@@ -181,6 +181,7 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "orders_cohort_ltv",
     "quantiles_exact_global",
+    "experiment_cuped_adjustment",
 ]
 
 

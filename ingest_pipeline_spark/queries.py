@@ -11585,3 +11585,134 @@ def quantiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", "n", F.col("p").alias("position"),
         F.col("val").cast("double").alias("exact_value"),
     )
+
+
+@register(
+    "experiment_cuped_adjustment",
+    """
+    WITH pv AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    g AS (
+      SELECT x, y,
+             CASE WHEN CAST('0x' || SUBSTR(MD5('exp:' || user_id), 1, 8)
+                            AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM pv),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM g),
+    ga AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS DOUBLE) AS gx, CAST(SUM(y) AS DOUBLE) AS gy
+      FROM g GROUP BY 1),
+    p AS (
+      SELECT MAX(CASE WHEN grp = 'A' THEN ng END) AS n_a,
+             MAX(CASE WHEN grp = 'A' THEN gx END) AS gx_a,
+             MAX(CASE WHEN grp = 'A' THEN gy END) AS gy_a,
+             MAX(CASE WHEN grp = 'B' THEN ng END) AS n_b,
+             MAX(CASE WHEN grp = 'B' THEN gx END) AS gx_b,
+             MAX(CASE WHEN grp = 'B' THEN gy END) AS gy_b
+      FROM ga)
+    SELECT n_a, n_b,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS theta,
+           ROUND(gy_a / CAST(n_a AS DOUBLE)
+                 - gy_b / CAST(n_b AS DOUBLE), 6) AS diff_raw,
+           ROUND((gy_a / CAST(n_a AS DOUBLE) - gy_b / CAST(n_b AS DOUBLE))
+                 - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                   * (gx_a / CAST(n_a AS DOUBLE)
+                      - gx_b / CAST(n_b AS DOUBLE)), 6) AS diff_cuped
+    FROM p CROSS JOIN s
+    """,
+)
+def experiment_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B comparison of per-user purchase
+    value — the experimentation-platform workhorse.  Users are
+    assigned deterministically by md5 (growth-stable, engine-portable,
+    like corpus_train_val_test_split); the pre-period covariate
+    coefficient θ = cov(x,y)/var(x) comes from exact decimal
+    co-moments; and the adjusted lift is computed at GROUP level
+    (diff_cuped = (ȳ_A−ȳ_B) − θ·(x̄_A−x̄_B), algebraically identical to
+    adjusting each user then averaging) so no per-row double products
+    ever accumulate.  One user-keyed agg + two broadcast-sized
+    summary rows; scales as a single shuffle.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dval = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    pv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, dval).otherwise(zero))
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, dval).otherwise(zero))
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = pv.select(
+        "x", "y", F.when(bucket % 2 == 0, "A").otherwise("B").alias("grp")
+    )
+    g = g.localCheckpoint(eager=True)  # pooled + per-group aggs share it
+    s = g.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    ga = g.groupBy("grp").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").cast("double").alias("gx"),
+        F.sum("y").cast("double").alias("gy"),
+    )
+    p = ga.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("ng"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "A", F.col("gx"))).alias("gx_a"),
+        F.max(F.when(F.col("grp") == "A", F.col("gy"))).alias("gy_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("ng"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "B", F.col("gx"))).alias("gx_b"),
+        F.max(F.when(F.col("grp") == "B", F.col("gy"))).alias("gy_b"),
+    )
+    n_d = F.col("n").cast("double")
+    theta = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_diff_y = F.col("gy_a") / F.col("n_a").cast("double") - F.col(
+        "gy_b"
+    ) / F.col("n_b").cast("double")
+    mean_diff_x = F.col("gx_a") / F.col("n_a").cast("double") - F.col(
+        "gx_b"
+    ) / F.col("n_b").cast("double")
+    return p.crossJoin(F.broadcast(s)).select(
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_diff_y, 6).alias("diff_raw"),
+        F.round(mean_diff_y - theta * mean_diff_x, 6).alias("diff_cuped"),
+    )

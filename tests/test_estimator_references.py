@@ -424,3 +424,63 @@ def test_mannwhitney_matches_reference(spark):
     [r] = q.stats_mannwhitney_u(spark, SF).collect()
     got = (r["n_r"], r["n_n"], r["u_x2"], r["ties_t"], r["z_score"])
     assert got == (n1, n2, u_x2, ties_t, z), (got, (n1, n2, u_x2, ties_t, z))
+
+
+def test_cuped_matches_reference(spark):
+    """experiment_cuped_adjustment == a pure-Python per-user CUPED
+    fold (guards the md5 assignment, the θ co-moment algebra, and the
+    group-level rearrangement of the per-user adjustment)."""
+    import hashlib
+
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    ).to_pydict()
+    from datetime import datetime
+
+    cut = datetime(2024, 1, 16)
+    users: dict[int, list] = {}
+    for uid, ts, et, val in zip(
+        t["user_id"], t["ts"], t["event_type"], t["value"]
+    ):
+        if et != "purchase":
+            continue
+        cell = users.setdefault(uid, [Decimal(0), Decimal(0)])
+        v = Decimal(repr(float(val))).quantize(
+            Decimal("1e-6"), ROUND_HALF_UP
+        )
+        cell[0 if ts < cut else 1] += v
+    groups: dict[str, list] = {"A": [0, Decimal(0), Decimal(0)],
+                               "B": [0, Decimal(0), Decimal(0)]}
+    n = 0
+    sx = sy = sxx = sxy = Decimal(0)
+    for uid, (x, y) in users.items():
+        h = hashlib.md5(f"exp:{uid}".encode()).hexdigest()[:8]
+        grp = "A" if int(h, 16) % 2 == 0 else "B"
+        cell = groups[grp]
+        cell[0] += 1
+        cell[1] += x
+        cell[2] += y
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    theta = (n * float(sxy) - float(sx) * float(sy)) / (
+        n * float(sxx) - float(sx) * float(sx)
+    )
+    na, gxa, gya = groups["A"]
+    nb, gxb, gyb = groups["B"]
+    dy = float(gya) / na - float(gyb) / nb
+    dx = float(gxa) / na - float(gxb) / nb
+    expected = (
+        na,
+        nb,
+        float(_dec6(theta)),
+        float(_dec6(dy)),
+        float(_dec6(dy - theta * dx)),
+    )
+    [r] = q.experiment_cuped_adjustment(spark, SF).collect()
+    got = (r["n_a"], r["n_b"], r["theta"], r["diff_raw"], r["diff_cuped"])
+    assert got == expected, (got, expected)

@@ -189,6 +189,7 @@ BNLJ_BY_DESIGN = {
     "text_source_kl_divergence",  # broadcast bounded source dim + 1-row scalars
     "stats_ks_two_sample",      # broadcast 1-row sample totals
     "quantiles_exact_global",   # broadcast 3-row rational-quantile table
+    "experiment_cuped_adjustment",  # broadcast 1-row pooled co-moments
 }
 
 
