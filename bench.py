@@ -182,6 +182,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "quantiles_exact_global",
     "experiment_cuped_adjustment",
+    "customer_theil_by_nation",
 ]
 
 

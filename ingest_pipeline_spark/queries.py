@@ -11716,3 +11716,77 @@ def experiment_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff_y, 6).alias("diff_raw"),
         F.round(mean_diff_y - theta * mean_diff_x, 6).alias("diff_cuped"),
     )
+
+
+@register(
+    "customer_theil_by_nation",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey, c_nationkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(spend AS DECIMAL(28,2))) AS DOUBLE) AS sx
+      FROM spend GROUP BY 1),
+    terms AS (
+      SELECT spend.c_nationkey, g.n,
+             ROUND((CAST(spend AS DOUBLE) / (sx / CAST(n AS DOUBLE)))
+                   * LN(CAST(spend AS DOUBLE)
+                        / (sx / CAST(n AS DOUBLE))), 12) AS term
+      FROM spend JOIN g ON spend.c_nationkey = g.c_nationkey)
+    SELECT n_name AS nation, n AS n_customers,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS theil
+    FROM terms JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_theil_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend per nation —
+    the entropy-based companion to the rank-based Gini
+    (customer_gini_by_nation): T = (1/n)·Σ (x/μ)·ln(x/μ), decomposable
+    across subgroups where Gini is not.  The nation-level mean joins
+    back broadcast (bounded dim); every (x/μ)·ln(x/μ) term is the
+    identical IEEE expression both engines, rounded 12 dp and
+    decimal-summed (the tfidf discipline) so partitioning cannot
+    perturb the accumulation.  One custkey agg + one bounded-dim
+    join — no windows at all.
+    """
+    t = _t(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"), "c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend")
+        )
+    )
+    g = spend.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("spend").cast("decimal(28,2)")).cast("double").alias("sx"),
+    )
+    mu = F.col("sx") / F.col("n").cast("double")
+    r = F.col("spend").cast("double") / mu
+    term = F.round(r * F.log(r), 12).cast("decimal(28,12)")
+    return (
+        spend.join(F.broadcast(g), "c_nationkey")
+        .select("c_nationkey", "n", term.alias("term"))
+        .groupBy("c_nationkey", "n")
+        .agg(F.sum("term").cast("double").alias("tsum"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            F.round(F.col("tsum") / F.col("n").cast("double"), 6).alias(
+                "theil"
+            ),
+        )
+    )

@@ -484,3 +484,47 @@ def test_cuped_matches_reference(spark):
     [r] = q.experiment_cuped_adjustment(spark, SF).collect()
     got = (r["n_a"], r["n_b"], r["theta"], r["diff_raw"], r["diff_cuped"])
     assert got == expected, (got, expected)
+
+
+def test_theil_matches_reference(spark):
+    """customer_theil_by_nation == a pure-Python (x/μ)·ln(x/μ) fold
+    (guards the 1/n normalization and the mean-ratio algebra)."""
+    from ingest_pipeline_spark import queries as q
+
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pydict()
+    c = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pydict()
+    n = pq.read_table(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nat_of = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    name_of = dict(zip(n["n_nationkey"], n["n_name"]))
+    spend: dict[int, Decimal] = {}
+    for ck, tp in zip(o["o_custkey"], o["o_totalprice"]):
+        if ck in nat_of:
+            spend[ck] = spend.get(ck, Decimal(0)) + _dec2(tp)
+    by_nation: dict[int, list] = {}
+    for ck, sp in spend.items():
+        by_nation.setdefault(nat_of[ck], []).append(sp)
+    expected = {}
+    for nk, xs in by_nation.items():
+        cnt = len(xs)
+        sx = float(sum(Decimal(x) for x in xs))
+        tsum = Decimal(0)
+        for x in xs:
+            r = float(x) / (sx / float(cnt))
+            tsum += Decimal(repr(r * math.log(r))).quantize(
+                Decimal("1e-12"), ROUND_HALF_UP
+            )
+        expected[name_of[nk]] = (
+            cnt,
+            float(_dec6(float(tsum) / float(cnt))),
+        )
+    got = {
+        r["nation"]: (r["n_customers"], r["theil"])
+        for r in q.customer_theil_by_nation(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)
