@@ -183,6 +183,8 @@ HEADLINE = [
     "quantiles_exact_global",
     "experiment_cuped_adjustment",
     "customer_theil_by_nation",
+    "forecast_seasonal_naive_backtest",
+    "text_zipf_slope",
 ]
 
 

@@ -11790,3 +11790,175 @@ def customer_theil_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "forecast_seasonal_naive_backtest",
+    """
+    WITH m AS (
+      SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT cur.yr, cur.mo, cur.rev, prev.rev AS forecast,
+             ABS(cur.rev - prev.rev) AS abs_err,
+             ROUND(CAST(ABS(cur.rev - prev.rev) AS DOUBLE)
+                   / CAST(cur.rev AS DOUBLE), 12) AS ape
+      FROM m cur JOIN m prev
+        ON cur.yr = prev.yr + 1 AND cur.mo = prev.mo)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(CAST(SUM(CAST(abs_err AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+           ROUND(CAST(SUM(CAST(ape AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mape,
+           ROUND(CAST(SUM(CAST(rev - forecast AS DECIMAL(28,2)))
+                      AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_bias
+    FROM j
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict month m with
+    month m−12's revenue) — the standard forecasting BASELINE whose
+    MAE/MAPE any fancier model must beat, evaluated over every month
+    with a year-ago counterpart.  The lag-12 match is an equi-join on
+    (yr−1, mo) over the calendar-bounded month relation (no window at
+    all); absolute errors and bias stay exact DECIMAL, percentage
+    errors are rounded 12 dp then decimal-summed.  One month agg
+    + one calendar-sized self-join.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    m = m.localCheckpoint(eager=True)  # both join sides share it
+    cur, prev = m.alias("cur"), m.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.yr") == F.col("prev.yr") + 1)
+        & (F.col("cur.mo") == F.col("prev.mo")),
+    ).select(
+        F.col("cur.rev").alias("rev"),
+        F.col("prev.rev").alias("forecast"),
+        F.abs(F.col("cur.rev") - F.col("prev.rev")).alias("abs_err"),
+        F.round(
+            F.abs(F.col("cur.rev") - F.col("prev.rev")).cast("double")
+            / F.col("cur.rev").cast("double"),
+            12,
+        ).alias("ape"),
+    )
+    cnt_d = F.count("*").cast("double")
+    return j.agg(
+        F.count("*").alias("n_months"),
+        F.round(
+            F.sum(F.col("abs_err").cast("decimal(28,2)")).cast("double")
+            / cnt_d,
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(28,12)")).cast("double") / cnt_d,
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(
+                (F.col("rev") - F.col("forecast")).cast("decimal(28,2)")
+            ).cast("double")
+            / cnt_d,
+            6,
+        ).alias("mean_bias"),
+    )
+
+
+@register(
+    "text_zipf_slope",
+    """
+    WITH tk AS (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+    r AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS rn
+      FROM v),
+    t AS (
+      SELECT ROUND(LN(CAST(rn AS DOUBLE)), 12) AS x,
+             ROUND(LN(CAST(cnt AS DOUBLE)), 12) AS y
+      FROM r),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sxy
+      FROM t)
+    SELECT n AS n_types,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus: OLS fit of ln(frequency) on
+    ln(rank) over the whole vocabulary (natural text ≈ −1; corpus
+    contamination / boilerplate shifts it) — a one-number corpus
+    health probe.  Ranks come from the distributed global row number
+    over token-type counts (operators/prefix.py — the vocabulary is
+    sublinear but still data-proportional, never a single-task
+    window); every log term and product is rounded 12 dp and
+    decimal-summed so the regression inputs are accumulation-order
+    proof; the slope/intercept finalization is one identical IEEE
+    expression both engines.
+    """
+    from .operators.prefix import global_row_number
+
+    docs = _t(spark, sf_dir)["documents"]
+    v = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    r = global_row_number(v, [F.desc("cnt"), F.asc("tok")], "rn")
+    x = F.round(F.log(F.col("rn").cast("double")), 12)
+    y = F.round(F.log(F.col("cnt").cast("double")), 12)
+    t = r.select(x.alias("x"), y.alias("y"))
+    s = t.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n_d, 6).alias(
+            "intercept"
+        ),
+    )
