@@ -185,6 +185,7 @@ HEADLINE = [
     "customer_theil_by_nation",
     "forecast_seasonal_naive_backtest",
     "text_zipf_slope",
+    "events_anomaly_mad_days",
 ]
 
 

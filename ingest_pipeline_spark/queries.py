@@ -11962,3 +11962,90 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "events_anomaly_mad_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    r1 AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    med AS (SELECT event_type, c AS med FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT daily.event_type, day, c, med, ABS(c - med) AS d
+      FROM daily JOIN med ON daily.event_type = med.event_type),
+    r2 AS (
+      SELECT event_type, day, c, med, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, day) AS rn2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n2
+      FROM dev),
+    mad AS (SELECT event_type, d AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+    SELECT dev.event_type, day, c AS day_count, med AS median_count,
+           mad.mad AS mad_count,
+           ROUND(CAST(c - med AS DOUBLE) / CAST(mad.mad AS DOUBLE), 6)
+             AS robust_score
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE mad.mad > 0
+      AND ABS(CAST(c - med AS DOUBLE) / CAST(mad.mad AS DOUBLE))
+          >= CAST(3.0 AS DOUBLE)
+    """,
+)
+def events_anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly days per event type: median/MAD
+    replace mean/stddev (anomaly_zscore_events), so a single spike
+    cannot inflate its own threshold — the outlier-resistant control
+    chart.  Day counts, both positional medians, and all deviations
+    are EXACT integers (lower median at (n+1)÷2); the only double is
+    the final (c−med)/MAD score (unnormalized — no 0.6745 consistency
+    constant to mirror wrongly).  The windowed relation is the
+    (type × day) census — DOMAIN-bounded by the calendar, so the
+    keyed windows are safe at any event volume (contrast
+    stats_group_mad, where the heavy data-proportional groups go
+    through the grouped prefix scan instead).
+    """
+    ev = _t(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    daily = daily.localCheckpoint(eager=True)  # med + dev passes share it
+    w1 = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r1 = daily.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    med = r1.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("c").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("c") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "day")
+    r2 = dev.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "n2", F.count("*").over(wn)
+    )
+    mad = r2.where(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
+        "event_type", F.col("d").alias("mad")
+    )
+    score = (F.col("c") - F.col("med")).cast("double") / F.col("mad").cast(
+        "double"
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(score) >= F.lit(3.0)))
+        .select(
+            "event_type",
+            "day",
+            F.col("c").alias("day_count"),
+            F.col("med").alias("median_count"),
+            F.col("mad").alias("mad_count"),
+            F.round(score, 6).alias("robust_score"),
+        )
+    )
