@@ -186,6 +186,7 @@ HEADLINE = [
     "forecast_seasonal_naive_backtest",
     "text_zipf_slope",
     "events_anomaly_mad_days",
+    "dedup_lsh_quality_audit",
 ]
 
 

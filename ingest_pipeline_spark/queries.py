@@ -12049,3 +12049,98 @@ def events_anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("robust_score"),
         )
     )
+
+
+@register(
+    "dedup_lsh_quality_audit",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.35),
+    hashes AS (
+      SELECT doc_id, seed,
+             MIN((CAST('0x' || SUBSTR(MD5(shingle), 1, 8) AS BIGINT)
+                  + seed * CAST('0x' || SUBSTR(MD5(shingle), 9, 8) AS BIGINT))
+                 % 4294967296) AS h
+      FROM sh, UNNEST(GENERATE_SERIES(0, 15)) s(seed)
+      GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, LIST(h ORDER BY seed) AS sig
+             FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, ARRAY_TO_STRING(sig[b*4+1:b*4+4], '_') AS band_key
+      FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) bb(b)),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM exact JOIN lsh USING (id_a, id_b)) AS n_hits)
+    SELECT n_exact, n_lsh, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6)
+             AS precision_lsh,
+           ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+             AS recall_lsh
+    FROM m
+    """,
+)
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall gauge of the MinHash-LSH candidate path
+    (16 hashes × 4 bands) against ground-truth 3-gram Jaccard ≥ 0.35
+    pairs — the dedup counterpart of similarity_ann_recall: run it
+    whenever bands/hashes are retuned to SEE the candidate-quality
+    tradeoff instead of guessing.  Both pair sets come from bounded
+    bucketed joins (shared-shingle inverted index; band buckets — the
+    same signature-exact md5 arithmetic as dedup_minhash_lsh); the
+    intersection is one more equi-join, and the three 1-row counts
+    broadcast into a single summary row.
+    """
+    base = _aug_docs(spark, sf_dir)
+    base = base.localCheckpoint(eager=True)  # both pair ops share it
+    exact = ngram_jaccard_pairs(
+        base, "text", "doc_id", shingle_k=3, threshold=0.35
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        base, "text", "doc_id", num_hashes=16, bands=4
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    exact = exact.localCheckpoint(eager=True)  # count + intersection
+    lsh = lsh.localCheckpoint(eager=True)
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nl = lsh.agg(F.count("*").alias("n_lsh"))
+    nh = exact.join(lsh, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_lsh").cast("double"),
+                6,
+            ).alias("precision_lsh"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall_lsh"),
+        )
+    )

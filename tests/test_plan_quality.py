@@ -190,6 +190,7 @@ BNLJ_BY_DESIGN = {
     "stats_ks_two_sample",      # broadcast 1-row sample totals
     "quantiles_exact_global",   # broadcast 3-row rational-quantile table
     "experiment_cuped_adjustment",  # broadcast 1-row pooled co-moments
+    "dedup_lsh_quality_audit",  # broadcast three 1-row pair counts
 }
 
 
