@@ -187,6 +187,7 @@ HEADLINE = [
     "text_zipf_slope",
     "events_anomaly_mad_days",
     "dedup_lsh_quality_audit",
+    "events_debounce_dedup",
 ]
 
 

@@ -12144,3 +12144,57 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_lsh"),
         )
     )
+
+
+@register(
+    "events_debounce_dedup",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts)))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s >= 300
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_s IS NOT NULL AND gap_s < 300
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           ROUND(CAST(SUM(CASE WHEN gap_s IS NOT NULL AND gap_s < 300
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS debounce_rate
+    FROM seq GROUP BY event_type
+    """,
+)
+def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup census: telemetry streams repeat events on
+    retries/double-clicks; the standard cleanup drops an event when
+    the SAME user emitted the same type within the last 5 minutes.
+    One (user_id, event_type)-keyed lag window (high-cardinality
+    partitions — cluster-sharded), integer epoch gaps
+    (FLOOR(EPOCH) ↔ unix_timestamp parity), and a census of
+    kept-vs-debounced per type so the retention rate is verifiable.
+    Note this is the LAG formulation (drop if ANY same-key event ≤5 min
+    before, dropped or not); session-style cooldowns that anchor on
+    the last KEPT event are stateful — that variant belongs to
+    applyInPandasWithState (streaming/anomaly.py pattern).
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    seq = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    )
+    dropped = F.col("gap_s").isNotNull() & (F.col("gap_s") < 300)
+    kept = F.col("gap_s").isNull() | (F.col("gap_s") >= 300)
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("n_debounced"),
+        F.round(
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("debounce_rate"),
+    )
