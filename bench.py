@@ -188,6 +188,7 @@ HEADLINE = [
     "events_anomaly_mad_days",
     "dedup_lsh_quality_audit",
     "events_debounce_dedup",
+    "docs_quantile_normalize",
 ]
 
 

@@ -12198,3 +12198,73 @@ def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("debounce_rate"),
     )
+
+
+@register(
+    "docs_quantile_normalize",
+    """
+    WITH v AS (SELECT doc_id, source, n_chars FROM documents),
+    rs AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS r,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM v),
+    rg AS (
+      SELECT n_chars AS pooled_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS g
+      FROM v),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM v)
+    SELECT doc_id, source, n_chars AS raw_value,
+           CAST((r * n_total + n_s - 1) // n_s AS BIGINT) AS pooled_pos,
+           pooled_value AS normalized_value
+    FROM rs CROSS JOIN n
+    JOIN rg ON rg.g = (r * n_total + n_s - 1) // n_s
+    """,
+)
+def docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources — the
+    ML-preprocessing step that maps each source's distribution onto
+    the pooled one (rank within source → value at the same quantile of
+    the pooled sort), removing per-source scale quirks before
+    training-mix decisions.  Within-source ranks come from
+    grouped_row_number (sources are the low-cardinality heavy groups);
+    the pooled sort is the distributed global row number; the quantile
+    match is pure RATIONAL position arithmetic
+    (⌈r·N/n_s⌉ = (r·N + n_s − 1) div n_s) joined by rank equality —
+    values at fixed positions are multiset-deterministic, no floats
+    anywhere.
+    """
+    from .operators.prefix import global_row_number, grouped_row_number
+
+    docs = _t(spark, sf_dir)["documents"]
+    v = docs.select("doc_id", "source", "n_chars")
+    v = v.localCheckpoint(eager=True)  # three rank consumers share it
+    rs = grouped_row_number(
+        v,
+        ["source"],
+        [F.asc("n_chars"), F.asc("doc_id")],
+        "r",
+        count_col="n_s",
+    )
+    rg = global_row_number(
+        v.select(F.col("n_chars").alias("pooled_value"), "doc_id"),
+        [F.asc("pooled_value"), F.asc("doc_id")],
+        "g",
+    ).select("pooled_value", "g")
+    n = v.agg(F.count("*").alias("n_total"))
+    pos = F.expr("(r * n_total + n_s - 1) div n_s").cast("bigint")
+    return (
+        rs.crossJoin(F.broadcast(n))
+        .withColumn("pooled_pos", pos)
+        .join(rg, F.col("g") == F.col("pooled_pos"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("raw_value"),
+            "pooled_pos",
+            F.col("pooled_value").alias("normalized_value"),
+        )
+    )

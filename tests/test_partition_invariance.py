@@ -68,6 +68,8 @@ REPRESENTATIVE = [
     "stats_ks_two_sample",
     # value-at-global-rank extraction (tie order varies, value must not)
     "quantiles_exact_global",
+    # grouped + global rank matched by rational positions
+    "docs_quantile_normalize",
 ]
 
 

@@ -191,6 +191,7 @@ BNLJ_BY_DESIGN = {
     "quantiles_exact_global",   # broadcast 3-row rational-quantile table
     "experiment_cuped_adjustment",  # broadcast 1-row pooled co-moments
     "dedup_lsh_quality_audit",  # broadcast three 1-row pair counts
+    "docs_quantile_normalize",  # broadcast 1-row pooled count
 }
 
 
