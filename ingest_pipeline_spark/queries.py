@@ -12268,3 +12268,206 @@ def docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pooled_value").alias("normalized_value"),
         )
     )
+
+
+@register(
+    "stats_anova_oneway",
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS sdec,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS ssdec
+      FROM orders GROUP BY 1),
+    grand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(sdec) AS DECIMAL(32,2)) AS s
+      FROM g),
+    terms AS (
+      SELECT k, n,
+             ROUND(CAST(n_g AS DOUBLE)
+                   * (CAST(sdec AS DOUBLE) / CAST(n_g AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sdec AS DOUBLE) / CAST(n_g AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+               AS ssb_term,
+             ROUND(CAST(ssdec AS DOUBLE)
+                   - CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE)
+                     / CAST(n_g AS DOUBLE), 9) AS ssw_term
+      FROM g CROSS JOIN grand),
+    agg AS (
+      SELECT k, n,
+             CAST(SUM(CAST(ssb_term AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+             CAST(SUM(CAST(ssw_term AS DECIMAL(38,12))) AS DOUBLE) AS ssw
+      FROM terms GROUP BY k, n)
+    SELECT k AS k_groups, n AS n_rows,
+           k - 1 AS dof_between, n - k AS dof_within,
+           ROUND(ssb, 2) AS ss_between,
+           ROUND(ssw, 2) AS ss_within,
+           ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM agg
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order value across the five order
+    priorities — does priority class explain revenue variance?
+    Completes the hypothesis-testing family (chi2 = categorical
+    independence, KS/Mann-Whitney = two-sample, CUPED = adjusted
+    lift): ANOVA is the k-sample mean comparison.  One scan builds
+    per-group (n, Σx, Σx²) with every sum decimal-EXACT (x has 2 dp so
+    x² has exactly 4); the grand totals fold from the 5-row group
+    relation (mergeable co-moment state — the incremental_rollup
+    discipline).  SS terms are finalized with identically-structured
+    IEEE ops, rounded 9 dp and decimal-summed so the 5-term
+    accumulation is order-free; F and eta² are single double divisions
+    at the end.  No window, no second scan — partial aggregation does
+    all the heavy lifting map-side at any scale.
+    """
+    o = _t(spark, sf_dir)["orders"]
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"),
+        F.sum(x).cast("decimal(28,2)").alias("sdec"),
+        F.sum(x * x).cast("decimal(38,4)").alias("ssdec"),
+    )
+    g = g.localCheckpoint(eager=True)  # grand + term stage share the 5 rows
+    grand = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("sdec").cast("decimal(32,2)").alias("s"),
+    )
+    n_g_d = F.col("n_g").cast("double")
+    mean_g = F.col("sdec").cast("double") / n_g_d
+    grand_mean = F.col("s").cast("double") / F.col("n").cast("double")
+    ssb_term = F.round(n_g_d * (mean_g - grand_mean) * (mean_g - grand_mean), 9)
+    ssw_term = F.round(
+        F.col("ssdec").cast("double")
+        - F.col("sdec").cast("double") * F.col("sdec").cast("double") / n_g_d,
+        9,
+    )
+    agg = (
+        g.crossJoin(F.broadcast(grand))
+        .select(
+            "k",
+            "n",
+            ssb_term.cast("decimal(38,12)").alias("ssb_term"),
+            ssw_term.cast("decimal(38,12)").alias("ssw_term"),
+        )
+        .groupBy("k", "n")
+        .agg(
+            F.sum("ssb_term").cast("double").alias("ssb"),
+            F.sum("ssw_term").cast("double").alias("ssw"),
+        )
+    )
+    k_d = (F.col("k") - F.lit(1)).cast("double")
+    n_k_d = (F.col("n") - F.col("k")).cast("double")
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("k") - F.lit(1)).alias("dof_between"),
+        (F.col("n") - F.col("k")).alias("dof_within"),
+        F.round(F.col("ssb"), 2).alias("ss_between"),
+        F.round(F.col("ssw"), 2).alias("ss_within"),
+        F.round((F.col("ssb") / k_d) / (F.col("ssw") / n_k_d), 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pairs WHERE support >= 3),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node),
+    mom AS (
+      SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(da.d + db.d) AS BIGINT) AS sx,
+             CAST(SUM(2 * da.d * db.d) AS BIGINT) AS sxy,
+             CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS sxx
+      FROM edges e
+        JOIN deg da ON da.node = e.u
+        JOIN deg db ON db.node = e.v),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes, n // 2 AS n_edges,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS assortativity
+    FROM mom CROSS JOIN nn
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over symmetrized edges —
+    do popular parts co-sell with other popular parts (r > 0, hub
+    clustering) or with niche ones (r < 0, hub-and-spoke)?  The
+    symmetrized formulation keeps EVERY co-moment an exact BIGINT
+    (n = 2E, Σ(dᵤ+dᵥ), Σ2dᵤdᵥ, Σ(dᵤ²+dᵥ²) — degrees are ints, no
+    doubles until the single final division), so any partitioning
+    bit-matches and the map-side partial agg carries four longs.
+    Edges reuse the apriori-pruned basket pair join
+    (operators/baskets.py); the two degree lookups are keyed joins on
+    the node id.  Regular graphs (zero variance) return NULL.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    edges = edges.localCheckpoint(eager=True)  # deg + moment stage share it
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    mom = (
+        edges.join(da, "u")
+        .join(db, "v")
+        .agg(
+            (F.lit(2) * F.count("*")).cast("bigint").alias("n"),
+            F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("sx"),
+            F.sum(F.lit(2) * F.col("du") * F.col("dv"))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+            .cast("bigint")
+            .alias("sxx"),
+        )
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    denom = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    r = (n_d * F.col("sxy").cast("double") - sx_d * sx_d) / denom
+    return mom.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("n") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when(denom > 0, F.round(r, 6)).alias("assortativity"),
+    )

@@ -528,3 +528,93 @@ def test_theil_matches_reference(spark):
         for r in q.customer_theil_by_nation(spark, SF).collect()
     }
     assert got == expected, (got, expected)
+
+
+def test_anova_matches_reference(spark):
+    """stats_anova_oneway == a pure-Python decimal co-moment ANOVA
+    (guards the SSB/SSW algebra, the 9-dp term rounding, and the
+    F / eta² finalization)."""
+    from ingest_pipeline_spark import queries as q
+
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pydict()
+    g: dict[str, list] = {}
+    for pr, tp in zip(o["o_orderpriority"], o["o_totalprice"]):
+        x = _dec2(tp)
+        cell = g.setdefault(pr, [0, Decimal(0), Decimal(0)])
+        cell[0] += 1
+        cell[1] += x
+        cell[2] += x * x
+    k = len(g)
+    n = sum(c[0] for c in g.values())
+    s = sum((c[1] for c in g.values()), Decimal(0))
+    ssb = ssw = Decimal(0)
+    for n_g, sdec, ssdec in g.values():
+        n_g_d = float(n_g)
+        diff = float(sdec) / n_g_d - float(s) / float(n)
+        ssb += Decimal(repr(n_g_d * diff * diff)).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP
+        )
+        ssw += Decimal(
+            repr(float(ssdec) - float(sdec) * float(sdec) / n_g_d)
+        ).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+    ssb_f, ssw_f = float(ssb), float(ssw)
+    f_stat = (ssb_f / float(k - 1)) / (ssw_f / float(n - k))
+    expected = (
+        k,
+        n,
+        k - 1,
+        n - k,
+        float(Decimal(repr(ssb_f)).quantize(Decimal("1e-2"), ROUND_HALF_UP)),
+        float(Decimal(repr(ssw_f)).quantize(Decimal("1e-2"), ROUND_HALF_UP)),
+        float(_dec6(f_stat)),
+        float(_dec6(ssb_f / (ssb_f + ssw_f))),
+    )
+    [r] = q.stats_anova_oneway(spark, SF).collect()
+    got = (
+        r["k_groups"],
+        r["n_rows"],
+        r["dof_between"],
+        r["dof_within"],
+        r["ss_between"],
+        r["ss_within"],
+        r["f_stat"],
+        r["eta_squared"],
+    )
+    assert got == expected, (got, expected)
+
+
+def test_assortativity_matches_reference(spark):
+    """graph_degree_assortativity == a pure-Python Newman r over the
+    same support≥3 co-purchase edges (guards the symmetrized integer
+    co-moments and the single final division)."""
+    from itertools import combinations
+
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    baskets: dict[int, set] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(ok, set()).add(pk)
+    support: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = [e for e, c in support.items() if c >= 3]
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    n = 2 * len(edges)
+    sx = sum(deg[u] + deg[v] for u, v in edges)
+    sxy = sum(2 * deg[u] * deg[v] for u, v in edges)
+    sxx = sum(deg[u] * deg[u] + deg[v] * deg[v] for u, v in edges)
+    denom = float(n) * float(sxx) - float(sx) * float(sx)
+    r_val = (float(n) * float(sxy) - float(sx) * float(sx)) / denom
+    expected = (len(deg), len(edges), float(_dec6(r_val)))
+    [r] = q.graph_degree_assortativity(spark, SF).collect()
+    got = (r["n_nodes"], r["n_edges"], r["assortativity"])
+    assert got == expected, (got, expected)

@@ -192,6 +192,8 @@ BNLJ_BY_DESIGN = {
     "experiment_cuped_adjustment",  # broadcast 1-row pooled co-moments
     "dedup_lsh_quality_audit",  # broadcast three 1-row pair counts
     "docs_quantile_normalize",  # broadcast 1-row pooled count
+    "stats_anova_oneway",       # broadcast 1-row grand co-moments
+    "graph_degree_assortativity",  # broadcast 1-row node count
 }
 
 
