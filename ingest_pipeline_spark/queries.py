@@ -12471,3 +12471,193 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / F.lit(2)).cast("bigint").alias("n_edges"),
         F.when(denom > 0, F.round(r, 6)).alias("assortativity"),
     )
+
+
+@register(
+    "stats_spearman_rank",
+    """
+    WITH v AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    r AS (
+      SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+             CAST(2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM v),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(rx2 AS DECIMAL(19,0))
+                      * CAST(rx2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(19,0))
+                      * CAST(ry2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(rx2 AS DECIMAL(19,0))
+                      * CAST(ry2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+      FROM r)
+    SELECT n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — the
+    robust, monotone-invariant companion to the Pearson co-moment
+    query (stats_correlation_lineitem).  Tie handling uses AVERAGE
+    ranks kept exact by DOUBLING them (2·avgrank = 2·cnt_less + cnt
+    + 1, an integer; Pearson is scale-invariant so ρ is unchanged):
+    per-distinct-value counts fold in one keyed agg, cnt_less comes
+    from the distributed prefix scan over the distinct-value relation
+    (operators/prefix.py — the price side is data-proportional, never
+    a single-task global window), and rows get their ranks back via
+    two equi-joins on the value.  All co-moments are exact
+    DECIMAL(38,0) integer sums — any partitioning bit-matches — and
+    the only floating-point is the final ρ expression, structured
+    identically in both engines.
+    """
+    from .operators.prefix import running_sum
+
+    li = _t(spark, sf_dir)["lineitem"]
+    v = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+
+    def ranks(col: str, out: str) -> DataFrame:
+        cnts = v.groupBy(col).agg(F.count("*").alias("__c"))
+        cum = running_sum(cnts, [F.asc(col)], "__c", "__cum")
+        return cum.select(
+            col,
+            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    rx = ranks("x", "rx2")
+    ry = ranks("y", "ry2")
+    r = v.join(rx, "x").join(ry, "y")
+    px = F.col("rx2").cast("decimal(19,0)")
+    py = F.col("ry2").cast("decimal(19,0)")
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(px).cast("decimal(38,0)").alias("sx"),
+        F.sum(py).cast("decimal(38,0)").alias("sy"),
+        F.sum(px * px).cast("decimal(38,0)").alias("sxx"),
+        F.sum(py * py).cast("decimal(38,0)").alias("syy"),
+        F.sum(px * py).cast("decimal(38,0)").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / (
+        F.sqrt(n_d * F.col("sxx").cast("double") - sx_d * sx_d)
+        * F.sqrt(n_d * F.col("syy").cast("double") - sy_d * sy_d)
+    )
+    return m.select(
+        F.col("n").alias("n_rows"), F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "graph_adamic_adar",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM prs WHERE support >= 3),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node),
+    adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    wed AS (
+      SELECT n1.v AS a, n2.v AS b, n1.u AS w
+      FROM adj n1 JOIN adj n2 ON n1.u = n2.u AND n1.v < n2.v),
+    cand AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE)
+                                 / LN(CAST(d AS DOUBLE)), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS aa_raw
+      FROM wed JOIN deg ON deg.node = wed.w
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT c.a, c.b, c.n_common, c.aa_raw
+      FROM cand c LEFT JOIN edges e ON e.u = c.a AND e.v = c.b
+      WHERE e.u IS NULL)
+    SELECT a AS part_a, b AS part_b, n_common,
+           ROUND(aa_raw, 6) AS adamic_adar
+    FROM nonedge
+    ORDER BY adamic_adar DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: for every
+    NON-adjacent part pair sharing a neighbor, score
+    Σ_w 1/ln(deg(w)) over common neighbors w — rare shared neighbors
+    are strong evidence, hubs are discounted — and return the top-25
+    predicted next co-purchases.  Wedges come from one adjacency
+    self-join on the center node (the triangle-census join shape; a
+    wedge center always has deg ≥ 2 so ln(d) > 0); each 1/ln(d) term
+    is rounded 12 dp and decimal-summed per pair, existing edges drop
+    out via a canonical-orientation left-anti match, and the top-25 is
+    fully tiebroken on the 6-dp-rounded score.  Wedge work is Σ d_w²;
+    at hub-heavy scale the same apriori cap that bounds the basket
+    join (operators/baskets.py) applies to the center degree — the
+    discounted 1/ln(d) contribution of capped hubs is the standard
+    approximation, not needed at the co-purchase graph's support-≥3
+    densities.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    edges = edges.localCheckpoint(eager=True)  # deg/adj/anti share it
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    n1 = adj.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    n2 = adj.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("d").cast("double")), 12
+    ).cast("decimal(38,12)")
+    cand = (
+        n1.join(n2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("node").alias("w"), "d"), "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(term).cast("double").alias("aa_raw"),
+        )
+    )
+    nonedge = cand.join(
+        edges,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        nonedge.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            F.round(F.col("aa_raw"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )

@@ -618,3 +618,89 @@ def test_assortativity_matches_reference(spark):
     [r] = q.graph_degree_assortativity(spark, SF).collect()
     got = (r["n_nodes"], r["n_edges"], r["assortativity"])
     assert got == expected, (got, expected)
+
+
+def test_spearman_matches_reference(spark):
+    """stats_spearman_rank == a pure-Python tie-averaged doubled-rank
+    Pearson (guards the 2·cnt_less + cnt + 1 rank algebra and the
+    integer co-moments)."""
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    ).to_pydict()
+    xs = [float(v) for v in li["l_quantity"]]
+    ys = [float(v) for v in li["l_extendedprice"]]
+
+    def doubled_ranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        cum_less, out = 0, {}
+        for v in sorted(cnt):
+            out[v] = 2 * cum_less + cnt[v] + 1
+            cum_less += cnt[v]
+        return [out[v] for v in vals]
+
+    rx, ry = doubled_ranks(xs), doubled_ranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        math.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+        * math.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+    )
+    expected = (n, float(_dec6(rho)))
+    [r] = q.stats_spearman_rank(spark, SF).collect()
+    assert (r["n_rows"], r["spearman_rho"]) == expected
+
+
+def test_adamic_adar_matches_reference(spark):
+    """graph_adamic_adar == a pure-Python wedge enumeration over the
+    same support≥3 edges (guards the 1/ln(deg) discount, the
+    non-adjacency filter, and the rounded-then-ranked top-25)."""
+    from itertools import combinations
+
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    baskets: dict[int, set] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(ok, set()).add(pk)
+    support: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {e for e, c in support.items() if c >= 3}
+    nbrs: dict[int, set] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    cand: dict[tuple, list] = {}
+    for w, ns in nbrs.items():
+        if len(ns) < 2:  # no wedge through a degree-1 center
+            continue
+        dterm = Decimal(repr(1.0 / math.log(float(len(ns))))).quantize(
+            Decimal("1e-12"), ROUND_HALF_UP
+        )
+        for a, b in combinations(sorted(ns), 2):
+            if (a, b) in edges:
+                continue
+            cell = cand.setdefault((a, b), [0, Decimal(0)])
+            cell[0] += 1
+            cell[1] += dterm
+    scored = [
+        (a, b, nc, float(_dec6(float(s))))
+        for (a, b), (nc, s) in cand.items()
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expected = scored[:25]
+    got = [
+        (r["part_a"], r["part_b"], r["n_common"], r["adamic_adar"])
+        for r in q.graph_adamic_adar(spark, SF).collect()
+    ]
+    assert got == expected, (got[:5], expected[:5])
