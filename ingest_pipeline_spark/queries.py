@@ -12661,3 +12661,206 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
+
+
+@register(
+    "quality_roc_auc",
+    """
+    WITH f AS (
+      SELECT lang,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit,
+             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents),
+    z AS (
+      SELECT ROUND(CAST(-3.0 AS DOUBLE)
+                   + CAST(0.55 AS DOUBLE)
+                     * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   - CAST(6.0 AS DOUBLE)
+                     * (CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   - CAST(2.5 AS DOUBLE)
+                     * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   + CAST(0.002 AS DOUBLE) * CAST(n_tok AS DOUBLE), 6)
+               AS zscore,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM f WHERE n_tok > 0 AND n_chars > 0),
+    cells AS (
+      SELECT zscore, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM z GROUP BY zscore),
+    r AS (
+      SELECT c, p,
+             CAST(2 * SUM(c) OVER (ORDER BY zscore) - c + 1 AS BIGINT)
+               AS rank2
+      FROM cells),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS npos,
+             CAST(SUM(CAST(p AS DECIMAL(19,0))
+                      * CAST(rank2 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+               AS r2pos
+      FROM r)
+    SELECT n AS n_docs, npos AS n_pos, CAST(n - npos AS BIGINT) AS n_neg,
+           ROUND((CAST(r2pos AS DOUBLE)
+                  - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE)
+                                            + CAST(1 AS DOUBLE)))
+                 / (CAST(2 AS DOUBLE) * CAST(npos AS DOUBLE)
+                    * CAST(n - npos AS DOUBLE)), 6) AS auc
+    FROM m
+    """,
+)
+def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the linear quality classifier
+    (quality_logistic_score's logit) against an independent ground
+    truth (lang == 'en') — the model-evaluation companion every
+    corpus-filter pipeline needs before trusting a threshold.  AUC is
+    computed rank-based (= the Mann-Whitney statistic): tie-averaged
+    ranks of the 6-dp score are kept EXACT as doubled integers
+    (2·avgrank = 2·cnt_less + cnt + 1), folded per DISTINCT score cell
+    (one keyed agg + the distributed prefix scan over cells,
+    operators/prefix.py — never a per-row single-task window), and
+    AUC = (R2⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) with all terms integer until
+    one final double division.  Scale: per-cell state only — rows
+    never shuffle to a rank join; sigmoid never materializes (EXP is
+    1-ulp engine-divergent; AUC is monotone-invariant so the logit
+    ranks identically).
+    """
+    from .operators.prefix import running_sum
+
+    docs = _t(spark, sf_dir)["documents"]
+    n_chars = F.length("text")
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    f = docs.select(
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tok"),
+        n_digit.alias("n_digit"),
+        n_punct.alias("n_punct"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    z = F.round(
+        F.lit(-3.0)
+        + F.lit(0.55) * (F.col("n_chars").cast("double") / F.col("n_tok").cast("double"))
+        - F.lit(6.0) * (F.col("n_digit").cast("double") / F.col("n_chars").cast("double"))
+        - F.lit(2.5) * (F.col("n_punct").cast("double") / F.col("n_chars").cast("double"))
+        + F.lit(0.002) * F.col("n_tok").cast("double"),
+        6,
+    )
+    scored = f.select(
+        z.alias("zscore"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    cells = scored.groupBy("zscore").agg(
+        F.count("*").alias("c"), F.sum("y").cast("bigint").alias("p")
+    )
+    r = running_sum(cells, [F.asc("zscore")], "c", "__cum").select(
+        "c",
+        "p",
+        (F.lit(2) * F.col("__cum") - F.col("c") + F.lit(1))
+        .cast("bigint")
+        .alias("rank2"),
+    )
+    m = r.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("npos"),
+        F.sum(F.col("p").cast("decimal(19,0)") * F.col("rank2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("r2pos"),
+    )
+    n_d = F.col("n").cast("double")
+    np_d = F.col("npos").cast("double")
+    auc = (F.col("r2pos").cast("double") - np_d * (np_d + F.lit(1.0))) / (
+        F.lit(2.0) * np_d * (n_d - np_d)
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("npos").alias("n_pos"),
+        (F.col("n") - F.col("npos")).cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+@register(
+    "customer_lorenz_curve",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS spend
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT NTILE(10) OVER (ORDER BY spend, custkey) AS decile, spend
+      FROM spend),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(spend) AS DECIMAL(28,2)) AS dec_spend
+      FROM d GROUP BY decile),
+    c AS (
+      SELECT decile, n_customers,
+             CAST(SUM(n_customers) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(SUM(dec_spend) OVER (ORDER BY decile) AS DECIMAL(38,2))
+               AS cum_spend,
+             CAST(SUM(n_customers) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(dec_spend) OVER () AS DECIMAL(38,2)) AS tot_spend
+      FROM g)
+    SELECT decile, n_customers,
+           ROUND(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+             AS cum_cust_share,
+           ROUND(CAST(cum_spend AS DOUBLE) / CAST(tot_spend AS DOUBLE), 6)
+             AS cum_spend_share
+    FROM c ORDER BY decile
+    """,
+)
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend — the 10 cumulative
+    (population-share, spend-share) coordinates behind the Gini query
+    (customer_gini_by_nation), the standard concentration report for
+    contributor-skew audits.  Customers are binned by the distributed
+    NTILE (operators/prefix.py:global_ntile — never a single-task
+    rank); per-decile spend is an exact DECIMAL sum; the cumulative
+    pass runs over the 10-row decile relation (domain-bounded — a
+    global window here is constant-size state, see
+    GLOBAL_WINDOW_BY_DESIGN), and shares are one double division each,
+    rounded 6 dp, identical algebra both engines.
+    """
+    from .operators.prefix import global_ntile
+
+    spend = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend")
+        )
+    )
+    d = global_ntile(spend, [F.asc("spend"), F.asc("custkey")], 10, "decile")
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend").cast("decimal(28,2)").alias("dec_spend"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n_customers",
+        F.sum("n_customers").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("dec_spend").over(wc).cast("decimal(38,2)").alias("cum_spend"),
+        F.sum("n_customers").over(wt).cast("bigint").alias("tot_n"),
+        F.sum("dec_spend").over(wt).cast("decimal(38,2)").alias("tot_spend"),
+    )
+    return c.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.col("cum_n").cast("double") / F.col("tot_n").cast("double"), 6
+        ).alias("cum_cust_share"),
+        F.round(
+            F.col("cum_spend").cast("double") / F.col("tot_spend").cast("double"), 6
+        ).alias("cum_spend_share"),
+    ).orderBy("decile")

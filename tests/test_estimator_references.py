@@ -704,3 +704,52 @@ def test_adamic_adar_matches_reference(spark):
         for r in q.graph_adamic_adar(spark, SF).collect()
     ]
     assert got == expected, (got[:5], expected[:5])
+
+
+def test_roc_auc_matches_reference(spark):
+    """quality_roc_auc == a pure-Python tie-averaged rank AUC over the
+    same 6-dp logit scores (guards the doubled-rank algebra and the
+    R2+ - n+(n+1) numerator)."""
+    from ingest_pipeline_spark import queries as q
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text", "lang"]
+    ).to_pydict()
+    import re
+
+    pairs = []
+    for text, lang in zip(docs["text"], docs["lang"]):
+        n_chars = len(text)
+        n_tok = len([t for t in re.split(r"\s+", text.strip()) if t != ""])
+        if n_tok <= 0 or n_chars <= 0:
+            continue
+        n_digit = len(re.sub(r"[^0-9]", "", text))
+        n_punct = len(re.sub(r"[^.,!?;:]", "", text))
+        z = (
+            -3.0
+            + 0.55 * (float(n_chars) / float(n_tok))
+            - 6.0 * (float(n_digit) / float(n_chars))
+            - 2.5 * (float(n_punct) / float(n_chars))
+            + 0.002 * float(n_tok)
+        )
+        z = float(
+            Decimal(repr(z)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        pairs.append((z, 1 if lang == "en" else 0))
+
+    from collections import Counter
+
+    cnt = Counter(z for z, _ in pairs)
+    cum_less, rank2 = 0, {}
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum_less + cnt[v] + 1
+        cum_less += cnt[v]
+    n = len(pairs)
+    npos = sum(y for _, y in pairs)
+    r2pos = sum(rank2[z] for z, y in pairs if y == 1)
+    auc = (float(r2pos) - float(npos) * (float(npos) + 1.0)) / (
+        2.0 * float(npos) * float(n - npos)
+    )
+    expected = (n, npos, n - npos, float(_dec6(auc)))
+    [r] = q.quality_roc_auc(spark, SF).collect()
+    assert (r["n_docs"], r["n_pos"], r["n_neg"], r["auc"]) == expected

@@ -194,6 +194,7 @@ BNLJ_BY_DESIGN = {
     "docs_quantile_normalize",  # broadcast 1-row pooled count
     "stats_anova_oneway",       # broadcast 1-row grand co-moments
     "graph_degree_assortativity",  # broadcast 1-row node count
+    "customer_lorenz_curve",    # global_ntile's broadcast 1-row total
 }
 
 
@@ -208,6 +209,7 @@ BNLJ_BY_DESIGN = {
 #   - allow-listed here with the documented tiny input.
 GLOBAL_WINDOW_BY_DESIGN = {
     "report_yoy_growth",  # monthly series: rows = months in corpus (~84)
+    "customer_lorenz_curve",  # cumulative pass over the 10 decile rows
 }
 
 
