@@ -217,6 +217,59 @@ def grouped_row_number(
     return d
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Per-group inclusive running sum for LOW-CARDINALITY heavy groups.
+
+    ``SUM(v) OVER (PARTITION BY g ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` executes one task per group — the sharded flavor of
+    the single-task global window.  Same grouped two-phase scan as
+    ``grouped_row_number``: range-partition on (group, order), local
+    running sums per (partition, group), prefix-combined
+    per-(partition, group) offsets (a cluster-sized relation) joined
+    back broadcast.  If ``total_col`` is given, the per-group total is
+    attached from the SAME tiny counts relation (no second scan).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    d = _ranged(df, [*gcols, *order_cols])
+    wloc = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn(_LOCAL, F.sum(value_col).over(wloc))
+    totals = d.groupBy(_PID, *group_cols).agg(F.sum(value_col).alias("__ptot"))
+    totals = totals.localCheckpoint(eager=True)  # offsets + totals share it
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID, *group_cols, F.sum("__ptot").over(woff).alias(_OFF)
+    )
+    d = (
+        d.join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(
+            out_col,
+            F.when(F.col(_OFF).isNull(), F.col(_LOCAL)).otherwise(
+                F.col(_OFF) + F.col(_LOCAL)
+            ),
+        )
+        .drop(_PID, _LOCAL, _OFF)
+    )
+    if total_col is not None:
+        gt = totals.groupBy(*group_cols).agg(F.sum("__ptot").alias(total_col))
+        d = d.join(F.broadcast(gt), group_cols)
+    return d
+
+
 def running_max_exclusive(
     df: DataFrame, order_cols: list[Column], value_col: str, out_col: str
 ) -> DataFrame:

@@ -12864,3 +12864,313 @@ def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_spend").cast("double") / F.col("tot_spend").cast("double"), 6
         ).alias("cum_spend_share"),
     ).orderBy("decile")
+
+
+@register(
+    "stats_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT l_quantity AS x, l_discount AS y,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(cnt AS DECIMAL(19,0))
+                      * CAST(cnt - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0))
+               AS p3
+      FROM cells),
+    px AS (
+      SELECT CAST(SUM(CAST(t AS DECIMAL(19,0))
+                      * CAST(t - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS p1
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cells GROUP BY x)),
+    py AS (
+      SELECT CAST(SUM(CAST(t AS DECIMAL(19,0))
+                      * CAST(t - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS p2
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cells GROUP BY y)),
+    s AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN a.y < b.y THEN CAST(a.cnt AS DECIMAL(19,0))
+                                        * CAST(b.cnt AS DECIMAL(19,0))
+                    WHEN a.y > b.y THEN -(CAST(a.cnt AS DECIMAL(19,0))
+                                          * CAST(b.cnt AS DECIMAL(19,0)))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))
+               AS cd
+      FROM cells a JOIN cells b ON a.x < b.x)
+    SELECT n AS n_rows,
+           ROUND(CAST(2 AS DOUBLE) * CAST(cd AS DOUBLE)
+                 / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                                              - CAST(1 AS DOUBLE))
+                         - CAST(p1 AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                                                - CAST(1 AS DOUBLE))
+                           - CAST(p2 AS DOUBLE))), 6) AS tau_b
+    FROM tot, px, py, s
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) of quantity vs discount — the
+    third rank-correlation lens next to Pearson
+    (stats_correlation_lineitem) and Spearman (stats_spearman_rank).
+    The O(n²) pair space collapses to the DISTINCT-VALUE-CELL grid:
+    quantity×discount has a domain-bounded cell count (≤ |X|·|Y|, 550
+    here), so concordant-minus-discordant folds over one bounded cell
+    self-join (a.x < b.x — BNLJ by design over the tiny broadcast cell
+    relation), with per-cell count products exact in DECIMAL(38,0).
+    Tie terms use DOUBLED pair counts (t(t−1), no halving) so every
+    intermediate is an integer; tau_b = 2(C−D)/√((n(n−1)−P1)(n(n−1)−P2))
+    is one double expression, identical algebra both engines, 6-dp
+    rounded.  Scale: rows fold map-side into ≤550 cells — nothing
+    data-proportional ever joins.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    cells = li.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    ).agg(F.count("*").alias("cnt"))
+    cells = cells.localCheckpoint(eager=True)  # ≤550 rows feed 4 consumers
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(d19(F.col("cnt")) * d19(F.col("cnt") - 1))
+        .cast("decimal(38,0)")
+        .alias("p3"),
+    )
+    px = (
+        cells.groupBy("x")
+        .agg(F.sum("cnt").cast("bigint").alias("t"))
+        .agg(
+            F.sum(d19(F.col("t")) * d19(F.col("t") - 1))
+            .cast("decimal(38,0)")
+            .alias("p1")
+        )
+    )
+    py = (
+        cells.groupBy("y")
+        .agg(F.sum("cnt").cast("bigint").alias("t"))
+        .agg(
+            F.sum(d19(F.col("t")) * d19(F.col("t") - 1))
+            .cast("decimal(38,0)")
+            .alias("p2")
+        )
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("cnt").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("cnt").alias("bc")
+    )
+    prod = d19(F.col("ac")) * d19(F.col("bc"))
+    s = (
+        a.join(F.broadcast(b), F.col("ax") < F.col("bx"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ay") < F.col("by"), prod)
+                    .when(F.col("ay") > F.col("by"), -prod)
+                    .otherwise(F.lit(0).cast("decimal(38,0)"))
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("cd")
+        )
+    )
+    m = tot.crossJoin(F.broadcast(px)).crossJoin(F.broadcast(py)).crossJoin(
+        F.broadcast(s)
+    )
+    n_d = F.col("n").cast("double")
+    pairs2 = n_d * (n_d - F.lit(1.0))
+    tau = (F.lit(2.0) * F.col("cd").cast("double")) / F.sqrt(
+        (pairs2 - F.col("p1").cast("double"))
+        * (pairs2 - F.col("p2").cast("double"))
+    )
+    return m.select(F.col("n").alias("n_rows"), F.round(tau, 6).alias("tau_b"))
+
+
+@register(
+    "stats_weighted_median_brand",
+    """
+    WITH cells AS (
+      SELECT p_brand, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS w
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    c AS (
+      SELECT p_brand, price,
+             CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY price
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,2)) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY p_brand) AS DECIMAL(38,2))
+               AS totw
+      FROM cells)
+    SELECT p_brand AS brand,
+           CAST(MAX(totw) AS DOUBLE) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * cumw >= totw THEN price END) AS DOUBLE)
+             AS weighted_median_price
+    FROM c GROUP BY p_brand
+    """,
+)
+def stats_weighted_median_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per brand — the robust
+    price centre a pricing audit wants (the unweighted grouped median
+    is stats_group_median).  The lower weighted median is the smallest
+    price whose inclusive cumulative weight reaches half the brand
+    total: per-(brand, price) weights fold map-side into cells, the
+    cumulative pass is the GROUPED distributed prefix scan
+    (operators/prefix.py:grouped_running_sum — 25 heavy brand groups
+    would otherwise each run in one task), and the crossing test
+    2·cumw ≥ totw is exact DECIMAL arithmetic both engines.  Scale:
+    one (brand, price) shuffle + cluster-sized offset relations;
+    weights and totals never leave decimal until the output cast.
+    """
+    from .operators.prefix import grouped_running_sum
+
+    t = _t(spark, sf_dir)
+    cells = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("l_extendedprice").alias("price"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("w")
+        )
+    )
+    c = grouped_running_sum(
+        cells, ["p_brand"], [F.asc("price")], "w", "cumw", total_col="totw"
+    )
+    c = c.select(
+        "p_brand",
+        "price",
+        F.col("cumw").cast("decimal(38,2)").alias("cumw"),
+        F.col("totw").cast("decimal(38,2)").alias("totw"),
+    )
+    return c.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.max("totw").cast("double").alias("total_qty"),
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("price"))
+        )
+        .cast("double")
+        .alias("weighted_median_price"),
+    )
+
+
+@register(
+    "orders_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT day, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, day) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    med AS (
+      SELECT rev AS m FROM ranked WHERE 2 * rn >= n AND 2 * (rn - 1) < n),
+    signs AS (
+      SELECT day, rev > m AS above
+      FROM daily, med WHERE rev <> m),
+    runs AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                       OR LAG(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS brk
+      FROM signs),
+    agg AS (
+      SELECT CAST(SUM(brk) AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM runs)
+    SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND((CAST(r AS DOUBLE)
+                  - (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                     * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                     + CAST(1 AS DOUBLE)))
+                 / SQRT((CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                         * CAST(n2 AS DOUBLE)
+                         * (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                            * CAST(n2 AS DOUBLE)
+                            - CAST(n1 + n2 AS DOUBLE)))
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * (CAST(n1 + n2 AS DOUBLE)
+                              - CAST(1 AS DOUBLE)))), 6) AS z
+    FROM agg
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily revenue around
+    its median — the classic sequence-level sanity check (trend or
+    oscillation both reject) that complements the value-level CUSUM
+    and MAD anomaly queries.  Daily revenue is an exact decimal sum;
+    the series is DOMAIN-BOUNDED (distinct order dates — the date
+    range is fixed, more data deepens days, it doesn't add them), so
+    the rank-for-median and lag-for-runs windows run over a ~2.4k-row
+    relation (GLOBAL_WINDOW_BY_DESIGN); median-equal days drop per the
+    standard test; z uses μ = 2n₁n₂/n + 1 and the exact run-count
+    variance, one double expression, 6-dp rounded.
+    """
+    daily = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    daily = daily.localCheckpoint(eager=True)  # bounded; median + signs share
+    wr = Window.orderBy("rev", "day")
+    wn = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = daily.select(
+        "rev",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    med = ranked.filter(
+        (F.lit(2) * F.col("rn") >= F.col("n"))
+        & (F.lit(2) * (F.col("rn") - 1) < F.col("n"))
+    ).select(F.col("rev").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).alias("above"))
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(wd).isNull()
+            | (F.lag("above").over(wd) != F.col("above")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("brk").cast("bigint").alias("r"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    n1_d, n2_d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n_d = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(2.0) * n1_d * n2_d / n_d + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1_d
+        * n2_d
+        * (F.lit(2.0) * n1_d * n2_d - n_d)
+        / (n_d * n_d * (n_d - F.lit(1.0)))
+    )
+    return agg.select(
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round((F.col("r").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )

@@ -753,3 +753,93 @@ def test_roc_auc_matches_reference(spark):
     expected = (n, npos, n - npos, float(_dec6(auc)))
     [r] = q.quality_roc_auc(spark, SF).collect()
     assert (r["n_docs"], r["n_pos"], r["n_neg"], r["auc"]) == expected
+
+
+def test_kendall_tau_matches_reference(spark):
+    """stats_kendall_tau == Knight's O(n log n) mergesort tau-b — a
+    genuinely independent derivation (inversion counting vs the
+    engine's cell-grid fold), guarding the doubled tie terms and the
+    C-D sign fold."""
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    ).to_pydict()
+    xs = [float(v) for v in li["l_quantity"]]
+    ys = [float(v) for v in li["l_discount"]]
+    n = len(xs)
+
+    def count_inversions(a):
+        # mergesort count of strict inversions (left > right)
+        def rec(lst):
+            if len(lst) <= 1:
+                return lst, 0
+            mid = len(lst) // 2
+            left, il = rec(lst[:mid])
+            right, ir = rec(lst[mid:])
+            merged, inv, i, j = [], il + ir, 0, 0
+            while i < len(left) and j < len(right):
+                if left[i] <= right[j]:
+                    merged.append(left[i])
+                    i += 1
+                else:
+                    merged.append(right[j])
+                    j += 1
+                    inv += len(left) - i
+            merged.extend(left[i:])
+            merged.extend(right[j:])
+            return merged, inv
+
+        return rec(a)[1]
+
+    from collections import Counter
+
+    pairs = sorted(zip(xs, ys))
+    disc = count_inversions([y for _, y in pairs])
+    cx, cy, cxy = Counter(xs), Counter(ys), Counter(zip(xs, ys))
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in cx.values())
+    n2 = sum(t * (t - 1) // 2 for t in cy.values())
+    n3 = sum(t * (t - 1) // 2 for t in cxy.values())
+    conc = n0 - n1 - n2 + n3 - disc
+    tau = (float(conc) - float(disc)) / math.sqrt(
+        (float(n0) - float(n1)) * (float(n0) - float(n2))
+    )
+    [r] = q.stats_kendall_tau(spark, SF).collect()
+    assert r["n_rows"] == n
+    # independent derivation: same value to well beyond the 6-dp round,
+    # but the algebra differs (n0-n1 vs n(n-1)-P1 doubled) — compare
+    # at the published precision
+    assert abs(r["tau_b"] - tau) < 5e-7, (r["tau_b"], tau)
+
+
+def test_runs_test_matches_reference(spark):
+    """orders_runs_test == a pure-Python Wald-Wolfowitz over the same
+    decimal daily revenues (guards the lower-median pick, the
+    equal-median drop, and the run-count variance)."""
+    from ingest_pipeline_spark import queries as q
+
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pydict()
+    daily: dict = {}
+    for d, p in zip(o["o_orderdate"], o["o_totalprice"]):
+        day = d.date() if hasattr(d, "date") else d
+        daily[day] = daily.get(day, Decimal(0)) + Decimal(repr(p)).quantize(
+            Decimal("0.01"), ROUND_HALF_UP
+        )
+    revs_by_day = sorted(daily.items())
+    ordered = sorted(daily.values())
+    nd = len(ordered)
+    m = ordered[-(-nd // 2) - 1]  # lower median: rank ceil(n/2), 1-based
+    seq = [rev > m for _, rev in revs_by_day if rev != m]
+    n1 = sum(seq)
+    n2 = len(seq) - n1
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    nn = float(n1 + n2)
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)) / (nn * nn * (nn - 1.0))
+    z = float(_dec6((runs - mu) / math.sqrt(var)))
+    [r] = q.orders_runs_test(spark, SF).collect()
+    got = (r["n_days"], r["n_above"], r["n_below"], r["n_runs"], r["z"])
+    assert got == (n1 + n2, n1, n2, runs, z), got

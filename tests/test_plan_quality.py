@@ -195,6 +195,8 @@ BNLJ_BY_DESIGN = {
     "stats_anova_oneway",       # broadcast 1-row grand co-moments
     "graph_degree_assortativity",  # broadcast 1-row node count
     "customer_lorenz_curve",    # global_ntile's broadcast 1-row total
+    "stats_kendall_tau",        # bounded distinct-cell (≤550) self-join
+    "orders_runs_test",         # broadcast 1-row median row
 }
 
 
@@ -210,6 +212,7 @@ BNLJ_BY_DESIGN = {
 GLOBAL_WINDOW_BY_DESIGN = {
     "report_yoy_growth",  # monthly series: rows = months in corpus (~84)
     "customer_lorenz_curve",  # cumulative pass over the 10 decile rows
+    "orders_runs_test",  # daily series: rows = distinct days (~2.4k, fixed date domain)
 }
 
 
