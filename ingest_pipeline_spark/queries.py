@@ -62,67 +62,68 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-6 window: the 44 late-r5 registrations that have never held a
-# driver slot (all judge-verified green at sf0.01 at r5 HEAD), then
-# round-6's new queries.  Permanently OUT of the window: the two
-# rows-only-by-design entries — similarity_pq_topk (KMeans codebooks)
-# and source_listing (directory listing has no DuckDB-parquet oracle);
-# each would burn a slot as an eternal `no_oracle`.  List EXACTLY 50
+# Round-7 window: the 49 registrations that have never held a driver
+# slot (late-r6 stats/dedup-audit/ANN-recall pack + post-snapshot
+# additions; all judge-verified green at sf0.01 at r6 HEAD), then
+# round-7's new queries take the remaining slot(s) as they land.
+# Permanently OUT of the window: the rows-only-by-design entries
+# (similarity_pq_topk, source_listing, graph_kcore_parts) — each
+# would burn a slot as an eternal `no_oracle`.  List EXACTLY 50
 # names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled before round 6 (judge-verified green at HEAD)
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "bloom_prejoin_filter",
-    "dedup_prefix_jaccard",
-    "fuzzy_join_blocked",
-    "anomaly_zscore_events",
-    "histogram_equidepth_prices",
-    "geo_grid_join",
-    "incremental_join_maintenance",
-    "sample_weighted_orders",
-    "skyline_pareto_parts",
-    "join_salted_hot_events",
-    "stats_correlation_lineitem",
-    "stats_chi2_independence",
-    "quality_logistic_score",
-    "mine_hard_negatives",
-    "scd2_point_in_time_join",
-    "zorder_locality_stats",
-    "events_rolling_active_users",
-    "sketch_hll_set_algebra",
-    "customer_rfm_segments",
-    "basket_copurchase_pairs",
-    "events_error_bursts",
-    "events_time_weighted_avg",
-    "events_funnel_within_7d",
-    "pareto_revenue_concentration",
-    "report_yoy_growth",
-    "search_bm25_topk",
-    "graph_shortest_paths",
-    "text_pmi_collocations",
-    "join_size_audit",
-    "events_markov_transitions",
-    "sessions_peak_concurrency",
-    "report_monthly_top_parts",
-    "window_cume_dist_prices",
-    "sessions_maintenance_overlap",
-    "profile_functional_dependency",
-    "corpus_train_val_test_split",
-    "argmax_order_by_customer",
-    "events_dow_hour_heatmap",
-    "orders_backlog_aging",
-    "supplier_share_of_wallet",
-    "lineitem_shipping_lag_stats",
-    "nation_trade_balance",
-    # round-6 additions take the remaining slots as they land; until
-    # then, previously-graded greens hold them (graded rows retained)
+    # never driver-sampled before round 7 (judge-verified green at r6)
+    "orders_price_decile_stats",
+    "cdc_apply_changes",
+    "events_attribution_last_touch",
+    "stats_linear_trend",
+    "quantiles_histogram_estimate",
+    "graph_triangle_count",
+    "basket_item_cosine",
+    "stats_group_median",
+    "similarity_ann_recall",
+    "compliance_delete_cascade",
+    "multimodal_work_plan",
+    "agg_grouping_sets",
+    "stats_winsorized_mean",
+    "text_bpe_token_budget",
+    "stats_mode_per_group",
+    "market_concentration_hhi",
+    "orders_seasonal_index",
+    "orders_benford_digit_audit",
+    "customer_gini_by_nation",
+    "orders_autocorr_daily",
+    "corpus_token_shards",
+    "text_vocab_coverage",
+    "survival_customer_churn",
+    "linkage_surprisal_pairs",
+    "text_source_kl_divergence",
+    "stats_group_mad",
+    "events_cusum_changepoint",
+    "events_interarrival_stats",
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "orders_cohort_ltv",
+    "quantiles_exact_global",
+    "experiment_cuped_adjustment",
+    "customer_theil_by_nation",
+    "forecast_seasonal_naive_backtest",
+    "text_zipf_slope",
+    "events_anomaly_mad_days",
+    "dedup_lsh_quality_audit",
+    "events_debounce_dedup",
+    "docs_quantile_normalize",
+    "stats_anova_oneway",
+    "graph_degree_assortativity",
+    "stats_spearman_rank",
+    "graph_adamic_adar",
+    "quality_roc_auc",
+    "customer_lorenz_curve",
+    "stats_kendall_tau",
+    "stats_weighted_median_brand",
+    "orders_runs_test",
+    # round-7 additions take the remaining slots as they land; until
+    # then, a previously-graded green holds the seat
     "graph_bfs_fixpoint",
-    "similarity_ivf_topk_det",
-    "dedup_containment_pairs",
-    "text_bigram_perplexity",
-    "events_top_paths",
-    "sketch_hll_rolling_users",
 ]
 
 
