@@ -214,6 +214,10 @@ def audio_window_plan(
     return (
         assets.filter((F.col("modality") == "audio") & (dur > 0))
         .withColumn("t0_ms", F.explode(starts))
+        # hop_ms > window_ms is legal (sparse sampling), but the ceil
+        # grid can then land a start exactly at/after the clip end —
+        # drop those zero-length windows instead of emitting win_ms=0
+        .filter(F.col("t0_ms") < dur)
         .select(
             "asset_id",
             "t0_ms",

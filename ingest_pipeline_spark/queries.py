@@ -12921,7 +12921,12 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate is an integer; tau_b = 2(C−D)/√((n(n−1)−P1)(n(n−1)−P2))
     is one double expression, identical algebra both engines, 6-dp
     rounded.  Scale: rows fold map-side into ≤550 cells — nothing
-    data-proportional ever joins.
+    data-proportional ever joins.  CONTRACT: the ≤550 bound is a
+    DOMAIN property of this column pair (quantity∈[1,50] ×
+    discount∈{0.00..0.10} grid), not a data-size property — applying
+    this operator to a high-cardinality pair (e.g. two continuous
+    measures) makes the cell self-join quadratic; bucketize such
+    inputs first or use stats_spearman_rank's prefix-scan path.
     """
     li = _t(spark, sf_dir)["lineitem"]
     cells = li.groupBy(

@@ -205,15 +205,35 @@ def compact_parquet(
     Reads the directory, rewrites it with files sized toward
     ``target_bytes`` (partition count = ceil(total_bytes /
     target_bytes), derived from the on-disk size, never a collect), and
-    swaps atomically via a staged directory so concurrent readers see
-    old-or-new, never half.  No-op (returns counts unchanged) when the
-    directory already has fewer than ``min_files`` files.  Returns
+    swaps via a staged directory + two renames.  The swap is
+    crash-RECOVERABLE, not atomic: between the two renames ``path``
+    briefly does not exist, and a crash there strands the data under
+    ``__old`` — the next call (or any caller invoking this function on
+    the table) repairs both cases before compacting, so the table is
+    never lost, but a concurrent reader racing the swap window can see
+    a transient missing-path error and should retry.  (A truly atomic
+    old-or-new swap needs the symlink-pointer scheme of
+    streaming/events.py:cdc_upsert_sink or a transactional table
+    format.)  No-op (returns counts unchanged) when the directory
+    already has fewer than ``min_files`` files.  Returns
     {"files_before", "files_after", "bytes"}.
     """
     import glob as _glob
     import math
     import os
     import shutil
+
+    staged = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # crash recovery from a previous interrupted swap: a stranded
+    # __old with no live path is the pre-compaction table — restore
+    # it; a leftover staged dir is a dead partial rewrite — drop it.
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    elif os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
 
     part_files = [
         f
@@ -228,11 +248,9 @@ def compact_parquet(
             "bytes": total,
         }
     n_out = max(1, math.ceil(total / target_bytes))
-    staged = path.rstrip("/") + "__compacting"
     spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
         staged
     )
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old)

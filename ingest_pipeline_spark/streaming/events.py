@@ -269,31 +269,91 @@ def cdc_upsert_sink(
 ) -> "object":
     """Streaming CDC merge: each micro-batch of changes is compacted
     and applied to the parquet state at ``base_path`` via
-    operators/merge.py:cdc_apply, then the new state atomically
-    replaces the old (write to a versioned side directory + overwrite —
-    a reader never sees a half-merged table).  foreachBatch + the
-    checkpoint's batch tracking replays a failed batch against the
-    pre-batch state, so the merge is exactly-once-effective: applying
-    the same batch twice is idempotent because cdc_apply is
-    latest-change-wins per key.
+    operators/merge.py:cdc_apply.  State lives in VERSIONED sibling
+    directories (``{base_path}__v{batch_id}``); ``base_path`` itself is
+    a symlink — the current-pointer — atomically retargeted with an
+    ``os.replace`` rename-swap, so a reader holding ``base_path`` always
+    sees an intact pre- or post-batch snapshot, never a half-merged
+    table, and a crash at ANY point leaves every written snapshot
+    intact (no in-place overwrite of live state ever happens).
+    Checkpoint replay of a failed batch therefore always starts from an
+    intact snapshot: pre-batch if the crash hit before the pointer
+    swap, post-batch if after — and the post-batch replay short-circuits
+    because the pointer already names that batch's version.  Superseded
+    version directories are removed after each successful swap, so a
+    long-running stream holds at most two table copies on disk.
+
+    On an object store without atomic rename the pointer would be a
+    manifest/current file (Delta-style log); the versioned-snapshot
+    discipline is the same.
 
     This is the streaming half of the lakehouse MERGE pattern (Delta's
     streaming foreachBatch-MERGE idiom) on plain parquet.  Returns the
     started StreamingQuery (caller stops it).
     """
+    import glob as _glob
+    import os
+    import shutil
+
     from ..operators.merge import cdc_apply
+
+    def _swap_pointer(target: str) -> None:
+        # atomic retarget: build a temp symlink then rename it over
+        # base_path (rename of a symlink over a symlink/file is atomic
+        # on POSIX).  First conversion of a plain directory to the
+        # pointer scheme is handled by the caller.
+        tmp = f"{base_path}__ptr_tmp"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.abspath(target), tmp)
+        os.replace(tmp, base_path)
+
+    def _recover() -> None:
+        # startup recovery: re-point a missing pointer at the newest
+        # intact version and sweep leftovers from a previous crash
+        # (stale temp pointer, legacy staged dirs).
+        for stale in _glob.glob(f"{base_path}__staged_batch_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        if os.path.lexists(f"{base_path}__ptr_tmp"):
+            os.remove(f"{base_path}__ptr_tmp")
+        if not os.path.lexists(base_path):
+            versions = sorted(
+                _glob.glob(f"{base_path}__v*"),
+                key=lambda p: int(p.rsplit("__v", 1)[1]),
+            )
+            if versions:
+                _swap_pointer(versions[-1])
+
+    _recover()
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
+        version_dir = f"{base_path}__v{batch_id}"
+        current = (
+            os.path.realpath(base_path)
+            if os.path.islink(base_path)
+            else None
+        )
+        if current == os.path.realpath(version_dir):
+            # replay of a batch whose swap already committed: the merge
+            # is already the live snapshot — idempotent no-op.
+            return
         base = spark.read.parquet(base_path)
         merged = cdc_apply(
             base, df, key_cols, seq_cols, op_col=op_col
         ).drop("_cdc_action")
-        # stage then swap: the overwrite of base_path only starts after
-        # the full merge result is durably written
-        staged = f"{base_path}__staged_batch_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(base_path)
+        # write the full post-batch snapshot to its own version dir
+        # (never the dir currently being read), then swap the pointer
+        merged.write.mode("overwrite").parquet(version_dir)
+        if not os.path.islink(base_path):
+            # first batch over a plain directory: adopt it as version
+            # -1 so the pointer swap below has a symlink to replace
+            os.rename(base_path, f"{base_path}__v-1")
+            _swap_pointer(f"{base_path}__v-1")
+        _swap_pointer(version_dir)
+        for old in _glob.glob(f"{base_path}__v*"):
+            if os.path.realpath(old) != os.path.realpath(version_dir):
+                shutil.rmtree(old, ignore_errors=True)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)

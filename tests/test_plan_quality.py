@@ -195,7 +195,9 @@ BNLJ_BY_DESIGN = {
     "stats_anova_oneway",       # broadcast 1-row grand co-moments
     "graph_degree_assortativity",  # broadcast 1-row node count
     "customer_lorenz_curve",    # global_ntile's broadcast 1-row total
-    "stats_kendall_tau",        # bounded distinct-cell (≤550) self-join
+    "stats_kendall_tau",        # BNLJ_BY_DESIGN: distinct-cell self-join;
+                                # ≤550 bound is a DOMAIN property of the
+                                # quantity×discount grid (see docstring)
     "orders_runs_test",         # broadcast 1-row median row
 }
 

@@ -223,3 +223,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     spark.range(10).coalesce(1).write.parquet(single)
     rep2 = compact_parquet(spark, single)
     assert rep2["files_before"] == rep2["files_after"] == 1
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames strands the table under
+    __old with no live path; leftover staged dirs are dead partial
+    rewrites.  The next call must repair both before compacting."""
+    import os
+
+    from ingest_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(5_000).repartition(64).write.parquet(path)
+    before = {r.id for r in spark.read.parquet(path).collect()}
+
+    # simulate the crash window: path renamed away, staged half-written
+    os.rename(path, path + "__old")
+    os.makedirs(path + "__compacting")
+    with open(path + "__compacting/part-junk.parquet", "wb") as f:
+        f.write(b"not parquet")
+
+    rep = compact_parquet(spark, path, target_bytes=1 << 20)
+    assert rep["files_before"] == 64 and rep["files_after"] < 10
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compacting")

@@ -642,6 +642,58 @@ def test_streaming_cdc_upsert_sink(spark, tmp_path):
     }
     assert re_applied == got
 
+    # versioned-pointer hygiene: base_path is now the atomic pointer
+    # (symlink) at the latest version; no staged-dir leak, at most the
+    # current snapshot remains on disk
+    import glob as _glob
+    import os
+
+    assert os.path.islink(base_path)
+    assert not _glob.glob(base_path + "__staged_batch_*")
+    versions = _glob.glob(base_path + "__v*")
+    assert len(versions) == 1
+    assert os.path.realpath(base_path) == os.path.realpath(versions[0])
+
+
+def test_streaming_cdc_sink_pointer_recovery(spark, tmp_path):
+    """Crash recovery: a missing pointer (crash between the adopt
+    rename and the swap) is re-pointed at the newest intact version on
+    the next sink start, and legacy staged dirs are swept."""
+    import os
+
+    from ingest_pipeline_spark.streaming.events import cdc_upsert_sink
+
+    base_path = str(tmp_path / "state")
+    # simulate post-crash disk: versions exist, pointer is gone,
+    # plus a leftover legacy staged dir
+    spark.createDataFrame([(1, 1.0)], "key long, v double").write.parquet(
+        base_path + "__v0"
+    )
+    spark.createDataFrame([(1, 2.0), (2, 9.0)], "key long, v double").write.parquet(
+        base_path + "__v3"
+    )
+    os.makedirs(base_path + "__staged_batch_7")
+
+    ch_dir = tmp_path / "changes"
+    ch_dir.mkdir()
+    schema = "key long, v double, seq long, op string"
+    spark.createDataFrame([(2, 22.0, 5, "U")], schema).coalesce(1).write.parquet(
+        str(ch_dir / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(ch_dir / "*"))
+    q = cdc_upsert_sink(
+        stream, base_path, str(tmp_path / "ckpt"), ["key"], ["seq"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # recovered from __v3 (newest), then applied the batch on top
+    got = {r.key: r.v for r in spark.read.parquet(base_path).collect()}
+    assert got == {1: 2.0, 2: 22.0}
+    assert not os.path.exists(base_path + "__staged_batch_7")
+
 
 def test_audio_window_plan(spark):
     from ingest_pipeline_spark.operators.multimodal import audio_window_plan
@@ -667,6 +719,13 @@ def test_audio_window_plan(spark):
     assert by_asset[2] == [(0, 400)]
     # coverage: windows reach the clip end
     assert max(t + w for t, w in by_asset[1]) == 2200
+
+    # hop > window (sparse sampling): grid start landing exactly at the
+    # clip end must be dropped, never emitted as a zero-length window
+    sparse = audio_window_plan(assets, window_ms=500, hop_ms=1000).collect()
+    s1 = sorted((r.t0_ms, r.win_ms) for r in sparse if r.asset_id == 1)
+    assert s1 == [(0, 500), (1000, 500), (2000, 200)]
+    assert all(r.win_ms > 0 for r in sparse)
 
     import pytest as _pytest
 

@@ -2,7 +2,7 @@
 must emit EXACTLY the batch fallback's numbers (decimal-identical
 state), and the alert must latch at the threshold."""
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
 
@@ -49,7 +49,11 @@ def test_batch_matches_pure_python_fold(spark):
             continue
         st = acc.setdefault(et, [0, Decimal(0), Decimal(0)])
         st[0] += 1
-        st[1] += Decimal(repr(float(v))).quantize(cent) - Decimal(BASE[et])
+        # HALF_UP matches _q2's Spark decimal(18,2)-cast semantics; the
+        # default HALF_EVEN would diverge on exact .xx5 halves
+        st[1] += Decimal(repr(float(v))).quantize(
+            cent, rounding=ROUND_HALF_UP
+        ) - Decimal(BASE[et])
         st[2] = max(st[2], abs(st[1]))
     expected = sorted(
         (k, n, float(s), float(p), float(p) >= 1e9)
