@@ -199,6 +199,11 @@ def main() -> None:
 
     fns = queries()
     names = [n for n in HEADLINE if n in fns]
+    # tier 2: EVERY other registered query, auto-discovered so a new
+    # registration can never silently lack a perf row — the headline
+    # list stays a stable ordered prefix for cross-round comparability,
+    # tier 2 gets its own subtotal
+    tier2 = sorted(n for n in fns if n not in set(HEADLINE))
 
     # warmup: JVM, parquet footers, codegen/broadcast machinery, and the
     # Arrow Python-worker pool (session infrastructure — not any query's
@@ -215,20 +220,23 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     first_total = 0.0
-    for name in names:
+    for name in names + tier2:
         best = float("inf")
         for rep in range(reps):
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).count()
             elapsed = time.perf_counter() - t0
             best = min(best, elapsed)
-            if rep == 0:
+            if rep == 0 and name in set(names):
                 first_total += elapsed
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    # value = min-of-reps (methodology since r4); value_single_run is the
-    # sum of first executions — the r1-r3-comparable single-run number
+    total = round(sum(timings[n] for n in names), 3)
+    tier2_total = round(sum(timings[n] for n in tier2), 3)
+    # value = headline min-of-reps subtotal (methodology since r4, list
+    # pinned for cross-round comparability); tier2_total covers every
+    # other registered query; value_single_run is the sum of first
+    # headline executions — the r1-r3-comparable single-run number
     line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -236,6 +244,9 @@ def main() -> None:
             "unit": "sec",
             "timing": {"method": "min_of_reps", "reps": reps},
             "value_single_run": round(first_total, 3),
+            "tier2_total": tier2_total,
+            "value_all": round(total + tier2_total, 3),
+            "n_queries": len(names) + len(tier2),
             "queries": timings,
             "sf": float(sf),
         }
