@@ -121,9 +121,8 @@ _DRIVER_FIRST = [
     "stats_kendall_tau",
     "stats_weighted_median_brand",
     "orders_runs_test",
-    # round-7 additions take the remaining slots as they land; until
-    # then, a previously-graded green holds the seat
-    "graph_bfs_fixpoint",
+    # round-7 additions
+    "text_bpe_pair_stats",
 ]
 
 
@@ -13180,3 +13179,65 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_runs"),
         F.round((F.col("r").cast("double") - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    """
+    WITH w AS (
+      SELECT UNNEST(REGEXP_EXTRACT_ALL(text,
+                 ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS word
+      FROM documents),
+    h AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM w GROUP BY word),
+    c AS (SELECT freq, REGEXP_EXTRACT_ALL(word, '.') AS chars FROM h),
+    p AS (SELECT chars[i] AS a, chars[i + 1] AS b, freq
+          FROM c, UNNEST(GENERATE_SERIES(1, LEN(chars) - 1)) t(i))
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY a, b
+    ORDER BY pair_count DESC, a ASC, b ASC
+    LIMIT 30
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE pair statistics: the top-30 adjacent character
+    pairs by histogram-weighted frequency — the oracle-checkable
+    deterministic stage of the BPE trainer (the argmax of round 0 is
+    this result's first row).  Scale: ONE corpus pass builds the word
+    histogram (map-side partial agg); pair explosion runs over the
+    vocabulary-sized relation only.  operators/bpe.py.
+    """
+    from .operators.bpe import pair_counts, word_histogram, SEP
+
+    hist = word_histogram(_t(spark, sf_dir)["documents"])
+    rep = hist.select(
+        "freq",
+        F.concat(
+            F.lit(SEP), F.array_join(F.split("word", ""), SEP), F.lit(SEP)
+        ).alias("s"),
+    )
+    return (
+        pair_counts(rep)
+        .select("a", "b", F.col("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(30)
+    )
+
+
+@register("text_bpe_learn_merges", None)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction: learn the first 30 merges from the
+    documents corpus (min_count=2, argmax tiebreak cnt DESC then
+    lexicographic).  The merge loop is iterative (argmax → greedy
+    non-overlapping merge → recount) and not SQL-expressible → rows-only
+    driver check; the merge table is held to EXACT equality with a
+    pure-Python reference trainer on the real corpus histogram in
+    tests/test_bpe.py (hand fixtures cover overlap + tiebreak + regex
+    metachar symbols), and the deterministic round-0 stage is
+    oracle-backed as text_bpe_pair_stats.  Scale: one corpus pass,
+    then vocabulary-sized rounds (operators/bpe.py docstring).
+    """
+    from .operators.bpe import learn_bpe_merges, word_histogram
+
+    hist = word_histogram(_t(spark, sf_dir)["documents"])
+    return learn_bpe_merges(spark, hist, n_merges=30, min_count=2)

@@ -23,6 +23,8 @@ def test_registry_and_oracles_consistent():
         "source_listing",
         "similarity_pq_topk",
         "graph_kcore_parts",  # iterative peeling: not SQL-expressible
+        "text_bpe_learn_merges",  # iterative merge loop: reference-
+        # trainer equality unit instead (tests/test_bpe.py)
     }
     # no duplicate registrations silently overwrote each other
     assert len(qs) >= 104
