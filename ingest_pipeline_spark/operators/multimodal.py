@@ -9,12 +9,15 @@ multimodal corpus as:
      sample_rate, duration_s, n_frames>)
 
 Spark-side plumbing (schema, partitioning, Arrow batch shape) is real
-and tested; the actual codec work (image decode, resample, frame
-sampling) is stubbed — the decode libraries are not in this container —
-behind ``decode_stub_features``: a deterministic byte-level fake whose
-signature/batching matches what a real Pandas-UDF decoder would use.
-The format METADATA path is NOT stubbed: operators/extractors.py
-parses OME-TIFF/imzML/FASTQ/transform files for real.
+and tested.  PNG decode is REAL (pure-stdlib inflate + unfilter +
+palette expansion — ``png_decode`` / ``decode_image_features`` below);
+the remaining codec work (JPEG/audio/video decode, resample, frame
+sampling) stays stubbed — those decode libraries are not in this
+container — behind ``decode_stub_features``: a deterministic
+byte-level fake whose signature/batching matches what a real
+Pandas-UDF decoder would use.  The format METADATA path is NOT
+stubbed: operators/extractors.py parses OME-TIFF/imzML/FASTQ/transform
+files for real.
 
 Scale notes: media bytes ride a BinaryType column (parquet splits by
 row group; at 100 TB use `spark.sql.files.maxPartitionBytes` to bound
@@ -83,14 +86,16 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real decoder entry point — NOT IMPLEMENTED in this container.
+    """Non-PNG decoder entry point — NOT IMPLEMENTED in this container.
 
-    A production build plugs Pillow/librosa/pyav into the same
-    mapInPandas harness used by decode_stub_features below.
+    PNG is decoded for REAL by ``decode_image_features`` (pure-stdlib
+    codec below); a production build plugs Pillow/librosa/pyav into
+    the same mapInPandas harness for the remaining formats.
     """
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_stub_features for the plumbing-equivalent path"
+        "non-PNG media codecs are not available in this environment; "
+        "use decode_image_features (real PNG) or decode_stub_features "
+        "for the plumbing-equivalent path"
     )
 
 
@@ -223,4 +228,258 @@ def audio_window_plan(
             "t0_ms",
             (F.least(F.lit(window_ms), dur - F.col("t0_ms"))).alias("win_ms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (pure stdlib: struct + zlib) — the decode path that was
+# previously stubbed.  Decode supports 8-bit gray / gray+alpha / RGB /
+# RGBA / palette, all five scanline filters, non-interlaced (the
+# overwhelming majority of real-world PNGs); everything else raises
+# ValueError and flows into decode_image_features' error column, which
+# keeps the documented stub contract for undecodable formats.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a PNG → (width, height, channels, bit_depth, pixels).
+
+    ``pixels`` is the row-major interleaved 8-bit sample buffer
+    (width*height*channels bytes); palette images are expanded to RGB.
+    Raises ValueError on non-PNG input, unsupported variants (bit
+    depth != 8, interlaced), or corrupt/truncated streams.
+    """
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = bd = ct = interlace = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated chunk")
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    if bd != 8:
+        raise ValueError(f"unsupported bit depth {bd}")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    paletted = ct == 3
+    channels = 1 if paletted else _PNG_CHANNELS.get(ct)
+    if channels is None:
+        raise ValueError(f"unsupported color type {ct}")
+    if paletted and plte is None:
+        raise ValueError("palette image without PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("pixel data length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if paletted:
+        n = len(plte) // 3
+        rgb = bytearray(w * h * 3)
+        for i, idx in enumerate(out):
+            if idx >= n:
+                raise ValueError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, 8, bytes(rgb)
+    return w, h, channels, 8, bytes(out)
+
+
+def _png_filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward scanline filter (encoder side), per the PNG spec."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def png_encode(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_type: int = 0,
+    compress_level: int = 6,
+) -> bytes:
+    """Encode an 8-bit sample buffer as a PNG (deterministic for fixed
+    inputs and level — zlib's output is stable for a given library).
+    channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA.
+    """
+    import struct
+    import zlib
+
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if ct is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer length mismatch")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        raw += _png_filter_line(filter_type, line, prev, channels)
+        prev = line
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), compress_level)
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_features(assets: DataFrame) -> DataFrame:
+    """REAL image decode over the mapInPandas harness: PNG media is
+    fully decoded (inflate + unfilter + palette expansion) and reduced
+    to exact integer pixel statistics; undecodable/unsupported media
+    flows to (decode_ok=false, error) rows instead of failing the job —
+    the corrupt-input-tolerant extractor discipline of
+    operators/extractors.py.  All stats are integers (px_sum exact
+    bigint), so downstream oracles never touch float hazards.
+    """
+    out_schema = (
+        "asset_id long, width int, height int, channels int, "
+        "bit_depth int, px_sum long, px_min int, px_max int, "
+        "decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, ch, bd, px = png_decode(b)
+                    rows.append(
+                        (aid, w, h, ch, bd, sum(px), min(px), max(px),
+                         True, None)
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, None,
+                         False, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels", "bit_depth",
+                    "px_sum", "px_min", "px_max", "decode_ok", "error",
+                ],
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def embeddings_to_png(
+    emb: DataFrame,
+    width: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a grayscale PNG (asset_id, media):
+    samples quantized px = clamp(floor((v + 1) * 127.5), 0, 255) —
+    floor, not round, so DuckDB reproduces the quantization exactly —
+    laid out row-major at the given width.  The preview-thumbnail
+    writer shape: mapInPandas, row-local, scan-bound at any scale.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid, vec in zip(pdf[id_col], pdf[vec_col]):
+                vals = [float(v) for v in vec]
+                px = bytes(
+                    min(255, max(0, math.floor((v + 1.0) * 127.5)))
+                    for v in vals
+                )
+                h = len(px) // width
+                ids.append(aid)
+                blobs.append(png_encode(width, h, 1, px[: width * h]))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, "asset_id long, media binary"
     )
