@@ -402,6 +402,89 @@ def ivf_topk_det(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    n_cells: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings into
+    coarse cells, prune items that are cosine-near a LOWER-ID item in
+    the SAME cell.  Returns one row per corpus vector:
+    ``(vec_id, cell, keep, best_lower_sim)``.
+
+    Semantics (deterministic leader rule): an item is pruned iff some
+    lower-id item in its cell has cosine ≥ threshold — the greedy
+    anchored variant of SemDeDup's keep-one-per-near-dup-group, chosen
+    because it is one bucketed self-join + EXISTS instead of a
+    connected-components pass (dedup_cluster_components covers the
+    transitive version for shingle dedup).  The prune DECISION compares
+    the UNROUNDED cosine (identical IEEE fold both engines — the
+    dedup_prefix_jaccard lesson); 6-dp rounding is output-only.
+
+    Cells come from the deterministic coarse quantizer of
+    ``ivf_topk_det`` (n_cells lowest-id vectors as anchors, argmax
+    6-dp-rounded cosine, anchor-id tiebreak) so the whole operator is
+    oracle-checkable; the KMeans quantizer of ``ivf_index`` slots in
+    unchanged when determinism vs an external oracle isn't needed.
+
+    Scale: candidates meet ONLY through the cell equi-join — never a
+    corpus cross product.  Intra-cell pairwise cost is the SemDeDup
+    contract; choose n_cells ∝ corpus size (n/1k-ish) to bound cell
+    population, exactly as an IVF index does.  Norms are precomputed
+    per row before the pair join; the assigned relation is
+    localCheckpointed once (three consumers: both join sides + the
+    final left join).
+    """
+    anchors = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).crossJoin(F.broadcast(anchors))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.round(cosine(F.col("vec"), F.col("a_vec")), 6)),
+        F.asc("anchor_id"),
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "nrm", F.col("anchor_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("id_b"),
+            (
+                dot_seq(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("sim"),
+        )
+    )
+    best = pairs.groupBy("id_b").agg(F.max("sim").alias("best"))
+    return (
+        assigned.join(best, assigned["id"] == best["id_b"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            (F.col("best").isNull() | (F.col("best") < F.lit(threshold))).alias(
+                "keep"
+            ),
+            F.round(F.col("best"), 6).alias("best_lower_sim"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

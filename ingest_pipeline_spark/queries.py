@@ -8924,14 +8924,15 @@ def graph_bfs_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS6 = (
-    "ROUND(LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+_COS_RAW = (
+    "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q) "
     "/ (SQRT(LIST_REDUCE(LIST_TRANSFORM({a}, "
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) "
     "* SQRT(LIST_REDUCE(LIST_TRANSFORM({b}, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6)"
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)))"
 )
+_COS6 = "ROUND(" + _COS_RAW + ", 6)"
 
 
 @register(
@@ -13284,4 +13285,51 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "width", "height", "channels", "bit_depth",
         "px_sum", "px_min", "px_max",
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    assign AS (
+      SELECT id, vec, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY id
+               ORDER BY {_COS6.format(a="vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (SELECT id, vec, anchor_id AS cell FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT b.id AS id_b, {_COS_RAW.format(a="a.vec", b="b.vec")} AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
+    best AS (SELECT id_b, MAX(sim) AS best FROM pairs GROUP BY id_b)
+    SELECT c.id AS vec_id,
+           CAST(c.cell AS BIGINT) AS cell,
+           (b.best IS NULL OR b.best < CAST(0.45 AS DOUBLE)) AS keep,
+           ROUND(b.best, 6) AS best_lower_sim
+    FROM cells c LEFT JOIN best b ON b.id_b = c.id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: coarse
+    cells from the deterministic 8-anchor quantizer (ivf_topk_det's),
+    then each vector is pruned iff a LOWER-ID vector in the SAME cell
+    has cosine >= 0.45 (the greedy leader rule; the prune decision
+    compares the UNROUNDED cosine — identical IEEE fold both engines).
+    Candidates meet ONLY through the cell equi-join — never a corpus
+    cross product (unit: test_semantic_dedup_bucketed) — so the plan
+    is IVF-shaped and survives 100 TB with n_cells grown with the
+    corpus.  The 0.45 threshold is tuned to this synthetic corpus's
+    cosine range (max intra-cell sim ~0.49); real embedding spaces use
+    0.9+.  operators/similarity.py:semantic_dedup.
+    """
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    return semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.45, n_cells=8
     )

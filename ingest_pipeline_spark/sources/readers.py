@@ -121,22 +121,198 @@ def read_text_logs(spark: SparkSession, glob: str) -> DataFrame:
     return spark.read.text(glob)
 
 
+# ---------------------------------------------------------------------------
+# Excel (.xlsx) — pure-stdlib codec (zipfile + ElementTree).  xlsx is
+# OPC: a zip of XML parts; parsing it needs no engine.  Handles shared
+# strings, inline strings, numbers, and booleans — the cell types the
+# reference's survey workbooks use (tools/survey.py:836-837).
+# ---------------------------------------------------------------------------
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _xlsx_col_idx(ref: str) -> int:
+    """'A'→0, 'Z'→25, 'AA'→26 (cell-ref column letters)."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def xlsx_parse(
+    data: bytes, sheet: str | int = 0
+) -> tuple[str, list[list[str | None]]]:
+    """Parse one .xlsx workbook → (sheet_name, rows of string cells).
+
+    Pure stdlib (zipfile + xml.etree): walks workbook.xml → rels →
+    worksheet part, resolves shared/inline strings, maps cell refs to
+    0-based columns, and pads each row to its rightmost cell.  All
+    values come back as the strings stored in the XML (numbers keep
+    their lexical form — cast downstream, same contract as read_tsv).
+    Raises ValueError on non-xlsx bytes or a missing sheet.
+    """
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"not an xlsx (bad zip): {exc}") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "xl/workbook.xml" not in names:
+            raise ValueError("not an xlsx (no xl/workbook.xml)")
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [
+            (s.get("name"), s.get(_XLSX_RNS + "id"))
+            for s in wb.iter(_XLSX_NS + "sheet")
+        ]
+        if isinstance(sheet, int):
+            if not 0 <= sheet < len(sheets):
+                raise ValueError(f"sheet index {sheet} out of range")
+            sheet_name, rid = sheets[sheet]
+        else:
+            match = [s for s in sheets if s[0] == sheet]
+            if not match:
+                raise ValueError(f"no sheet named {sheet!r}")
+            sheet_name, rid = match[0]
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(_PKG_RNS + "Relationship")
+        }[rid]
+        part = target.lstrip("/") if target.startswith("/") else "xl/" + target
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(_XLSX_NS + "t"))
+                for si in ss.iter(_XLSX_NS + "si")
+            ]
+        ws = ET.fromstring(zf.read(part))
+        rows: list[list[str | None]] = []
+        for row in ws.iter(_XLSX_NS + "row"):
+            cells: dict[int, str | None] = {}
+            cursor = 0
+            for c in row.iter(_XLSX_NS + "c"):
+                ref = c.get("r")
+                idx = (
+                    _xlsx_col_idx("".join(ch for ch in ref if ch.isalpha()))
+                    if ref
+                    else cursor
+                )
+                cursor = idx + 1
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(_XLSX_NS + "is")
+                    val = (
+                        "".join(
+                            t.text or "" for t in is_el.iter(_XLSX_NS + "t")
+                        )
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v_el = c.find(_XLSX_NS + "v")
+                    val = v_el.text if v_el is not None else None
+                    if val is not None and ctype == "s":
+                        val = shared[int(val)]
+                    elif val is not None and ctype == "b":
+                        val = "TRUE" if val == "1" else "FALSE"
+                cells[idx] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    return sheet_name, rows
+
+
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """Excel source (survey input shape, reference tools/survey.py:836).
 
-    Excel is a report-input format, never bulk data — driver-side
-    pandas parse then parallelize.  Import-gated: raises
-    NotImplementedError when no Excel engine is installed.
+    Single-workbook convenience: parses via the pure-stdlib xlsx codec
+    (no engine dependency), first row = header, untyped string columns
+    (cast on demand — same contract as read_tsv).  For directories of
+    many workbooks use read_excel_sidecars (distributed).
     """
-    import pandas as pd
+    with open(path, "rb") as f:
+        _name, rows = xlsx_parse(f.read(), sheet=sheet)
+    if not rows:
+        return spark.createDataFrame([], T.StructType([]))
+    header = [str(h) if h is not None else f"c{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    body = [
+        tuple((r + [None] * width)[:width]) for r in rows[1:]
+    ]
+    schema = T.StructType(
+        [T.StructField(h, T.StringType(), True) for h in header]
+    )
+    return spark.createDataFrame(body, schema)
 
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as exc:  # openpyxl/xlrd not in this container
-        raise NotImplementedError(
-            "no Excel engine installed; install openpyxl to enable read_excel"
-        ) from exc
-    return spark.createDataFrame(pdf)
+
+def read_excel_sidecars(
+    spark: SparkSession,
+    path_glob: str,
+    sheet: str | int = 0,
+    recursive: bool = False,
+) -> DataFrame:
+    """Distributed Excel ingest: many small .xlsx workbooks → one
+    DataFrame of ``(path, sheet, row_idx, row_json, error)`` rows.
+
+    Same shape as read_yaml_sidecars: a ``binaryFile`` scan
+    distributes listing + reads across executors (no driver loop), and
+    ``mapInPandas`` parses each Arrow batch with the pure-stdlib xlsx
+    codec above — no Excel engine needed.  Row 0 of each sheet is the
+    header; every data row comes back as canonical JSON (sorted keys,
+    header→string-value) so downstream ``from_json``/get_json_object
+    stays JVM-side.  Corrupt/non-xlsx files degrade to one
+    (error, row_idx=-1) row each instead of failing the job — the
+    extractor discipline of operators/extractors.py.
+    """
+    reader = spark.read.format("binaryFile")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    bin_df = reader.load(path_glob).select("path", "content")
+
+    def parse(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    sheet_name, cells = xlsx_parse(bytes(content), sheet=sheet)
+                except ValueError as e:
+                    rows.append((path, None, -1, None, str(e)[:200]))
+                    continue
+                if not cells:
+                    continue
+                header = [
+                    str(h) if h is not None else f"c{i}"
+                    for i, h in enumerate(cells[0])
+                ]
+                for i, r in enumerate(cells[1:]):
+                    doc = {
+                        header[j]: (r[j] if j < len(r) else None)
+                        for j in range(len(header))
+                    }
+                    rows.append(
+                        (path, sheet_name, i, json.dumps(doc, sort_keys=True), None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "sheet", "row_idx", "row_json", "error"],
+            )
+
+    return bin_df.mapInPandas(
+        parse,
+        "path string, sheet string, row_idx int, row_json string, error string",
+    )
 
 
 def tsv_delimiter_report(df: DataFrame) -> dict:
