@@ -13333,3 +13333,91 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.45, n_cells=8
     )
+
+
+_BM25_SQL = _REGISTRY["search_bm25_topk"][1]
+
+
+@register(
+    "search_rrf_fusion",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, rank AS lex_rank FROM ({_BM25_SQL}) t),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_COS6.format(a="e.embedding", b="q.qv")} DESC,
+                          e.vec_id ASC) AS sem_rank
+        FROM embeddings e,
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0) s
+      WHERE sem_rank <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank,
+             CAST(s.sem_rank AS BIGINT) AS sem_rank,
+             ROUND(
+               COALESCE(CAST(1.0 AS DOUBLE)
+                        / CAST(60 + l.lex_rank AS DOUBLE),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                          / CAST(60 + s.sem_rank AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)), 9) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of the two retrieval stacks:
+    the lexical BM25 top-20 (search_bm25_topk, reused verbatim from the
+    registry) and a semantic cosine top-20 against the vec_id=0 query
+    embedding.  rrf = 1/(60+lex_rank) + 1/(60+sem_rank) with a missing
+    list contributing 0 — the standard hybrid-search combiner
+    (Cormack/Clarke/Buettcher 2009).  Each branch ranks on 6-dp-rounded
+    scores with id tiebreaks; the fused score is a sum of two
+    integer-denominator IEEE divisions (bit-identical in any engine),
+    rounded 9 dp before the final rank.  Scale: both branches end in
+    global top-20s (TakeOrderedAndProject — the corpus is never
+    globally sorted); the fusion itself joins two ≤20-row lists, and
+    the final rank window runs over that ≤40-row relation
+    (GLOBAL_WINDOW_BY_DESIGN).  The 1-row query-vector crossJoin and
+    BM25's 1-row corpus stats are the BNLJ_BY_DESIGN broadcasts.
+    """
+    lex = _REGISTRY["search_bm25_topk"][0](spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = _t(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = (
+        sem_scored.withColumn("sem_rank", F.row_number().over(w_sem))
+        .filter(F.col("sem_rank") <= 20)
+        .select("doc_id", F.col("sem_rank").cast("long").alias("sem_rank"))
+    )
+    rr = lambda c: F.lit(1.0) / (F.lit(60) + c).cast("double")  # noqa: E731
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(rr(F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(rr(F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )

@@ -200,6 +200,8 @@ BNLJ_BY_DESIGN = {
                                 # ≤550 bound is a DOMAIN property of the
                                 # quantity×discount grid (see docstring)
     "orders_runs_test",         # broadcast 1-row median row
+    "search_rrf_fusion",        # broadcast 1-row query vector + BM25's
+                                # 1-row corpus stats (branch reused)
 }
 
 
@@ -216,6 +218,7 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "report_yoy_growth",  # monthly series: rows = months in corpus (~84)
     "customer_lorenz_curve",  # cumulative pass over the 10 decile rows
     "orders_runs_test",  # daily series: rows = distinct days (~2.4k, fixed date domain)
+    "search_rrf_fusion",  # final rank over the fused ≤40-row (two top-20 lists) relation
 }
 
 
