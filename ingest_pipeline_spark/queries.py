@@ -13421,3 +13421,114 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("long")
     )
+
+
+@register(
+    "text_gopher_quality_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    wc AS (
+      SELECT doc_id, x AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, UNNEST(tk) t(x) GROUP BY doc_id, x),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
+                           THEN c ELSE 0 END) AS BIGINT) AS stop_hits,
+             CAST(SUM(LEN(w) * c) AS BIGINT) AS sum_len
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_words, stop_hits,
+           ROUND(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             AS mean_word_len,
+           ROUND(CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             AS top_word_frac,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             AS distinct_ratio,
+           (n_words >= 25) AS flag_len,
+           (ROUND(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+              BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE))
+             AS flag_word_len,
+           (stop_hits >= 2) AS flag_stopwords,
+           (ROUND(CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+              <= CAST(0.125 AS DOUBLE)) AS flag_repetition,
+           (ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+              >= CAST(0.375 AS DOUBLE)) AS flag_diversity,
+           (n_words >= 25
+            AND ROUND(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                  BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE)
+            AND stop_hits >= 2
+            AND ROUND(CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                  <= CAST(0.125 AS DOUBLE)
+            AND ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                  >= CAST(0.375 AS DOUBLE)) AS keep
+    FROM agg
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality battery (Rae et al. 2021 §A1.1,
+    re-tuned to this corpus's ranges): per-document word count, mean
+    word length, stopword containment, top-word repetition fraction and
+    lexical-diversity ratio, each with its boolean rule flag and the
+    conjunctive ``keep`` verdict — the classic pre-training corpus
+    filter stage.  All ratios are int/int IEEE divisions rounded 6 dp
+    BEFORE threshold comparison (thresholds are binary-exact literals:
+    4.0, 5.0, 0.125, 0.375), so both engines decide every flag on the
+    identical double.  Scale: one explode → (doc, word) map-side-
+    combined count → one per-doc agg; no joins, no windows — the same
+    inverted-index build cost as search_bm25_topk's tf stage.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(
+            F.when(
+                F.col("w").isin("the", "a", "of", "and", "to"), F.col("c")
+            ).otherwise(F.lit(0))
+        ).alias("stop_hits"),
+        F.sum(F.length("w") * F.col("c")).alias("sum_len"),
+    )
+    ratio = lambda a, b: F.round(  # noqa: E731
+        a.cast("double") / b.cast("double"), 6
+    )
+    mwl = ratio(F.col("sum_len"), F.col("n_words"))
+    twf = ratio(F.col("top_cnt"), F.col("n_words"))
+    dr = ratio(F.col("n_distinct"), F.col("n_words"))
+    f_len = F.col("n_words") >= 25
+    f_mwl = mwl.between(F.lit(4.0), F.lit(5.0))
+    f_stop = F.col("stop_hits") >= 2
+    f_rep = twf <= F.lit(0.125)
+    f_div = dr >= F.lit(0.375)
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "stop_hits",
+        mwl.alias("mean_word_len"),
+        twf.alias("top_word_frac"),
+        dr.alias("distinct_ratio"),
+        f_len.alias("flag_len"),
+        f_mwl.alias("flag_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_rep.alias("flag_repetition"),
+        f_div.alias("flag_diversity"),
+        (f_len & f_mwl & f_stop & f_rep & f_div).alias("keep"),
+    )
