@@ -13532,3 +13532,172 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_div.alias("flag_diversity"),
         (f_len & f_mwl & f_stop & f_rep & f_div).alias("keep"),
     )
+
+
+@register(
+    "forecast_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT n.n_name AS nation, DATE_TRUNC('day', o.o_orderdate) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, DATE_TRUNC('day', o.o_orderdate)),
+    bounds AS (SELECT nation, MIN(day) AS mn, MAX(day) AS mx
+               FROM daily GROUP BY nation),
+    spine AS (SELECT nation,
+                     UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+    xs AS (SELECT s.nation, s.day, COALESCE(d.x, 0) AS x
+           FROM spine s LEFT JOIN daily d
+             ON s.nation = d.nation AND s.day = d.day),
+    tgt AS (SELECT nation, day, x,
+                   UNNEST(GENERATE_SERIES(0, 29)) AS i
+            FROM xs),
+    lev AS (
+      SELECT t.nation, t.day, MAX(t.x) AS x,
+             CAST(SUM(CAST(ROUND(
+               CAST(src.x AS DOUBLE)
+               * (CAST(1.0 AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << (t.i + 1)) AS DOUBLE)),
+               12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+      FROM tgt t JOIN xs src
+        ON src.nation = t.nation
+       AND src.day = t.day - t.i * INTERVAL 1 DAY
+      GROUP BY t.nation, t.day),
+    fc AS (
+      SELECT l.nation, l.day,
+             ROUND(l.raw / (CAST(1.0 AS DOUBLE)
+                            - CAST(1.0 AS DOUBLE)
+                              / CAST((CAST(1 AS BIGINT) << 30) AS DOUBLE)),
+                   6) AS level,
+             l.x AS x_t, nxt.x AS x_next
+      FROM lev l
+        JOIN bounds b ON l.nation = b.nation
+        JOIN xs nxt ON nxt.nation = l.nation
+                   AND nxt.day = l.day + INTERVAL 1 DAY
+      WHERE l.day >= b.mn + 29 * INTERVAL 1 DAY
+        AND l.day <= b.mx - INTERVAL 1 DAY)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(CAST(x_next AS DOUBLE) - level), 6)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae_ewma,
+           ROUND(SQRT(
+             CAST(SUM(CAST(ROUND(
+               ROUND(CAST(x_next AS DOUBLE) - level, 6)
+               * ROUND(CAST(x_next AS DOUBLE) - level, 6), 12)
+               AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)), 6) AS rmse_ewma,
+           ROUND(CAST(SUM(CAST(ABS(x_next - x_t) AS DECIMAL(28,12)))
+                      AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae_naive
+    FROM fc GROUP BY nation
+    """,
+)
+def forecast_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA (alpha=0.5, 30-tap FIR) one-step-ahead forecast
+    backtest of per-nation daily order counts, vs the naive
+    last-value baseline.  The recursive EWMA is reformulated as its
+    explicit 30-lag weighted sum (weights 2^-(i+1), normalized by
+    1-2^-30) — weights are exact powers of two, so every term is a
+    dyadic rational and the level is engine-identical; terms are
+    rounded 12 dp and decimal-summed (accumulation-order-proof), the
+    level rounded 6 dp BEFORE the error, and MAE/RMSE fold 6-dp
+    errors through DECIMAL(28,12).  Eval window = days with a full
+    30-lag history and a next-day actual.  Scale: the spine is
+    date-domain x 25 nations (bounded), the 30-lag expansion is a
+    nation+day EQUI-join (explode(sequence) — no range scan, no
+    window), and every stage shares the nation key; at 100 TB the
+    only data-proportional stage is the first daily rollup, which
+    map-side combines.  Reference capability matched: none
+    (LLM-extension mandate — ops analytics for ingest volumes).
+    """
+    t = _t(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = daily.groupBy("nation").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "nation",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    xs = (
+        spine.join(daily, ["nation", "day"], "left")
+        .select("nation", "day", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # 3 consumers: lag join src + tgt + next
+    )
+    tgt = xs.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(29))))
+    src = xs.select(
+        F.col("nation").alias("s_nation"),
+        F.col("day").alias("s_day"),
+        F.col("x").alias("s_x"),
+    )
+    weight = F.lit(1.0) / F.expr(
+        "cast(shiftleft(cast(1 as bigint), i + 1) as double)"
+    )
+    lev = (
+        tgt.join(
+            src,
+            (F.col("s_nation") == F.col("nation"))
+            & (F.col("s_day") == F.expr("day - make_interval(0, 0, 0, i)")),
+        )
+        .groupBy("nation", "day")
+        .agg(
+            F.max("x").alias("x_t"),
+            F.sum(
+                F.round(F.col("s_x").cast("double") * weight, 12).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("raw"),
+        )
+    )
+    norm = F.lit(1.0) - F.lit(1.0) / F.shiftleft(
+        F.lit(1).cast("long"), 30
+    ).cast("double")
+    nxt = xs.select(
+        F.col("nation").alias("x_nation"),
+        F.col("day").alias("x_day"),
+        F.col("x").alias("x_next"),
+    )
+    fc = (
+        lev.join(bounds, "nation")
+        .join(
+            nxt,
+            (F.col("x_nation") == F.col("nation"))
+            & (F.col("x_day") == F.expr("day + interval 1 day")),
+        )
+        .filter(
+            (F.col("day") >= F.expr("mn + make_interval(0, 0, 0, 29)"))
+            & (F.col("day") <= F.expr("mx - interval 1 day"))
+        )
+        .select(
+            "nation",
+            F.round(F.col("raw") / norm, 6).alias("level"),
+            "x_t",
+            "x_next",
+        )
+    )
+    err = F.round(F.col("x_next").cast("double") - F.col("level"), 6)
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    cnt = F.count("*").cast("double")
+    return fc.groupBy("nation").agg(
+        F.count("*").alias("n_eval"),
+        F.round(dec(F.round(F.abs(F.col("x_next").cast("double") - F.col("level")), 6)) / cnt, 6).alias("mae_ewma"),
+        F.round(F.sqrt(dec(F.round(err * err, 12)) / cnt), 6).alias("rmse_ewma"),
+        F.round(dec(F.abs(F.col("x_next") - F.col("x_t"))) / cnt, 6).alias(
+            "mae_naive"
+        ),
+    )
