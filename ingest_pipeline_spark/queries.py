@@ -13701,3 +13701,144 @@ def forecast_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_naive"
         ),
     )
+
+
+@register(
+    "stats_bootstrap_ci",
+    """
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', o_orderdate) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                   6) AS v
+      FROM orders GROUP BY DATE_TRUNC('day', o_orderdate)),
+    idx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY day ASC) - 1 AS r
+            FROM daily),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    draws AS (
+      SELECT bs.b,
+             CAST('0x' || SUBSTRING(MD5('bs:' || CAST(bs.b AS VARCHAR)
+                    || ':' || CAST(js.j AS VARCHAR)), 1, 8) AS BIGINT)
+               % nn.n AS r
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 199)) AS b) bs
+      CROSS JOIN nn
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+                    (SELECT n FROM nn) - 1)) AS j) js),
+    reps AS (
+      SELECT d.b,
+             ROUND(CAST(SUM(CAST(i.v AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE), 6) AS m
+      FROM draws d JOIN idx i ON d.r = i.r CROSS JOIN nn
+      GROUP BY d.b, nn.n),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS rn FROM reps),
+    stats AS (
+      SELECT CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(m * m, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS s2
+      FROM reps),
+    pt AS (
+      SELECT ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS point_mean,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily)
+    SELECT pt.n_days, CAST(200 AS BIGINT) AS n_boot, pt.point_mean,
+           (SELECT m FROM ranked WHERE rn = 5) AS boot_lo,
+           (SELECT m FROM ranked WHERE rn = 195) AS boot_hi,
+           ROUND(SQRT((stats.s2 - stats.s1 * stats.s1
+                       / CAST(200 AS DOUBLE))
+                      / CAST(199 AS DOUBLE)), 6) AS boot_se
+    FROM pt CROSS JOIN stats
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap 95% CI for the mean daily order revenue:
+    B=200 resamples of the ~2.4k-day series, each drawing n days with
+    replacement via md5('bs:'||b||':'||j) mod n — the no-RNG-state
+    resampler (hash_sample's trick), so every replicate is identical
+    in any engine, on any cluster, under any retry.  Replicate means
+    fold 6-dp day values through DECIMAL(28,12); the CI is the 5th /
+    195th order statistics of the 200 means (percentile-method
+    bootstrap, Efron 1979) via a rank over the B-row relation; the
+    bootstrap SE comes from decimal co-moments.  Scale: the day
+    rollup is the only data-proportional stage (map-side combined);
+    draws are B x n ~ 480k generated rows equi-joined to the indexed
+    day relation — both bounded by the date domain, never by corpus
+    size.  The day-rank and replicate-rank windows run over the
+    ~2.4k-day / 200-row bounded relations (GLOBAL_WINDOW_BY_DESIGN);
+    the 1-row count broadcasts are BNLJ_BY_DESIGN.
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    orders = _t(spark, sf_dir)["orders"]
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            6,
+        ).alias("v")
+    )
+    w_day = Window.orderBy(F.asc("day"))
+    idx = daily.select(
+        "v", (F.row_number().over(w_day) - 1).alias("r")
+    ).localCheckpoint(eager=True)  # bounded day-domain; reused twice
+    nn = idx.agg(F.count("*").alias("n"))
+    draws = (
+        spark.range(200)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(nn))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("n") - 1)))
+        .select(
+            "b",
+            "n",
+            hex_prefix_to_long(
+                F.md5(F.concat_ws("", F.lit("bs:"), F.col("b"), F.lit(":"), F.col("j"))),
+                1,
+                8,
+            ).alias("h"),
+        )
+        .select("b", "n", (F.col("h") % F.col("n")).alias("r"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    reps = (
+        draws.join(idx, "r")
+        .groupBy("b", "n")
+        .agg(
+            F.round(dec(F.col("v")) / F.col("n").cast("double"), 6).alias("m")
+        )
+        .select("b", "m")
+    )
+    reps = reps.localCheckpoint(eager=True)  # 200 rows; rank + moments
+    w_rep = Window.orderBy(F.asc("m"), F.asc("b"))
+    ranked = reps.select("m", F.row_number().over(w_rep).alias("rn"))
+    lo = ranked.filter(F.col("rn") == 5).select(F.col("m").alias("boot_lo"))
+    hi = ranked.filter(F.col("rn") == 195).select(F.col("m").alias("boot_hi"))
+    stats = reps.agg(
+        dec(F.col("m")).alias("s1"),
+        dec(F.round(F.col("m") * F.col("m"), 12)).alias("s2"),
+    )
+    pt = daily.agg(
+        F.count("*").alias("n_days"),
+        F.round(dec(F.col("v")) / F.count("*").cast("double"), 6).alias(
+            "point_mean"
+        ),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_days",
+            F.lit(200).cast("long").alias("n_boot"),
+            "point_mean",
+            "boot_lo",
+            "boot_hi",
+            F.round(
+                F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.lit(200.0))
+                    / F.lit(199.0)
+                ),
+                6,
+            ).alias("boot_se"),
+        )
+    )

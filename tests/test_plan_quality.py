@@ -202,6 +202,8 @@ BNLJ_BY_DESIGN = {
     "orders_runs_test",         # broadcast 1-row median row
     "search_rrf_fusion",        # broadcast 1-row query vector + BM25's
                                 # 1-row corpus stats (branch reused)
+    "stats_bootstrap_ci",       # broadcast 1-row day count + 1-row
+                                # lo/hi/moment frames
 }
 
 
@@ -219,6 +221,7 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "customer_lorenz_curve",  # cumulative pass over the 10 decile rows
     "orders_runs_test",  # daily series: rows = distinct days (~2.4k, fixed date domain)
     "search_rrf_fusion",  # final rank over the fused ≤40-row (two top-20 lists) relation
+    "stats_bootstrap_ci",  # day-rank over ~2.4k fixed date domain + rank over the 200 replicate means
 }
 
 
