@@ -13842,3 +13842,122 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_se"),
         )
     )
+
+
+def _mmr_oracle_sql(k: int = 5, n_cand: int = 12) -> str:
+    """Unrolled greedy-MMR oracle: k-1 argmax CTE steps over the
+    bounded candidate set (k is a fixed operator parameter, so the
+    unroll is static SQL, not data-dependent)."""
+    cos = _COS6.format(a="a.vec", b="b.vec")
+    parts = [
+        f"""
+    WITH cand AS (
+      SELECT e.vec_id AS id, e.embedding AS vec,
+             {_COS6.format(a="e.embedding", b="q.qv")} AS rel
+      FROM embeddings e,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, id ASC LIMIT {n_cand}),
+    sim AS (
+      SELECT a.id AS ia, b.id AS ib, {cos} AS s
+      FROM cand a JOIN cand b ON a.id <> b.id),
+    p1 AS (SELECT id, rel AS score FROM cand
+           ORDER BY rel DESC, id ASC LIMIT 1)"""
+    ]
+    for t in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT id FROM p{i}" for i in range(1, t))
+        parts.append(
+            f""",
+    p{t} AS (
+      SELECT id, CAST(0.5 AS DOUBLE) * rel
+                 - CAST(0.5 AS DOUBLE) * mx AS score
+      FROM (SELECT c.id, c.rel, MAX(s.s) AS mx
+            FROM cand c JOIN sim s ON s.ib = c.id
+                 AND s.ia IN ({sel})
+            WHERE c.id NOT IN ({sel})
+            GROUP BY c.id, c.rel) t
+      ORDER BY score DESC, id ASC LIMIT 1)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT id AS doc_id, CAST({t} AS BIGINT) AS pick, "
+        f"ROUND(score, 6) AS mmr_score FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+@register("search_mmr_rerank", _mmr_oracle_sql())
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998,
+    lambda=0.5) of the cosine top-12 candidates for the vec_id=0 query:
+    greedily pick k=5 documents maximizing
+    0.5*rel(d) - 0.5*max_{s in selected} sim(d, s) — the standard
+    retrieval diversifier (and the selection rule semantic-dedup
+    inverts).  Determinism: rel and pairwise sims are 6-dp-rounded
+    cosines; the MMR score halves them (exact binary scaling), so every
+    comparison is on engine-identical doubles, with id tiebreaks.
+    Scale/shape: the candidate set is a bounded top-k
+    (TakeOrderedAndProject over the corpus — the only data-proportional
+    stage); the 12x12 sim matrix and the k-1 greedy steps run on
+    BOUNDED relations (BNLJ_BY_DESIGN).  Greedy selection is inherently
+    sequential, so the driver loops k-1 times, each step a distributed
+    argmax whose 1-row winner is collected — the fixpoint-loop
+    discipline of operators/graph.py, with a k-bounded trip count.
+    The oracle unrolls the same k steps as static CTEs.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(12)
+        .localCheckpoint(eager=True)  # 12 rows drive the greedy loop
+    )
+    sim = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)  # 132 rows, reused k-1 times
+    )
+    first = cand.orderBy(F.desc("rel"), F.asc("id")).limit(1).select(
+        "id", F.col("rel").alias("score")
+    ).collect()[0]
+    picks = [(int(first.id), 1, float(first.score))]
+    sel = [int(first.id)]
+    for t in range(2, 6):
+        step = (
+            cand.filter(~F.col("id").isin(sel))
+            .join(
+                sim.filter(F.col("ia").isin(sel)),
+                F.col("ib") == F.col("id"),
+            )
+            .groupBy("id", "rel")
+            .agg(F.max("s").alias("mx"))
+            .select(
+                "id",
+                (
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("mx")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((int(step.id), t, float(step.score)))
+        sel.append(int(step.id))
+    out = spark.createDataFrame(
+        picks, "doc_id long, pick long, mmr_score double"
+    )
+    return out.select(
+        "doc_id", "pick", F.round("mmr_score", 6).alias("mmr_score")
+    )
