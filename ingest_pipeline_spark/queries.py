@@ -13961,3 +13961,139 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "pick", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+@register(
+    "text_rake_keywords",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    tk AS (
+      SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS pos,
+             (tk[i] IN ('the', 'a', 'of', 'and', 'to')) AS is_stop
+      FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(tk))) t(i)),
+    nw AS (
+      SELECT doc_id, w, pos, pid FROM (
+        SELECT doc_id, w, pos, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS pid
+        FROM tk) s
+      WHERE NOT is_stop),
+    ph AS (
+      SELECT doc_id, pid,
+             STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM nw GROUP BY doc_id, pid),
+    occ AS (
+      SELECT n.doc_id, n.pid, n.w, p.plen
+      FROM nw n JOIN ph p ON n.doc_id = p.doc_id AND n.pid = p.pid),
+    ws AS (
+      SELECT w,
+             ROUND(CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS wscore
+      FROM occ GROUP BY w),
+    pscore AS (
+      SELECT o.doc_id, o.pid,
+             CAST(SUM(CAST(ws.wscore AS DECIMAL(28,12))) AS DOUBLE) AS score
+      FROM occ o JOIN ws ON o.w = ws.w GROUP BY o.doc_id, o.pid),
+    agg AS (
+      SELECT p.phrase,
+             CAST(COUNT(*) AS BIGINT) AS phrase_count,
+             MAX(p.plen) AS n_words,
+             ROUND(MAX(s.score), 6) AS score
+      FROM ph p JOIN pscore s ON p.doc_id = s.doc_id AND p.pid = s.pid
+      GROUP BY p.phrase),
+    ranked AS (
+      SELECT phrase, phrase_count, n_words, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, phrase ASC) AS rank
+      FROM agg)
+    SELECT phrase, phrase_count, n_words, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 25
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (stopset {the,a,of,and,to} —
+    the corpus's function words); word score = degree/frequency where
+    degree sums the lengths of every phrase the word occurs in; phrase
+    score = sum of member word scores; global top-25 phrases.
+    Determinism: word scores are int/int IEEE divisions rounded 6 dp,
+    phrase scores decimal-sum them (order-proof), 6-dp rounded before
+    the fully-tiebroken top-25.  Shape: phrase segmentation is ONE
+    doc-keyed prefix-sum window over per-doc token positions (bounded
+    by doc length, never global); everything downstream is
+    (doc,phrase)/(word)-keyed aggs and equi-joins; the final top-25 is
+    TakeOrderedAndProject.  Scale: identical to the BM25/tf-idf
+    inverted-index build — the corpus shuffles only on its natural
+    keys.  Reference capability matched: none (LLM-extension mandate —
+    corpus keyphrase mining).
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        "w",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("w").isin("the", "a", "of", "and", "to").alias("is_stop"),
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nw = (
+        tk.withColumn(
+            "pid", F.sum(F.col("is_stop").cast("int")).over(w_doc)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "w", "pos", "pid")
+    )
+    ph = nw.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    occ = nw.join(ph.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+    ws = occ.groupBy("w").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count("*").cast("double"), 6
+        ).alias("wscore")
+    )
+    pscore = (
+        occ.join(ws, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.sum(F.col("wscore").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    agg = (
+        ph.join(pscore, ["doc_id", "pid"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("phrase_count"),
+            F.max("plen").alias("n_words"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 25)
+        .select("phrase", "phrase_count", "n_words", "score", "rank")
+    )
