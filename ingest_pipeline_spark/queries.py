@@ -14097,3 +14097,116 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 25)
         .select("phrase", "phrase_count", "n_words", "score", "rank")
     )
+
+
+@register(
+    "similarity_ivfpq_topk_det",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    cells AS (
+      SELECT id, cell FROM (
+        SELECT e.vec_id AS id, a.anchor_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS6.format(a="e.embedding", b="a.a_vec")} DESC,
+                          a.anchor_id ASC) AS rn
+        FROM embeddings e, anchors a) s WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, a.anchor_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS6.format(a="e.embedding", b="a.a_vec")} DESC,
+                          a.anchor_id ASC) AS rn
+        FROM embeddings e, anchors a
+        WHERE e.vec_id >= 20 AND e.vec_id < 35) s WHERE rn <= 2),
+    x AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             CAST((i - 1) // 2 AS INT) AS j, CAST((i - 1) % 2 AS INT) AS ps
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    cb AS (
+      SELECT j, id AS c, ps, val AS cb_val
+      FROM x WHERE id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 16)),
+    enc AS (
+      SELECT x.id, x.j, cb.c,
+             SUM(CAST(ROUND((x.val - cb.cb_val) * (x.val - cb.cb_val), 12)
+                      AS DECIMAL(28,12))) AS dist2
+      FROM x JOIN cb ON x.j = cb.j AND x.ps = cb.ps
+      GROUP BY x.id, x.j, cb.c),
+    codes AS (
+      SELECT id, j, c AS code FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM enc) s WHERE rn = 1),
+    qx AS (SELECT id AS query_id, pos, val AS qval, j, ps
+           FROM x WHERE id >= 20 AND id < 35),
+    lut AS (
+      SELECT qx.query_id, qx.j, cb.c,
+             SUM(CAST(ROUND(qx.qval * cb.cb_val, 12) AS DECIMAL(28,12)))
+               AS pdot
+      FROM qx JOIN cb ON qx.j = cb.j AND qx.ps = cb.ps
+      GROUP BY qx.query_id, qx.j, cb.c),
+    candpairs AS (
+      SELECT p.query_id, cl.id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.id <> p.query_id),
+    adc AS (
+      SELECT cp.query_id, cp.id, SUM(l.pdot) AS approx_dot
+      FROM candpairs cp
+        JOIN codes co ON co.id = cp.id
+        JOIN lut l ON l.query_id = cp.query_id
+                  AND l.j = co.j AND l.c = co.code
+      GROUP BY cp.query_id, cp.id),
+    cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dot DESC, id ASC) AS rn
+        FROM adc) s WHERE rn <= 20),
+    ex AS (
+      SELECT cd.query_id, cd.id,
+             SUM(CAST(ROUND(q.qval * v.val, 12) AS DECIMAL(28,12))) AS dot_d
+      FROM cand cd
+      JOIN x v ON v.id = cd.id
+      JOIN qx q ON q.query_id = cd.query_id AND q.pos = v.pos
+      GROUP BY cd.query_id, cd.id)
+    SELECT query_id, id AS neighbor_id,
+           ROUND(CAST(dot_d AS DOUBLE), 6) AS dot, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, id, dot_d,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot_d DESC, id ASC) AS rank
+          FROM ex) s
+    WHERE rank <= 5
+    """,
+)
+def similarity_ivfpq_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (scale path #4, composing paths #2 and #3): the
+    deterministic 8-anchor IVF quantizer prunes the scan to each
+    query's 2 nearest cells; a corpus-SAMPLED PQ codebook (subspace
+    codes = the 16 lowest-id vectors' subvectors, m=32/d_sub=2)
+    scores the surviving codes in the compressed domain (LUT
+    equi-join, decimal partial dots); the top-20 ADC candidates are
+    re-ranked by exact decimal inner product to a top-5 — the
+    IVFADC architecture a billion-vector corpus actually serves
+    (Jegou et al. 2011).  The sampled codebook fits the corpus
+    distribution: measured recall@5 vs brute force at sf0.01 is 0.45
+    while scanning ~25% of codes (vs 0.19 for the md5-uniform
+    codebook; unpruned it reaches 0.84 — see
+    tests/test_ivfpq_recall.py).  Every stage is an equi-join; the
+    raw vectors are touched data-proportionally only by the index
+    build.  operators/similarity.py:ivfpq_topk_det; BNLJ_BY_DESIGN:
+    the broadcast 8-row anchor set + 16-row code sample.
+    """
+    from .operators.similarity import ivfpq_topk_det
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    q = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 35))
+    return ivfpq_topk_det(
+        emb, q, "embedding", "vec_id", k=5, m=32, n_codes=16,
+        n_cells=8, n_probe=2, refine=4,
+    )

@@ -172,6 +172,7 @@ BNLJ_BY_DESIGN = {
     "orders_backlog_aging",     # broadcast 1-row anchor date
     "orders_price_decile_stats",  # global_ntile's broadcast 1-row total
     "similarity_ivf_topk_det",  # broadcast 8-row anchor set (IVF cells)
+    "similarity_ivfpq_topk_det",  # broadcast 8-row anchor set (IVF-PQ cells)
     "dedup_semantic_clusters",  # broadcast 8-row anchor set (SemDeDup cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
