@@ -808,11 +808,16 @@ def pq_topk_det(
         .groupBy("id", "j", "c")
         .agg(dec((F.col("val") - F.col("cb_val")) * (F.col("val") - F.col("cb_val"))).alias("dist2"))
     )
-    w_enc = Window.partitionBy("id", "j").orderBy(F.asc("dist2"), F.asc("c"))
+    # argmin(dist2, tiebreak c asc) as a min-of-struct hash aggregate:
+    # lexicographic struct MIN == the row_number-over-window formulation
+    # but with map-side partials and no per-(id, j) sort — at sf0.1 the
+    # encode relation is only 1M rows so local wall-clock is flat, but
+    # at corpus scale the sort-window's full (id, j) sort is the
+    # difference between a partial agg and a data-proportional sort
     codes = (
-        enc.withColumn("__rn", F.row_number().over(w_enc))
-        .filter(F.col("__rn") == 1)
-        .select("id", "j", F.col("c").alias("code"))
+        enc.groupBy("id", "j")
+        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
+        .select("id", "j", F.col("mn.c").alias("code"))
     )
     qx = queries.select(
         F.col(id_col).alias("query_id"),
@@ -905,18 +910,33 @@ def ivfpq_topk_det(
     |probed cells| x m codes, never the corpus.  Returns
     (query_id, neighbor_id, dot, rank<=k) ranked by exact inner
     product among the ADC survivors.
+
+    The max(n_cells, n_codes) lowest-id sample vectors are collected
+    ONCE driver-side (report-sized by contract — 16 rows here, one
+    TakeOrdered over the corpus) and re-emitted as literal broadcast
+    relations; collected doubles are exact IEEE values, and all
+    rounding stays Spark-side, so results are bit-identical to the
+    join-built codebook while skipping four corpus-scan jobs.
     """
-    first = corpus.select(vec_col).first()
-    if first is None or first[0] is None:
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(max(n_cells, n_codes))
+        .collect()
+    )
+    if not sample or sample[0][1] is None:
         return _empty_topk(queries, id_col)
-    dim = len(first[0])
+    dim = len(sample[0][1])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    anchors = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    anchors = F.broadcast(
+        spark.createDataFrame(
+            [(r[0], r[1]) for r in sample[:n_cells]],
+            f"anchor_id {corpus.schema[id_col].dataType.simpleString()}, "
+            "a_vec array<double>",
+        )
     )
 
     def _assign(df: DataFrame, key: str, keep: int) -> DataFrame:
@@ -944,16 +964,16 @@ def ivfpq_topk_det(
         F.round(F.col("val0"), 6).alias("val"),
         (F.col("pos") / d_sub).cast("int").alias("j"),
         (F.col("pos") % d_sub).cast("int").alias("ps"),
-    ).localCheckpoint(eager=True)  # encode + codebook + re-rank share it
-    sample_ids = (
-        corpus.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("c_id"))
-    )
-    cb = (
-        x.join(F.broadcast(sample_ids), x["id"] == F.col("c_id"))
-        .select("j", F.col("id").alias("c"), "ps", F.col("val").alias("cb_val"))
-    )
+    ).localCheckpoint(eager=True)  # encode + re-rank share it
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    cb = spark.createDataFrame(
+        [
+            (pos // d_sub, r[0], pos % d_sub, r[1][pos])
+            for r in sample[:n_codes]
+            for pos in range(dim)
+        ],
+        f"j int, c {id_t}, ps int, cb_raw double",
+    ).select("j", "c", "ps", F.round("cb_raw", 6).alias("cb_val"))
     dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
     enc = (
         x.join(F.broadcast(cb), ["j", "ps"])
@@ -965,11 +985,11 @@ def ivfpq_topk_det(
             ).alias("dist2")
         )
     )
-    w_enc = Window.partitionBy("id", "j").orderBy(F.asc("dist2"), F.asc("c"))
+    # argmin via lexicographic struct MIN — see pq_topk_det's codes note
     codes = (
-        enc.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("id", "j", F.col("c").alias("code"))
+        enc.groupBy("id", "j")
+        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
+        .select("id", "j", F.col("mn.c").alias("code"))
     )
     qx = queries.select(
         F.col(id_col).alias("query_id"),
