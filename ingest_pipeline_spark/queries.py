@@ -14210,3 +14210,568 @@ def similarity_ivfpq_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, "embedding", "vec_id", k=5, m=32, n_codes=16,
         n_cells=8, n_probe=2, refine=4,
     )
+
+
+@register(
+    "corpus_filter_funnel",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    wc AS (
+      SELECT doc_id, x AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, UNNEST(tk) t(x) GROUP BY doc_id, x),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(LEN(w) * c) AS BIGINT) AS sum_len
+      FROM wc GROUP BY doc_id),
+    flags AS (
+      SELECT d.doc_id, MD5(d.text) AS digest,
+             (d.lang = 'en') AS f1,
+             (d.lang = 'en' AND COALESCE(s.n_words, 0) >= 25) AS f2,
+             (d.lang = 'en' AND COALESCE(s.n_words, 0) >= 25
+              AND ROUND(CAST(s.sum_len AS DOUBLE)
+                        / CAST(s.n_words AS DOUBLE), 6)
+                    BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE)
+              AND ROUND(CAST(s.top_cnt AS DOUBLE)
+                        / CAST(s.n_words AS DOUBLE), 6)
+                    <= CAST(0.125 AS DOUBLE)) AS f3
+      FROM documents d LEFT JOIN stats s USING (doc_id)),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(COUNT(DISTINCT CASE WHEN f3 THEN digest END) AS BIGINT)
+               AS n4
+      FROM flags)
+    SELECT stage_ord, stage, docs_in, docs_kept,
+           docs_in - docs_kept AS docs_dropped,
+           CASE WHEN docs_in = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(CAST(docs_in - docs_kept AS DOUBLE)
+                           / CAST(docs_in AS DOUBLE), 6) END AS drop_frac
+    FROM (
+      SELECT 1 AS stage_ord, 'lang' AS stage, n0 AS docs_in, n1 AS docs_kept
+        FROM agg
+      UNION ALL
+      SELECT 2, 'length', n1, n2 FROM agg
+      UNION ALL
+      SELECT 3, 'quality', n2, n3 FROM agg
+      UNION ALL
+      SELECT 4, 'exact_dedup', n3, n4 FROM agg) u
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style staged corpus filter with per-stage attrition: the
+    document set flows lang-filter -> min-length -> Gopher-style
+    quality gates -> exact dedup, and the output is the 4-row funnel
+    (docs in, kept, dropped, drop fraction per stage) a data-curation
+    team reads before a training run (Penedo et al. 2024 report
+    exactly this table).  Cumulative stage flags are computed per
+    document in ONE pass over the word-count relation, and the whole
+    funnel is a single global aggregate — stage k's survivor count is
+    sum(f1 AND .. AND fk) and the dedup stage is
+    COUNT(DISTINCT digest) over stage-3 survivors, so no per-stage
+    subsetting, no joins between stages, no second scan.  Scale: one
+    explode -> per-doc agg (the inverted-index build) + one 1-row
+    reduce with map-side partials; the 4-row funnel is assembled from
+    that single row.  Ratios round 6 dp (int/int, engine-identical).
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.length("w") * F.col("c")).alias("sum_len"),
+    )
+    ratio = lambda a, b: F.round(  # noqa: E731
+        a.cast("double") / b.cast("double"), 6
+    )
+    f1 = F.col("lang") == "en"
+    f2 = f1 & (F.coalesce(F.col("n_words"), F.lit(0)) >= 25)
+    f3 = (
+        f2
+        & ratio(F.col("sum_len"), F.col("n_words")).between(
+            F.lit(4.0), F.lit(5.0)
+        )
+        & (ratio(F.col("top_cnt"), F.col("n_words")) <= F.lit(0.125))
+    )
+    flags = docs.join(stats, "doc_id", "left").select(
+        F.md5("text").alias("digest"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+    )
+    one = lambda f: F.sum(F.when(f, 1).otherwise(0))  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        one(F.col("f1")).alias("n1"),
+        one(F.col("f2")).alias("n2"),
+        one(F.col("f3")).alias("n3"),
+        F.countDistinct(
+            F.when(F.col("f3"), F.col("digest"))
+        ).alias("n4"),
+    )
+    stage = lambda o, nm, i, k: F.struct(  # noqa: E731
+        F.lit(o).alias("stage_ord"),
+        F.lit(nm).alias("stage"),
+        F.col(i).alias("docs_in"),
+        F.col(k).alias("docs_kept"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                stage(1, "lang", "n0", "n1"),
+                stage(2, "length", "n1", "n2"),
+                stage(3, "quality", "n2", "n3"),
+                stage(4, "exact_dedup", "n3", "n4"),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.select(
+        "stage_ord",
+        "stage",
+        "docs_in",
+        "docs_kept",
+        (F.col("docs_in") - F.col("docs_kept")).alias("docs_dropped"),
+        F.when(F.col("docs_in") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("docs_in") - F.col("docs_kept")).cast("double")
+                / F.col("docs_in").cast("double"),
+                6,
+            )
+        )
+        .alias("drop_frac"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      GROUP BY l_returnflag),
+    m AS (
+      SELECT grp, n, sx / n AS mean,
+             (sxx - n * (sx / n) * (sx / n)) / (n - 1) AS var
+      FROM g),
+    p AS (
+      SELECT MAX(CASE WHEN grp = 'R' THEN n END) AS n1,
+             MAX(CASE WHEN grp = 'N' THEN n END) AS n2,
+             MAX(CASE WHEN grp = 'R' THEN mean END) AS m1,
+             MAX(CASE WHEN grp = 'N' THEN mean END) AS m2,
+             MAX(CASE WHEN grp = 'R' THEN var END) AS v1,
+             MAX(CASE WHEN grp = 'N' THEN var END) AS v2
+      FROM m)
+    SELECT n1, n2, ROUND(m1, 6) AS mean_r, ROUND(m2, 6) AS mean_n,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(
+             ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+    FROM p
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (returned vs normal
+    lineitem revenue) — the workhorse A/B significance test next to
+    the rank-based ones (stats_mannwhitney_u) and the distributional
+    one (stats_ks_two_sample).  Sufficient statistics (n, Σx, Σx²)
+    are decimal-exact per group (x² is a DECIMAL(18,2)² product —
+    exact integer-scaled arithmetic, never a rounded double product:
+    ulp(1e10) ≈ 2e-6 makes a 6-dp round of the double square
+    engine-ambiguous), so the shuffle carries 2 rows; mean/variance/t and the Welch-Satterthwaite
+    df are then ONE double expression each, written with identical
+    operation order in both engines and rounded 6 dp.  Scale: a 2-group
+    partial agg over the fact table — nothing else moves.  Reference
+    unit: tests/test_stats_reference.py::test_welch_matches_reference.
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    g = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("sx"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_extendedprice").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    m = g.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("sxx")
+                - F.col("n") * (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    pick = lambda c, v: F.max(F.when(F.col("grp") == v, F.col(c)))  # noqa: E731
+    p = m.agg(
+        pick("n", "R").alias("n1"),
+        pick("n", "N").alias("n2"),
+        pick("mean", "R").alias("m1"),
+        pick("mean", "N").alias("m2"),
+        pick("var", "R").alias("v1"),
+        pick("var", "N").alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return p.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1"), 6).alias("mean_r"),
+        F.round(F.col("m2"), 6).alias("mean_n"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6
+        ).alias("t_stat"),
+        F.round(
+            ((se1 + se2) * (se1 + se2))
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "corpus_mix_temperature",
+    """
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(LEN(LIST_FILTER(
+                    STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tok),
+    w AS (
+      SELECT source, n_tokens, n_docs,
+             ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p_raw,
+             SQRT(ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6))
+               AS w_sqrt
+      FROM tok, tot),
+    norm AS (
+      SELECT source, n_tokens, n_docs, p_raw, w_sqrt,
+             CAST(SUM(CAST(ROUND(w_sqrt, 6) AS DECIMAL(18,6))) OVER ()
+                  AS DOUBLE) AS z
+      FROM w)
+    SELECT source, n_docs, n_tokens, p_raw,
+           ROUND(w_sqrt / z, 6) AS p_temp,
+           CAST(ROUND(1000000 * (w_sqrt / z), 0) AS BIGINT)
+             AS tokens_per_million
+    FROM norm
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting (alpha = 0.5) of the
+    corpus sources — the multilingual-pretraining recipe (Conneau &
+    Lample 2019; mT5's alpha-sampling) that upsamples small sources:
+    sampling weight p_s^alpha / sum(p^alpha).  alpha = 0.5 keeps the
+    oracle exact: p^0.5 is SQRT, an IEEE-correctly-rounded op both
+    engines agree on bit-for-bit (general pow routes through exp/log
+    and drifts 1 ulp — the EXP-parity rule).  The normalizer is a
+    decimal sum over the per-source weight relation (|sources| rows —
+    the empty-partition-spec window is DOMAIN-bounded, never
+    data-proportional), and the headline number is expected tokens
+    drawn per million under the new mix.  Scale: one per-source agg
+    with map-side partials; everything downstream operates on
+    |sources| rows.  p_raw rounds 6 dp BEFORE SQRT so both engines
+    take the root of the identical double.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    tok = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    w = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "n_docs",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("t").cast("double"), 6
+        ).alias("p_raw"),
+        F.sqrt(
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("t").cast("double"),
+                6,
+            )
+        ).alias("w_sqrt"),
+    )
+    z = (
+        F.sum(F.round(F.col("w_sqrt"), 6).cast("decimal(18,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    # GLOBAL_WINDOW_BY_DESIGN: the windowed relation is the per-source
+    # weight table (|sources| rows, a domain bound), never row-scale
+    norm = w.select("source", "n_docs", "n_tokens", "p_raw", "w_sqrt", z.alias("z"))
+    return norm.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        F.round(F.col("w_sqrt") / F.col("z"), 6).alias("p_temp"),
+        F.round(F.lit(1000000) * (F.col("w_sqrt") / F.col("z")), 0)
+        .cast("bigint")
+        .alias("tokens_per_million"),
+    )
+
+
+@register(
+    "quality_calibration_bins",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit,
+             LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             ROUND(CAST(-3.0 AS DOUBLE)
+                   + CAST(0.55 AS DOUBLE)
+                     * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   - CAST(6.0 AS DOUBLE)
+                     * (CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   - CAST(2.5 AS DOUBLE)
+                     * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   + CAST(0.002 AS DOUBLE) * CAST(n_tok AS DOUBLE), 6)
+               AS zscore
+      FROM f WHERE n_tok > 0 AND n_chars > 0),
+    b AS (
+      SELECT CAST(FLOOR(zscore * 2) AS BIGINT) AS bin, pos, zscore FROM z),
+    agg AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             ROUND(CAST(SUM(CAST(zscore AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS mean_z
+      FROM b GROUP BY bin)
+    SELECT bin, n_docs, n_pos, mean_z,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS pos_rate,
+           CASE WHEN n_pos > 0 AND n_pos < n_docs THEN
+             ROUND(LN((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      / (CAST(1.0 AS DOUBLE)
+                         - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))),
+                   6)
+           END AS emp_logit
+    FROM agg
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the corpus quality classifier
+    (quality_logistic_score's logit): bin documents by half-unit logit
+    buckets and compare the model's score against the empirical
+    positive rate (lang = 'en', the same label quality_roc_auc ranks).
+    A calibrated model has emp_logit tracking mean_z bin by bin —
+    the standard pre-deployment check before a learned filter gates a
+    100 TB corpus.  The EXP-parity rule holds: the sigmoid is never
+    materialized — the diagram is plotted in LOGIT space (empirical
+    log-odds via LN of an int/int ratio; LN parity is engine-exact on
+    identical double inputs, 6-dp rounded; degenerate all-pos /
+    all-neg bins yield NULL instead of ±inf).  Scale: one scan
+    computing the score in column arithmetic + one tiny keyed agg —
+    bins are a DOMAIN-bounded relation (score range / 0.5).
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    n_chars = F.length("text")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    f = docs.select(
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tok"),
+        n_digit.alias("n_digit"),
+        n_punct.alias("n_punct"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    z = F.round(
+        F.lit(-3.0)
+        + F.lit(0.55)
+        * (F.col("n_chars").cast("double") / F.col("n_tok").cast("double"))
+        - F.lit(6.0)
+        * (F.col("n_digit").cast("double") / F.col("n_chars").cast("double"))
+        - F.lit(2.5)
+        * (F.col("n_punct").cast("double") / F.col("n_chars").cast("double"))
+        + F.lit(0.002) * F.col("n_tok").cast("double"),
+        6,
+    )
+    b = f.select(
+        F.floor(z * 2).cast("bigint").alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        z.alias("zscore"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+        F.round(
+            F.sum(F.col("zscore").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_z"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "mean_z",
+        F.round(rate, 6).alias("pos_rate"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n_docs")),
+            F.round(F.log(rate / (F.lit(1.0) - rate)), 6),
+        ).alias("emp_logit"),
+    )
+
+
+@register(
+    "graph_modularity_brand",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+      FROM (SELECT u, v FROM pairs WHERE support >= 3) e
+        JOIN part pu ON pu.p_partkey = e.u
+        JOIN part pv ON pv.p_partkey = e.v),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges),
+    deg AS (
+      SELECT brand, CAST(SUM(d) AS BIGINT) AS d_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM (
+        SELECT node, MAX(brand) AS brand, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node, bu AS brand FROM edges
+              UNION ALL SELECT v, bv FROM edges)
+        GROUP BY node) nd
+      GROUP BY brand),
+    intra AS (
+      SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS l_intra
+      FROM edges WHERE bu = bv GROUP BY bu)
+    SELECT d.brand, d.n_nodes, d.d_sum,
+           COALESCE(i.l_intra, 0) AS intra_edges,
+           ROUND(CAST(COALESCE(i.l_intra, 0) AS DOUBLE)
+                   / CAST(m.m_edges AS DOUBLE)
+                 - (CAST(d.d_sum AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m.m_edges AS DOUBLE)))
+                   * (CAST(d.d_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * CAST(m.m_edges AS DOUBLE))), 6)
+             AS q_contrib
+    FROM deg d LEFT JOIN intra i ON i.brand = d.brand
+    CROSS JOIN m
+    """,
+)
+def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph: does the catalog's brand structure explain which parts
+    co-sell (Q > 0 — same-brand parts cluster) or is co-purchase
+    brand-agnostic (Q ~ 0)?  Per-brand contribution
+    q_b = L_b/m - (D_b/2m)^2 with every input an exact BIGINT
+    (intra-brand edge count, degree sum, total edges) and ONE final
+    double expression, 6-dp rounded — the same integer-co-moment
+    discipline as graph_degree_assortativity, which shares the
+    apriori-pruned edge build (operators/baskets.py).  Scale: the edge
+    relation is keyed-joined to the part dim twice (broadcast — parts
+    dim is small relative to facts), degrees fold in one agg; the
+    per-brand relation (~25 rows) meets the 1-row m via a broadcast
+    cross.  BNLJ_BY_DESIGN: the 1-row total-edge count.
+    Reference unit:
+    tests/test_estimator_references.py::test_modularity_matches_reference.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    part = _t(spark, sf_dir)["part"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e0 = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
+    edges = (
+        e0.join(F.broadcast(pu), "u").join(F.broadcast(pv), "v")
+    ).localCheckpoint(eager=True)  # m + deg + intra share it
+    m = edges.agg(F.count("*").alias("m_edges"))
+    nd = (
+        edges.select(F.col("u").alias("node"), F.col("bu").alias("brand"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("bv").alias("brand")))
+        .groupBy("node")
+        .agg(F.max("brand").alias("brand"), F.count("*").alias("d"))
+    )
+    deg = nd.groupBy("brand").agg(
+        F.sum("d").cast("bigint").alias("d_sum"),
+        F.count("*").alias("n_nodes"),
+    )
+    intra = (
+        edges.filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count("*").alias("l_intra"))
+    )
+    md = F.col("m_edges").cast("double")
+    frac = F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        deg.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            "d_sum",
+            F.coalesce(F.col("l_intra"), F.lit(0)).alias("intra_edges"),
+            F.round(
+                F.coalesce(F.col("l_intra"), F.lit(0)).cast("double") / md
+                - frac * frac,
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -843,3 +843,95 @@ def test_runs_test_matches_reference(spark):
     [r] = q.orders_runs_test(spark, SF).collect()
     got = (r["n_days"], r["n_above"], r["n_below"], r["n_runs"], r["z"])
     assert got == (n1 + n2, n1, n2, runs, z), got
+
+
+def test_welch_matches_reference(spark):
+    """stats_welch_ttest == a pure-Python decimal sufficient-stats
+    Welch t (guards the decimal Σx/Σx², the variance algebra, the
+    t-stat, and the Welch-Satterthwaite df finalization)."""
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pydict()
+    g: dict[str, list] = {}
+    for fl, xp in zip(li["l_returnflag"], li["l_extendedprice"]):
+        if fl not in ("R", "N"):
+            continue
+        x = _dec2(xp)
+        cell = g.setdefault(fl, [0, Decimal(0), Decimal(0)])
+        cell[0] += 1
+        cell[1] += x
+        cell[2] += x * x
+    stats = {}
+    for fl, (n, sx, sxx) in g.items():
+        mean = float(sx) / n
+        var = (float(sxx) - n * mean * mean) / (n - 1)
+        stats[fl] = (n, mean, var)
+    n1, m1, v1 = stats["R"]
+    n2, m2, v2 = stats["N"]
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    [r] = q.stats_welch_ttest(spark, SF).collect()
+    got = (r["n1"], r["n2"], r["mean_r"], r["mean_n"], r["t_stat"], r["df_welch"])
+    expected = (
+        n1,
+        n2,
+        float(_dec6(m1)),
+        float(_dec6(m2)),
+        float(_dec6(t)),
+        float(_dec6(df)),
+    )
+    assert got == expected, (got, expected)
+
+
+def test_modularity_matches_reference(spark):
+    """graph_modularity_brand == a pure-Python Newman per-community
+    contribution over the same support≥3 co-purchase edges (guards the
+    intra-edge count, the degree sums, and the L/m - (D/2m)² final)."""
+    from itertools import combinations
+
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    pt = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pydict()
+    brand = dict(zip(pt["p_partkey"], pt["p_brand"]))
+    baskets: dict[int, set] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(ok, set()).add(pk)
+    support: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = [e for e, c in support.items() if c >= 3]
+    m = len(edges)
+    d_sum: dict[str, int] = {}
+    nodes: dict[str, set] = {}
+    intra: dict[str, int] = {}
+    for u, v in edges:
+        for node in (u, v):
+            d_sum[brand[node]] = d_sum.get(brand[node], 0) + 1
+            nodes.setdefault(brand[node], set()).add(node)
+        if brand[u] == brand[v]:
+            intra[brand[u]] = intra.get(brand[u], 0) + 1
+    expected = {}
+    for b in d_sum:
+        frac = float(d_sum[b]) / (2.0 * float(m))
+        expected[b] = (
+            len(nodes[b]),
+            d_sum[b],
+            intra.get(b, 0),
+            float(_dec6(float(intra.get(b, 0)) / float(m) - frac * frac)),
+        )
+    got = {
+        r["brand"]: (r["n_nodes"], r["d_sum"], r["intra_edges"], r["q_contrib"])
+        for r in q.graph_modularity_brand(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)

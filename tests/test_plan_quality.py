@@ -173,6 +173,8 @@ BNLJ_BY_DESIGN = {
     "orders_price_decile_stats",  # global_ntile's broadcast 1-row total
     "similarity_ivf_topk_det",  # broadcast 8-row anchor set (IVF cells)
     "similarity_ivfpq_topk_det",  # broadcast 8-row anchor set (IVF-PQ cells)
+    "corpus_mix_temperature",  # broadcast 1-row total-token count
+    "graph_modularity_brand",  # broadcast 1-row total-edge count
     "dedup_semantic_clusters",  # broadcast 8-row anchor set (SemDeDup cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
@@ -223,6 +225,7 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "orders_runs_test",  # daily series: rows = distinct days (~2.4k, fixed date domain)
     "search_rrf_fusion",  # final rank over the fused ≤40-row (two top-20 lists) relation
     "stats_bootstrap_ci",  # day-rank over ~2.4k fixed date domain + rank over the 200 replicate means
+    "corpus_mix_temperature",  # normalizer over the per-source weight rows (|sources|, a domain bound)
 }
 
 
