@@ -14775,3 +14775,242 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def _hb_est(rel: str, t: int) -> str:
+    """Per-node HLL ball estimate + round summary over register CTE
+    ``rel`` (columns node, bucket, mj) — shared by every unrolled
+    HyperBall round in the oracle."""
+    return f"""
+      SELECT {t} AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(CAST(est AS DECIMAL(18,6))) AS DOUBLE) AS ball_sum,
+             ROUND(CAST(SUM(CAST(est AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ball
+      FROM (
+        SELECT node,
+               ROUND(CASE WHEN (CAST({_HLL_NUM!r} AS DOUBLE)
+                                / CAST(z_present + (32 - n_present) * 268435456
+                                       AS DOUBLE)) <= 80.0
+                           AND (32 - n_present) > 0
+                     THEN 32.0 * LN(32.0 / CAST(32 - n_present AS DOUBLE))
+                     ELSE CAST({_HLL_NUM!r} AS DOUBLE)
+                          / CAST(z_present + (32 - n_present) * 268435456
+                                 AS DOUBLE)
+                     END, 6) AS est
+        FROM (
+          SELECT node, COUNT(*) AS n_present,
+                 CAST(SUM(CAST(POW(2.0, 28 - mj) AS BIGINT)) AS BIGINT)
+                   AS z_present
+          FROM {rel} GROUP BY node) a) e
+    """
+
+
+@register(
+    "graph_hyperball_neighborhood",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT u, v FROM pairs WHERE support >= 3),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    h AS (
+      SELECT node,
+             CAST('0x' || SUBSTR(MD5(CAST(node AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+      FROM nodes),
+    r0 AS (
+      SELECT node, h // 134217728 AS bucket,
+             MAX(CASE WHEN h % 134217728 = 0 THEN 28
+                      ELSE 28 - LENGTH(BIN(h % 134217728)) END) AS mj
+      FROM h GROUP BY node, h // 134217728),
+    r1 AS (
+      SELECT node, bucket, MAX(mj) AS mj FROM (
+        SELECT node, bucket, mj FROM r0
+        UNION ALL
+        SELECT s.u AS node, r.bucket, r.mj
+        FROM sym s JOIN r0 r ON r.node = s.v) u0
+      GROUP BY node, bucket),
+    r2 AS (
+      SELECT node, bucket, MAX(mj) AS mj FROM (
+        SELECT node, bucket, mj FROM r1
+        UNION ALL
+        SELECT s.u AS node, r.bucket, r.mj
+        FROM sym s JOIN r1 r ON r.node = s.v) u1
+      GROUP BY node, bucket)
+    {_hb_est('r0', 0)}
+    UNION ALL
+    {_hb_est('r1', 1)}
+    UNION ALL
+    {_hb_est('r2', 2)}
+    """,
+)
+def graph_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(t) = Σ_v |B(v, t)| of the co-purchase graph estimated with
+    per-node HyperLogLog counters — THE algorithm that measured the
+    Facebook graph's four degrees of separation, and the scale path
+    for effective-diameter / average-distance estimates where exact
+    all-pairs BFS is quadratic.  Ball registers start as each node's
+    own HLL state (operators/sketches.py:hll_registers — md5 bit
+    math) and each round max-merges the neighbors' registers through
+    ONE (edge ⋈ register) equi-join + a (node, bucket) max agg: state
+    is nodes × 32 register rows however big the graph, and max() is
+    idempotent/commutative so the propagation is partitioning-proof.
+    Per-round ball estimates (6-dp rounded, the shared HLL estimator
+    with its linear-counting branch) are decimal-summed into N(t) for
+    t = 0, 1, 2; avg_ball is the average number of parts within t
+    co-purchase hops.  The oracle unrolls both rounds; the register
+    algebra and the numerator literal are shared with
+    sketch_hll_distinct.  Reference unit (mirrored-constant guard +
+    exact-BFS accuracy band):
+    tests/test_estimator_references.py::test_hyperball_matches_reference.
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.sketches import hll_registers, hll_estimate
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e0 = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    sym = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ).localCheckpoint(eager=True)  # joined every round
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    regs = hll_registers(
+        nodes.select("node", F.col("node").cast("string").alias("node_str")),
+        "node",
+        "node_str",
+    )
+    rounds = [regs]
+    for _ in range(2):
+        prev = rounds[-1]
+        prop = sym.join(prev, prev["grp"] == sym["v"]).select(
+            sym["u"].alias("grp"), prev["bucket"], prev["mj"]
+        )
+        rounds.append(
+            prev.unionByName(prop)
+            .groupBy("grp", "bucket")
+            .agg(F.max("mj").alias("mj"))
+            .localCheckpoint(eager=True)  # next round + estimate share it
+        )
+    out = None
+    for t, r in enumerate(rounds):
+        est = hll_estimate(r, "node")
+        summary = est.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("est_distinct").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("ball_sum"),
+        ).select(
+            F.lit(t).alias("t"),
+            "n_nodes",
+            "ball_sum",
+            F.round(
+                F.col("ball_sum") / F.col("n_nodes").cast("double"), 6
+            ).alias("avg_ball"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM items),
+    item_supp AS (
+      SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    freq AS (SELECT part_a, part_b, support FROM pairs WHERE support >= 3),
+    rules AS (
+      SELECT antecedent, consequent, support FROM (
+        SELECT part_a AS antecedent, part_b AS consequent, support FROM freq
+        UNION ALL
+        SELECT part_b, part_a, support FROM freq) r)
+    SELECT r.antecedent, r.consequent, r.support,
+           sa.supp AS supp_antecedent, sc.supp AS supp_consequent,
+           ROUND(CAST(r.support AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+             AS confidence,
+           ROUND((CAST(r.support AS DOUBLE) / CAST(sa.supp AS DOUBLE))
+                 / (CAST(sc.supp AS DOUBLE) / CAST(n.n_baskets AS DOUBLE)),
+                 6) AS lift
+    FROM rules r
+      JOIN item_supp sa ON sa.item = r.antecedent
+      JOIN item_supp sc ON sc.item = r.consequent
+      CROSS JOIN n
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the frequent co-purchase pairs:
+    confidence P(B|A) = supp(AB)/supp(A) and lift
+    P(B|A)/P(B) — the recommendation-engine primitives built on the
+    apriori-pruned pair relation (basket_copurchase_pairs).  Every
+    frequent pair emits both rule directions (A=>B and B=>A differ in
+    confidence, share lift); item supports are ONE keyed agg joined
+    twice on the item key; the basket total is a broadcast 1-row
+    count (BNLJ_BY_DESIGN).  All counts are exact BIGINTs; confidence
+    and lift are int-ratio double expressions with identical op order
+    both engines, rounded 6 dp.  Scale: the rule relation is bounded
+    by the frequent-pair count (already support-thresholded), never
+    by the catalog — the joins are broadcastable dims at any corpus
+    size.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )  # pair join + item supports + basket total share it
+    n = items.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item_supp = items.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("supp")
+    )
+    freq = copurchase_pairs(items, "l_orderkey", "l_partkey", 3)
+    rules = freq.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        freq.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    sa = item_supp.select(
+        F.col("item").alias("antecedent"), F.col("supp").alias("supp_antecedent")
+    )
+    sc = item_supp.select(
+        F.col("item").alias("consequent"), F.col("supp").alias("supp_consequent")
+    )
+    conf = F.col("support").cast("double") / F.col("supp_antecedent").cast("double")
+    pb = F.col("supp_consequent").cast("double") / F.col("n_baskets").cast("double")
+    return (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "supp_antecedent",
+            "supp_consequent",
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / pb, 6).alias("lift"),
+        )
+    )

@@ -935,3 +935,86 @@ def test_modularity_matches_reference(spark):
         for r in q.graph_modularity_brand(spark, SF).collect()
     }
     assert got == expected, (got, expected)
+
+
+def test_hyperball_matches_reference(spark):
+    """graph_hyperball_neighborhood == a pure-Python HyperBall (md5
+    registers, max-propagation, the shared HLL estimator) — guards the
+    register bit math, the per-round union-max, and the numerator /
+    linear-counting constants; a second assertion checks the t<=1
+    estimates sit within the HLL error band of the EXACT ball sizes
+    (the estimator, not just its mirror, is right)."""
+    import hashlib
+    from itertools import combinations
+
+    from ingest_pipeline_spark import queries as q
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    baskets: dict[int, set] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(ok, set()).add(pk)
+    support: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = [e for e, c in support.items() if c >= 3]
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+
+    def regs_of(node: int) -> dict[int, int]:
+        h = int(hashlib.md5(str(node).encode()).hexdigest()[:8], 16)
+        bucket, rem = h // (1 << 27), h % (1 << 27)
+        rho = 28 if rem == 0 else 28 - rem.bit_length()
+        return {bucket: rho}
+
+    def estimate(regs: dict[int, int]) -> float:
+        from ingest_pipeline_spark.operators.sketches import HLL_RAW_NUMERATOR
+
+        n_present = len(regs)
+        z = sum(1 << (28 - mj) for mj in regs.values())
+        z += (32 - n_present) * (1 << 28)
+        e_raw = HLL_RAW_NUMERATOR / float(z)
+        if e_raw <= 80.0 and n_present < 32:
+            e_raw = 32.0 * math.log(32.0 / float(32 - n_present))
+        return float(_dec6(e_raw))
+
+    state = {v: regs_of(v) for v in nodes}
+    expected = {}
+    balls = {v: {v} for v in nodes}  # exact balls for the accuracy band
+    for t in range(3):
+        total = sum(
+            (Decimal(repr(estimate(state[v]))) for v in nodes), Decimal(0)
+        )
+        n = len(nodes)
+        expected[t] = (
+            n,
+            float(total),
+            float(_dec6(float(total) / float(n))),
+        )
+        if t < 2:
+            new_state = {}
+            new_balls = {}
+            for v in nodes:
+                merged = dict(state[v])
+                for w in adj[v]:
+                    for bkt, mj in state[w].items():
+                        if merged.get(bkt, -1) < mj:
+                            merged[bkt] = mj
+                new_state[v] = merged
+                new_balls[v] = set(balls[v]).union(*(balls[w] for w in adj[v]))
+            state, balls = new_state, new_balls
+
+    rows = q.graph_hyperball_neighborhood(spark, SF).collect()
+    got = {r["t"]: (r["n_nodes"], r["ball_sum"], r["avg_ball"]) for r in rows}
+    assert got == expected, (got, expected)
+
+    # accuracy band: HLL with 32 registers has ~18.5% relative error;
+    # summed over all nodes the estimate must land within 30% of the
+    # exact neighborhood function for the sizes this graph reaches
+    exact_n1 = sum(1 + len(adj[v]) for v in nodes)
+    assert abs(got[1][1] - exact_n1) / exact_n1 < 0.30, (got[1][1], exact_n1)
