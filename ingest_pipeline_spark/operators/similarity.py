@@ -1099,3 +1099,59 @@ def hard_negatives(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def gram_partials(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact scaled-integer Gram/mean partials for covariance builds:
+    ``(i, j, s_scaled)`` with s_scaled = Σ round(x_i·1e6)·round(x_j·1e6)
+    (so Σ x_i x_j == s_scaled / 1e12 EXACTLY for 6-dp-rounded inputs),
+    plus ``(i, -1, Σ round(x_i·1e6))`` mean rows and one ``(-1, -1, n)``
+    count row.
+
+    This is how distributed PCA actually builds the d×d covariance at
+    corpus scale (Spark MLlib RowMatrix: per-partition X'X partials,
+    tiny merge): each Arrow batch contributes one integer X'X via a
+    vectorized int64 matmul — order-free BECAUSE integer — and the
+    shuffle carries d² rows per batch instead of n·d² exploded
+    products.  int64 bounds: |x|≤1 → per-pair product ≤ 1e12, so a
+    batch stays exact below ~9e6 rows; the decimal merge happens
+    Spark-side.  Equivalence to the relational 12-dp-rounded decimal
+    formulation is exact, not approximate: the true product of two
+    6-dp values has ≤12 decimals and fl error ~1e-17 ≪ the 5e-13
+    half-grid (see test_gram_partials_match_relational).
+    """
+    import numpy as np
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.round(
+                np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * 1e6
+            ).astype(np.int64)
+            g = x.T @ x
+            d = g.shape[0]
+            i_idx, j_idx = np.meshgrid(
+                np.arange(d), np.arange(d), indexing="ij"
+            )
+            out = pd.DataFrame(
+                {
+                    "i": i_idx.ravel(),
+                    "j": j_idx.ravel(),
+                    "s_scaled": g.ravel(),
+                }
+            )
+            sums = pd.DataFrame(
+                {"i": np.arange(d), "j": -1, "s_scaled": x.sum(axis=0)}
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "s_scaled": [len(pdf)]})
+            yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    return df.select(vec_col).mapInPandas(
+        batches, "i int, j int, s_scaled long"
+    )

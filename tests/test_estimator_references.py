@@ -1018,3 +1018,70 @@ def test_hyperball_matches_reference(spark):
     # exact neighborhood function for the sizes this graph reaches
     exact_n1 = sum(1 + len(adj[v]) for v in nodes)
     assert abs(got[1][1] - exact_n1) / exact_n1 < 0.30, (got[1][1], exact_n1)
+
+
+def test_power_iteration_matches_reference(spark):
+    """embedding_top_component == a pure-Python decimal power iteration
+    (guards the scaled-integer gram, the centering algebra, the per-
+    round 12-dp product rounding, and the Rayleigh finalization); a
+    numpy-eigh band checks the Rayleigh estimate is a genuine lower
+    bound within 20% of the true top eigenvalue."""
+    import numpy as np
+
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    raw = t.column("embedding").to_pylist()
+    n, dim = len(raw), len(raw[0])
+
+    def _dec12(v: float) -> Decimal:
+        return Decimal(repr(float(v))).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+
+    # scaled-integer gram + means (mirrors gram_partials exactly)
+    A = [[int(_dec6(x) * 10**6) for x in vec] for vec in raw]
+    S = [[0] * dim for _ in range(dim)]
+    SM = [0] * dim
+    for row in A:
+        for i in range(dim):
+            SM[i] += row[i]
+            ri = row[i]
+            for j in range(dim):
+                S[i][j] += ri * row[j]
+    s_d = [[float(Decimal(S[i][j]) / Decimal(10**12)) for j in range(dim)]
+           for i in range(dim)]
+    m_d = [float(Decimal(SM[i]) / Decimal(10**6)) for i in range(dim)]
+    C = [[s_d[i][j] / n - (m_d[i] / n) * (m_d[j] / n) for j in range(dim)]
+         for i in range(dim)]
+
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(8):
+        y = [
+            float(sum((_dec12(C[i][j] * v[j]) for j in range(dim)), Decimal(0)))
+            for i in range(dim)
+        ]
+        nrm = math.sqrt(
+            float(sum((_dec12(yi * yi) for yi in y), Decimal(0)))
+        )
+        v = [float(_dec12(yi / nrm)) for yi in y]
+    y = [
+        float(sum((_dec12(C[i][j] * v[j]) for j in range(dim)), Decimal(0)))
+        for i in range(dim)
+    ]
+    lam = float(
+        sum((_dec12(y[i] * v[i]) for i in range(dim)), Decimal(0))
+    )
+    expected = {
+        i: (float(_dec6(v[i])), float(_dec6(lam))) for i in range(dim)
+    }
+    got = {
+        r["pos"]: (r["loading"], r["eigenvalue"])
+        for r in q.embedding_top_component(spark, SF).collect()
+    }
+    assert got == expected
+
+    # accuracy band: Rayleigh quotient of a (near-)unit vector is a
+    # lower bound on lambda_1 and must be within 20% after 8 rounds
+    X = np.round(np.array(raw, dtype=np.float64), 6)
+    Cn = X.T @ X / n - np.outer(X.mean(0), X.mean(0))
+    lam1 = float(np.linalg.eigvalsh(Cn)[-1])
+    assert lam <= lam1 * 1.001 and lam >= 0.8 * lam1, (lam, lam1)

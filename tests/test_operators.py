@@ -517,3 +517,56 @@ def test_bpe_ish_tokenizer_known_strings(spark):
     assert got[3] == [" x"]  # single leading space kept, rest dropped
     assert got[4] == []
     assert got[5] == ["don", "'", "t", " stop"]
+
+
+def test_gram_partials_match_relational(spark):
+    """gram_partials' scaled-int64 X'X == the relational 12-dp-rounded
+    decimal formulation, bit for bit — the equivalence the
+    embedding_top_component oracle parity rests on."""
+    from ingest_pipeline_spark import tables
+    from ingest_pipeline_spark.operators.similarity import gram_partials
+    import pyspark.sql.functions as F
+
+    emb = tables.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in (
+            gram_partials(emb)
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("s_scaled").cast("decimal(38,0)")).alias("t"))
+            .filter(F.col("j") >= 0)
+            .select(
+                "i",
+                "j",
+                (F.col("t").cast("decimal(38,12)") / F.lit(10**12))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        )
+    }
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("id", "pos", F.round("v", 6).alias("val"))
+    xa = x.select("id", F.col("pos").alias("i"), F.col("val").alias("va"))
+    xb = x.select("id", F.col("pos").alias("j"), F.col("val").alias("vb"))
+    want = {
+        (r["i"], r["j"]): r["s"]
+        for r in (
+            xa.join(xb, "id")
+            .groupBy("i", "j")
+            .agg(
+                F.sum(
+                    F.round(F.col("va") * F.col("vb"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert len(got) == 64 * 64

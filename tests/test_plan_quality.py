@@ -176,6 +176,7 @@ BNLJ_BY_DESIGN = {
     "corpus_mix_temperature",  # broadcast 1-row total-token count
     "graph_modularity_brand",  # broadcast 1-row total-edge count
     "basket_association_rules",  # broadcast 1-row basket total
+    "embedding_top_component",  # broadcast 1-row n / norm / Rayleigh scalars
     "dedup_semantic_clusters",  # broadcast 8-row anchor set (SemDeDup cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
