@@ -483,3 +483,149 @@ def embeddings_to_png(
     return emb.select(id_col, vec_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
+
+
+def wav_encode(samples: "list[int]", rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder: mono 16-bit little-endian.
+
+    Pure stdlib (struct) — the audio sibling of png_encode, so the
+    multimodal decode path covers a second real container format
+    without any audio dependency.
+    """
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int, "list[int]"]:
+    """Parse a RIFF/WAVE PCM blob → (channels, rate, bits, samples).
+
+    A real chunk-walk (RIFF size check, fmt before data, PCM-only,
+    word-aligned chunk skipping) mirroring the reference's defensive
+    format probes (src/ingest-pipeline/md/data_file_types — the repo
+    re-implements parsers instead of wrapping tifffile/soundfile).
+    Raises ValueError on malformed input; callers degrade to error
+    rows, never job failures.
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    if riff_size + 8 > len(data):
+        raise ValueError("truncated RIFF payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csz = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + csz]
+        if len(body) < csz:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported PCM format ({audio_format}, {bits}-bit)")
+    if block != channels * 2 or channels < 1:
+        raise ValueError("inconsistent block alignment")
+    n = len(raw) // 2
+    samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    return channels, rate, bits, samples
+
+
+def embeddings_to_wav(
+    emb: DataFrame,
+    rate: int = 16000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a mono 16-bit PCM WAV (asset_id, media):
+    samples quantized s = clamp(floor(v * 32767), -32768, 32767) —
+    floor, so DuckDB reproduces the quantization exactly.  mapInPandas,
+    row-local, scan-bound at any scale (embeddings_to_png's audio twin).
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid, vec in zip(pdf[id_col], pdf[vec_col]):
+                samples = [
+                    min(32767, max(-32768, math.floor(float(v) * 32767.0)))
+                    for v in vec
+                ]
+                ids.append(aid)
+                blobs.append(wav_encode(samples, rate))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, "asset_id long, media binary"
+    )
+
+
+def decode_audio_features(assets: DataFrame) -> DataFrame:
+    """REAL audio decode over the mapInPandas harness: WAV media is
+    chunk-walked and reduced to exact integer sample statistics
+    (duration in integer milliseconds, signed sum, sum of squares,
+    min/max); undecodable media degrades to (decode_ok=false, error)
+    rows — decode_image_features' audio twin.
+    """
+    out_schema = (
+        "asset_id long, channels int, sample_rate int, bit_depth int, "
+        "n_samples long, duration_ms long, amp_sum long, amp_sumsq long, "
+        "amp_min int, amp_max int, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    ch, rate, bits, sm = wav_decode(b)
+                    rows.append(
+                        (
+                            aid, ch, rate, bits, len(sm),
+                            len(sm) * 1000 // (rate * ch),
+                            sum(sm), sum(s * s for s in sm),
+                            min(sm) if sm else None,
+                            max(sm) if sm else None,
+                            True, None,
+                        )
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, None,
+                         None, None, False, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "channels", "sample_rate", "bit_depth",
+                    "n_samples", "duration_ms", "amp_sum", "amp_sumsq",
+                    "amp_min", "amp_max", "decode_ok", "error",
+                ],
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

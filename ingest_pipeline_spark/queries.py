@@ -15194,3 +15194,284 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("val"), 6).alias("loading"),
         F.round(F.col("lam"), 6).alias("eigenvalue"),
     )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    """
+    WITH sm AS (
+      SELECT vec_id,
+             LEAST(32767, GREATEST(-32768, CAST(FLOOR(
+                 CAST(e AS DOUBLE) * CAST(32767.0 AS DOUBLE)) AS INT))) AS s
+      FROM embeddings, UNNEST(embedding) t(e))
+    SELECT vec_id AS asset_id,
+           CAST(1 AS INT) AS channels,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(SUM(s) AS BIGINT) AS amp_sum,
+           CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+             AS amp_sumsq,
+           CAST(MIN(s) AS INT) AS amp_min,
+           CAST(MAX(s) AS INT) AS amp_max
+    FROM sm GROUP BY vec_id
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end verified (multimodal_png_roundtrip's
+    audio twin): every embedding is rendered as a mono 16-bit PCM WAV
+    (floor-quantized samples, operators/multimodal.py:embeddings_to_wav),
+    then the pure-stdlib RIFF chunk-walk decoder recovers the samples
+    and reduces them to EXACT integer stats (signed sum, sum of
+    squares, min/max, integer-ms duration).  The codec is lossless, so
+    the DuckDB oracle computes the same stats straight from the
+    embedding arrays — a hash-match proves decode inverts encode
+    bit-for-bit on 500+ real audio blobs per SF.  Both sides are
+    mapInPandas (Arrow-batched, row-local, zero shuffles before the
+    final per-asset agg); corrupt media degrades to error rows.
+    Codec units: tests/test_wav_codec.py (golden header fixture,
+    truncation/alignment/format rejects, pyarrow-free roundtrip).
+    """
+    from .operators.multimodal import decode_audio_features, embeddings_to_wav
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = decode_audio_features(embeddings_to_wav(emb, rate=16000))
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "channels", "sample_rate", "bit_depth", "n_samples",
+        "duration_ms", "amp_sum", "amp_sumsq", "amp_min", "amp_max",
+    )
+
+
+@register(
+    "events_attribution_position",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+    t1 AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup')) x
+      WHERE rn = 1),
+    w AS (
+      SELECT p.event_id AS pid, p.value, t.event_type AS touch,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.ts ASC) AS r,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS k
+      FROM p JOIN t1 t
+        ON t.user_id = p.user_id AND t.ts <= p.ts
+       AND FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(t.ts)) <= 604800),
+    cr AS (
+      SELECT touch, value,
+             CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN r = 1 OR r = k THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / CAST(k - 2 AS DOUBLE)
+             END AS frac
+      FROM w)
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(ROUND(frac, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_weight,
+           CAST(SUM(CAST(ROUND(value * frac, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS attributed_value
+    FROM cr GROUP BY touch
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase spreads its value over ALL its 7-day touches — 40% to the
+    first, 40% to the last, 20% split across the middle (100%/50-50
+    for 1/2-touch paths) — the full-funnel companion to
+    events_attribution_last_touch (which this query shares its
+    touch-dedup with).  The purchase-touch match is a user-keyed
+    range join (equi on user_id + window predicate — never a cross
+    product); per-purchase position r and path length k come from one
+    purchase-keyed window over the bounded touch window.  Credits are
+    rational fractions evaluated identically in both engines
+    (binary-exact branches 1.0/0.5/0.4 + one division) and the
+    credited values are 6-dp-rounded into DECIMAL(18,6) sums.  Scale:
+    shuffles are user-keyed then purchase-keyed; the 7-day bound caps
+    the per-purchase fan-out.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    t1 = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_type").alias("touch"),
+        )
+    )
+    joined = p.join(
+        t1,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("ts"))
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("t_ts")
+            <= F.lit(604800)
+        ),
+    )
+    wp = Window.partitionBy("event_id")
+    w_rank = wp.orderBy(F.asc("t_ts"))
+    ranked = joined.select(
+        "value",
+        "touch",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(wp).alias("k"),
+    )
+    frac = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(
+            (F.col("r") == 1) | (F.col("r") == F.col("k")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
+    )
+    cr = ranked.select("touch", "value", frac.alias("frac"))
+    return cr.groupBy("touch").agg(
+        F.count("*").alias("n_credits"),
+        F.sum(F.round(F.col("frac"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_weight"),
+        F.sum(
+            F.round(F.col("value") * F.col("frac"), 6).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@register(
+    "rec_precision_at_k",
+    """
+    WITH train AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'),
+    test AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'),
+    tr_pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM train a JOIN train b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    recs AS (
+      SELECT antecedent, consequent, r FROM (
+        SELECT antecedent, consequent,
+               ROW_NUMBER() OVER (PARTITION BY antecedent
+                                  ORDER BY support DESC, consequent ASC)
+                 AS r
+        FROM (SELECT u AS antecedent, v AS consequent, support FROM tr_pairs
+              UNION ALL
+              SELECT v, u, support FROM tr_pairs) b) s
+      WHERE r <= 3),
+    te_pairs AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM test a JOIN test b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey) p),
+    scored AS (
+      SELECT r.r,
+             CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM recs r LEFT JOIN te_pairs t
+        ON t.u = r.antecedent AND t.v = r.consequent)
+    SELECT COALESCE(r, 0) AS rank_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_recs,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS hit_rate
+    FROM scored GROUP BY ROLLUP(r)
+    """,
+)
+def rec_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a TEMPORAL split — the
+    pipeline every production co-purchase recommender runs before
+    shipping: train-period (< 1999) co-purchase supports produce top-3
+    recommendations per part (support-ranked, id tiebreak), and
+    precision is measured against the pairs ACTUALLY co-purchased in
+    the held-out test period — per rank position and overall (the
+    rank_pos = 0 ROLLUP row).  Train pairs ride the apriori-pruned
+    basket join (operators/baskets.py); the hit check is one keyed
+    LEFT join of the (parts x 3)-bounded rec relation against the
+    distinct test-pair set; the final census is a ROLLUP agg.  All
+    counts exact BIGINTs, one int/int ratio.  Scale: both pair builds
+    are basket-keyed (never cross-catalog); recs are top-k bounded;
+    nothing data-proportional meets anything unkeyed.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    split = "1999-01-01 00:00:00"
+    train = (
+        li.filter(F.col("l_shipdate") < F.lit(split).cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    test = (
+        li.filter(F.col("l_shipdate") >= F.lit(split).cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tr = copurchase_pairs(train, "l_orderkey", "l_partkey", min_support=2)
+    both = tr.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        tr.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    w = Window.partitionBy("antecedent").orderBy(
+        F.desc("support"), F.asc("consequent")
+    )
+    recs = (
+        both.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("antecedent", "consequent", "r")
+    )
+    te = test.alias("a").join(
+        test.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    ).distinct()
+    scored = recs.join(
+        te,
+        (F.col("u") == F.col("antecedent"))
+        & (F.col("v") == F.col("consequent")),
+        "left",
+    ).select(
+        "r", F.when(F.col("u").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    return (
+        scored.rollup("r")
+        .agg(
+            F.count("*").alias("n_recs"),
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum("hit").cast("double") / F.count("*").cast("double"), 6
+            ).alias("hit_rate"),
+        )
+        .select(
+            F.coalesce(F.col("r"), F.lit(0)).alias("rank_pos"),
+            "n_recs",
+            "n_hits",
+            "hit_rate",
+        )
+    )
