@@ -13929,13 +13929,22 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # 132 rows, reused k-1 times
     )
-    first = cand.orderBy(F.desc("rel"), F.asc("id")).limit(1).select(
-        "id", F.col("rel").alias("score")
-    ).collect()[0]
+    head = (
+        cand.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select("id", F.col("rel").alias("score"))
+        .collect()
+    )
+    if not head:
+        # empty corpus (or no non-query vectors): nothing to rank
+        return spark.createDataFrame(
+            [], "doc_id long, pick long, mmr_score double"
+        )
+    first = head[0]
     picks = [(int(first.id), 1, float(first.score))]
     sel = [int(first.id)]
     for t in range(2, 6):
-        step = (
+        rows = (
             cand.filter(~F.col("id").isin(sel))
             .join(
                 sim.filter(F.col("ia").isin(sel)),
@@ -13951,8 +13960,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            break  # candidate pool exhausted before k picks
+        step = rows[0]
         picks.append((int(step.id), t, float(step.score)))
         sel.append(int(step.id))
     out = spark.createDataFrame(
@@ -15474,4 +15486,396 @@ def rec_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             "hit_rate",
         )
+    )
+
+
+@register(
+    "sketch_join_size_estimate",
+    """
+    WITH ca AS (
+      SELECT j,
+             CAST('0x' || SUBSTR(MD5(j || ':' || l_partkey), 1, 8) AS BIGINT)
+               % 4096 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem, UNNEST([0, 1, 2, 3]) AS u(j) GROUP BY 1, 2),
+    cb AS (
+      SELECT j,
+             CAST('0x' || SUBSTR(MD5(j || ':' || ps_partkey), 1, 8) AS BIGINT)
+               % 4096 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT p_partkey AS ps_partkey FROM part),
+           UNNEST([0, 1, 2, 3]) AS u(j) GROUP BY 1, 2),
+    self_est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est FROM (
+        SELECT j, SUM(cnt * cnt) AS ip FROM ca GROUP BY j) s),
+    fk_est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est FROM (
+        SELECT ca.j, SUM(ca.cnt * cb.cnt) AS ip
+        FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+        GROUP BY ca.j) s),
+    self_exact AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS exact FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey) g),
+    fk_exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT pair, est, exact,
+           ROUND(CAST(est - exact AS DOUBLE) / CAST(exact AS DOUBLE), 6)
+             AS rel_overestimate
+    FROM (
+      SELECT 'lineitem_self_f2' AS pair, s.est, x.exact
+      FROM self_est s CROSS JOIN self_exact x
+      UNION ALL
+      SELECT 'lineitem_part_fk', s.est, x.exact
+      FROM fk_est s CROSS JOIN fk_exact x) u
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the AMS /
+    CMS inner-product estimator query optimizers and shuffle planners
+    use to size a join WITHOUT running it: |A join B| = sum_k a_k*b_k
+    is estimated per sketch row as the counter inner product, min'd
+    over the d rows (an upper bound, never under — visible in
+    rel_overestimate >= 0).  Reported for the two canonical shapes:
+    the second frequency moment F2 (self-join size of l_partkey, the
+    skew statistic) and the lineitem-part FK join, each next to its
+    exact value.  Scale: each sketch build is one hash agg carrying
+    <= d*w rows per input partition regardless of table size; the
+    estimate itself touches only two 1024-row grids — the entire
+    point of sizing a join from sketches.  Integer-only until the one
+    final ratio.  Reference unit:
+    tests/test_estimator_references.py::test_join_size_estimate_matches_reference.
+    """
+    from .operators.sketches import cms_counters
+
+    li = _t(spark, sf_dir)["lineitem"]
+    part = _t(spark, sf_dir)["part"]
+    ca = cms_counters(li, "l_partkey", d=4, w=4096).localCheckpoint(
+        eager=True
+    )  # self inner product + fk join read it
+    cb = cms_counters(part, "p_partkey", d=4, w=4096)
+    self_est = (
+        ca.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )
+    cbb = cb.select("j", "bucket", F.col("cnt").alias("cnt_b"))
+    fk_est = (
+        ca.join(cbb, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )
+    self_exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact"))
+    )
+    fk_exact = li.join(
+        part, part["p_partkey"] == li["l_partkey"]
+    ).agg(F.count("*").alias("exact"))
+    row = lambda nm, e, x: (  # noqa: E731
+        e.crossJoin(F.broadcast(x)).select(
+            F.lit(nm).alias("pair"), "est", "exact"
+        )
+    )
+    u = row("lineitem_self_f2", self_est, self_exact).unionByName(
+        row("lineitem_part_fk", fk_est, fk_exact)
+    )
+    return u.select(
+        "pair",
+        "est",
+        "exact",
+        F.round(
+            (F.col("est") - F.col("exact")).cast("double")
+            / F.col("exact").cast("double"),
+            6,
+        ).alias("rel_overestimate"),
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                                                '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS s
+      FROM documents WHERE doc_id < 200),
+    pos AS (
+      SELECT doc_id, s, i
+      FROM norm, UNNEST(GENERATE_SERIES(1, LENGTH(s) - 7)) t(i)
+      WHERE LENGTH(s) >= 8),
+    hashes AS (
+      SELECT doc_id, i AS pos,
+             ( CAST(ORD(SUBSTR(s, i + 0, 1)) AS BIGINT) * 1
+             + CAST(ORD(SUBSTR(s, i + 1, 1)) AS BIGINT) * 257
+             + CAST(ORD(SUBSTR(s, i + 2, 1)) AS BIGINT) * 66049
+             + CAST(ORD(SUBSTR(s, i + 3, 1)) AS BIGINT) * 16974593
+             + CAST(ORD(SUBSTR(s, i + 4, 1)) AS BIGINT) * 362470373
+             + CAST(ORD(SUBSTR(s, i + 5, 1)) AS BIGINT) * 154885210
+             + CAST(ORD(SUBSTR(s, i + 6, 1)) AS BIGINT) * 805498697
+             + CAST(ORD(SUBSTR(s, i + 7, 1)) AS BIGINT) * 13163680)
+               % 1000000007 AS rhash
+      FROM pos),
+    enc AS (
+      SELECT doc_id, pos,
+             rhash * 1048576 + (1048575 - pos) AS packed
+      FROM hashes),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                                        AND 3 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS span
+      FROM enc),
+    sels AS (
+      SELECT DISTINCT doc_id, sel FROM win WHERE span = 4)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(sel // 1048576) AS BIGINT) AS min_fp_hash,
+           CAST(COUNT(DISTINCT sel // 1048576) AS BIGINT)
+             AS n_distinct_fp_hashes,
+           CAST(MIN(1048575 - sel % 1048576) AS BIGINT) AS first_fp_pos
+    FROM sels GROUP BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): over each document's char-8-gram
+    rolling hashes, every window of 4 consecutive hashes selects its
+    RIGHTMOST minimal hash; the distinct selections are the document's
+    fingerprints, with the guarantee that any shared substring of
+    length >= k + w - 1 = 11 yields a shared fingerprint.  The
+    rightmost-min tiebreak is packed into ONE bigint
+    (hash * 2^20 + (2^20-1-pos), exact in int64: hash < 1e9+7,
+    pos < 2^20) so both engines take a plain MIN over the sliding
+    frame; short trailing windows are excluded by the frame's own row
+    count (span = w).  Census per doc: fingerprint count, distinct
+    hash count, minimum hash, first selected position.  Scale: one
+    doc-keyed window over position-ordered rows — bounded by document
+    length, shuffled once on doc_id; the fingerprint set is the
+    winnowing-guaranteed ~2/(w+1) density sample of the hash stream.
+    functions/text.py:rolling_hashes supplies the hash stream
+    (codegen arithmetic, no HOF fold).
+    """
+    from .functions.text import rolling_hashes
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    rh = rolling_hashes(docs, "text", "doc_id", k=8)
+    enc = rh.select(
+        F.col("id").alias("doc_id"),
+        "pos",
+        (
+            F.col("rhash") * F.lit(1048576)
+            + (F.lit(1048575) - F.col("pos"))
+        ).alias("packed"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    win = enc.select(
+        "doc_id",
+        F.min("packed").over(frame).alias("sel"),
+        F.count("*").over(frame).alias("span"),
+    )
+    sels = win.filter(F.col("span") == 4).select("doc_id", "sel").distinct()
+    return sels.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min(F.floor(F.col("sel") / F.lit(1048576)))
+        .cast("bigint")
+        .alias("min_fp_hash"),
+        F.countDistinct(F.floor(F.col("sel") / F.lit(1048576))).alias(
+            "n_distinct_fp_hashes"
+        ),
+        F.min(F.lit(1048575) - F.col("sel") % F.lit(1048576))
+        .cast("bigint")
+        .alias("first_fp_pos"),
+    )
+
+
+@register(
+    "parts_abc_classification",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev) AS DECIMAL(28,2)) AS total_rev
+            FROM per_part),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_rev
+      FROM per_part),
+    cls AS (
+      SELECT rev,
+             CASE WHEN CAST(cum_rev - rev AS DOUBLE)
+                       < CAST(total_rev AS DOUBLE) * CAST(0.8 AS DOUBLE)
+                  THEN 'A'
+                  WHEN CAST(cum_rev - rev AS DOUBLE)
+                       < CAST(total_rev AS DOUBLE) * CAST(0.95 AS DOUBLE)
+                  THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total_rev
+      FROM ranked CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total_rev) AS DOUBLE),
+                 6) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the actionable sibling of
+    pareto_revenue_concentration): parts ranked by revenue are split
+    into A (first 80% of cumulative revenue), B (to 95%), C (tail) —
+    class membership decided on the EXCLUSIVE prefix (cum - own) so
+    the crossing part lands in the class it completes.  The global
+    cumulative sum is the two-phase distributed prefix scan
+    (operators/prefix.py — never a single-task window); class
+    boundaries compare the decimal cumsum cast double against the
+    identical double product in both engines.  Output: per-class part
+    counts, decimal-exact revenue, and share.  BNLJ_BY_DESIGN: the
+    1-row total-revenue broadcast.
+    """
+    from .operators.prefix import running_sum
+
+    li = _t(spark, sf_dir)["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    per_part = per_part.localCheckpoint(eager=True)  # total + cumsum
+    tot = per_part.agg(
+        F.sum("rev").cast("decimal(28,2)").alias("total_rev")
+    )
+    ranked = running_sum(
+        per_part, [F.desc("rev"), F.asc("l_partkey")], "rev", "cum_rev"
+    )
+    excl = (F.col("cum_rev") - F.col("rev")).cast("double")
+    td = F.col("total_rev").cast("double")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        "total_rev",
+        F.when(excl < td * F.lit(0.8), "A")
+        .when(excl < td * F.lit(0.95), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("total_rev").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "embedding_outlier_scores",
+    """
+    WITH x AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    st AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(val * val, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sxx
+      FROM x GROUP BY pos),
+    dimstats AS (
+      SELECT pos, sx / n AS mu,
+             (sxx - n * (sx / n) * (sx / n)) / n AS var
+      FROM st),
+    terms AS (
+      SELECT x.id,
+             CAST(ROUND((x.val - d.mu) * (x.val - d.mu) / d.var, 12)
+                  AS DECIMAL(28,12)) AS term
+      FROM x JOIN dimstats d ON d.pos = x.pos),
+    scores AS (
+      SELECT id, CAST(SUM(term) AS DOUBLE) AS m2 FROM terms GROUP BY id)
+    SELECT s.id AS vec_id, e.label,
+           ROUND(s.m2, 6) AS mahalanobis_sq, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT id, m2,
+                 ROW_NUMBER() OVER (ORDER BY m2 DESC, id ASC) AS rank
+          FROM scores) s
+      JOIN embeddings e ON e.vec_id = s.id
+    WHERE rank <= 20
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection by diagonal-covariance
+    Mahalanobis distance — the cheap first-line anomaly filter a
+    training-data pipeline runs over incoming embeddings (full-matrix
+    Mahalanobis needs the inverse; the diagonal approximation is the
+    standard streaming-friendly variant): per-dimension mean/variance
+    from decimal-exact sufficient stats (one 64-row agg), then each
+    vector's score sums 12-dp-rounded standardized squares in
+    DECIMAL(28,12) (partitioning-proof), top-20 reported with labels.
+    The per-dim stats join is a broadcast of 64 rows; the top-20 rank
+    is a plain global window on the scores relation — WindowGroupLimit
+    prunes it (same shape as similarity_topk's, gate-exempt top-k).
+    Scale: two scans of the exploded corpus (stats, then terms), both
+    keyed aggs with map-side partials.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v0"
+        ),
+    ).select("id", "pos", F.round("v0", 6).alias("val"))
+    x = x.localCheckpoint(eager=True)  # dim stats + term scan share it
+    st = x.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("val") * F.col("val"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    dimstats = st.select(
+        "pos",
+        (F.col("sx") / nd).alias("mu"),
+        (
+            (F.col("sxx") - nd * (F.col("sx") / nd) * (F.col("sx") / nd)) / nd
+        ).alias("var"),
+    )
+    terms = x.join(F.broadcast(dimstats), "pos").select(
+        "id",
+        F.round(
+            (F.col("val") - F.col("mu"))
+            * (F.col("val") - F.col("mu"))
+            / F.col("var"),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    scores = terms.groupBy("id").agg(
+        F.sum("term").cast("double").alias("m2")
+    )
+    w = Window.orderBy(F.desc("m2"), F.asc("id"))
+    top = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+    return top.join(
+        emb.select(F.col("vec_id"), "label"), top["id"] == F.col("vec_id")
+    ).select(
+        "vec_id",
+        "label",
+        F.round(F.col("m2"), 6).alias("mahalanobis_sq"),
+        "rank",
     )

@@ -1085,3 +1085,73 @@ def test_power_iteration_matches_reference(spark):
     Cn = X.T @ X / n - np.outer(X.mean(0), X.mean(0))
     lam1 = float(np.linalg.eigvalsh(Cn)[-1])
     assert lam <= lam1 * 1.001 and lam >= 0.8 * lam1, (lam, lam1)
+
+
+def test_join_size_estimate_matches_reference(spark):
+    """sketch_join_size_estimate == a pure-Python CMS inner-product
+    estimator (guards the seeded md5 bucket formula, the per-row inner
+    product, the min-over-rows rule, and est >= exact)."""
+    import hashlib
+
+    from ingest_pipeline_spark import queries as q
+
+    li = (
+        pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+        .column(0)
+        .to_pylist()
+    )
+    pt = (
+        pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"])
+        .column(0)
+        .to_pylist()
+    )
+
+    def bucket(j: int, key) -> int:
+        h = hashlib.md5(f"{j}:{key}".encode()).hexdigest()
+        return int(h[:8], 16) % 4096
+
+    def grid(keys):
+        g: dict[tuple, int] = {}
+        for k in keys:
+            for j in range(4):
+                b = (j, bucket(j, k))
+                g[b] = g.get(b, 0) + 1
+        return g
+
+    ga, gb = grid(li), grid(pt)
+    self_est = min(
+        sum(c * c for (j, _), c in ga.items() if j == jj) for jj in range(4)
+    )
+    fk_est = min(
+        sum(
+            c * gb.get((j, b), 0)
+            for (j, b), c in ga.items()
+            if j == jj
+        )
+        for jj in range(4)
+        for j in [jj]
+    )
+    freq: dict[int, int] = {}
+    for k in li:
+        freq[k] = freq.get(k, 0) + 1
+    self_exact = sum(n * n for n in freq.values())
+    pset = set(pt)
+    fk_exact = sum(n for k, n in freq.items() if k in pset)
+    expected = {
+        "lineitem_self_f2": (
+            self_est,
+            self_exact,
+            float(_dec6((self_est - self_exact) / self_exact)),
+        ),
+        "lineitem_part_fk": (
+            fk_est,
+            fk_exact,
+            float(_dec6((fk_est - fk_exact) / fk_exact)),
+        ),
+    }
+    got = {
+        r["pair"]: (r["est"], r["exact"], r["rel_overestimate"])
+        for r in q.sketch_join_size_estimate(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)
+    assert all(e >= x for e, x, _ in expected.values())

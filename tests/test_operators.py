@@ -570,3 +570,51 @@ def test_gram_partials_match_relational(spark):
     }
     assert got == want
     assert len(got) == 64 * 64
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of length >= k + w - 1 (= 11 at k=8, w=4)
+    always share at least one selected fingerprint HASH, regardless of
+    surrounding context; and density ~ 2/(w+1) of the hash stream."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ingest_pipeline_spark.functions.text import rolling_hashes
+
+    shared = "identical common run here"  # >> 11 normalized chars
+    docs = spark.createDataFrame(
+        [
+            (1, "left context " + shared + " tail one"),
+            (2, "a totally different prefix " + shared + " other end"),
+        ],
+        "doc_id long, text string",
+    )
+    rh = rolling_hashes(docs, "text", "doc_id", k=8)
+    enc = rh.select(
+        F.col("id").alias("doc_id"),
+        "pos",
+        (F.col("rhash") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))).alias(
+            "packed"
+        ),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    win = enc.select(
+        "doc_id",
+        F.min("packed").over(frame).alias("sel"),
+        F.count("*").over(frame).alias("span"),
+    )
+    sels = win.filter(F.col("span") == 4).select("doc_id", "sel").distinct()
+    fp = {
+        1: set(),
+        2: set(),
+    }
+    for r in sels.collect():
+        fp[r["doc_id"]].add(r["sel"] // 1048576)
+    assert fp[1] & fp[2], "shared substring produced no shared fingerprint"
+    n_hashes = {r["id"]: 0 for r in rh.collect()}
+    for r in rh.collect():
+        n_hashes[r["id"]] += 1
+    for d in (1, 2):
+        density = len(fp[d]) / n_hashes[d]
+        assert 0.2 <= density <= 0.8, (d, density)

@@ -70,6 +70,14 @@ REPRESENTATIVE = [
     "quantiles_exact_global",
     # grouped + global rank matched by rational positions
     "docs_quantile_normalize",
+    # r7 hazard classes: per-Arrow-batch integer gram partials (batch
+    # boundaries move with partitioning — int64 sums must compose),
+    # HLL register max-propagation over edge joins, rational credit
+    # fractions decimal-summed per touch, ROLLUP over a ranked join
+    "embedding_top_component",
+    "graph_hyperball_neighborhood",
+    "events_attribution_position",
+    "rec_precision_at_k",
 ]
 
 

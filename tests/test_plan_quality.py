@@ -177,6 +177,8 @@ BNLJ_BY_DESIGN = {
     "graph_modularity_brand",  # broadcast 1-row total-edge count
     "basket_association_rules",  # broadcast 1-row basket total
     "embedding_top_component",  # broadcast 1-row n / norm / Rayleigh scalars
+    "sketch_join_size_estimate",  # broadcast 1-row est x exact pairs
+    "parts_abc_classification",  # broadcast 1-row total revenue
     "dedup_semantic_clusters",  # broadcast 8-row anchor set (SemDeDup cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
