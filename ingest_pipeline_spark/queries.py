@@ -15879,3 +15879,431 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m2"), 6).alias("mahalanobis_sq"),
         "rank",
     )
+
+
+def _lpa_round(k: int) -> str:
+    """One unrolled synchronous LPA round for the oracle: every node
+    takes the most frequent label among its neighbors AND itself
+    (self-vote — damps the 2-cycle oscillation synchronous LPA is
+    known for; tie -> smallest label).  MATERIALIZED for
+    the same reason as _pi_round."""
+    return f"""
+    f{k} AS MATERIALIZED (
+      SELECT node, lab, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT s.u AS node, l.lab FROM sym s JOIN l{k} l ON l.node = s.v
+        UNION ALL
+        SELECT node, lab FROM l{k}) z
+      GROUP BY node, lab),
+    l{k + 1} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lab ASC) AS rn
+        FROM f{k}) s WHERE rn = 1)"""
+
+
+_LPA_ROUNDS = 3
+
+
+@register(
+    "graph_lpa_communities",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT u, v FROM pairs WHERE support >= 3),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+    {",".join(_lpa_round(k) for k in range(_LPA_ROUNDS))},
+    final AS (SELECT node, lab FROM l{_LPA_ROUNDS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) nn
+      GROUP BY node),
+    comm AS (
+      SELECT f.lab AS community,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(dg.d) AS BIGINT) AS d_sum
+      FROM final f JOIN deg dg ON dg.node = f.node
+      GROUP BY f.lab),
+    intra AS (
+      SELECT fa.lab AS community, CAST(COUNT(*) AS BIGINT) AS l_intra
+      FROM e
+        JOIN final fa ON fa.node = e.u
+        JOIN final fb ON fb.node = e.v
+      WHERE fa.lab = fb.lab GROUP BY fa.lab)
+    SELECT c.community, c.n_members, c.d_sum,
+           COALESCE(i.l_intra, 0) AS intra_edges,
+           ROUND(CAST(COALESCE(i.l_intra, 0) AS DOUBLE)
+                   / CAST(m.m_edges AS DOUBLE)
+                 - (CAST(c.d_sum AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m.m_edges AS DOUBLE)))
+                   * (CAST(c.d_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * CAST(m.m_edges AS DOUBLE))),
+                 6) AS q_contrib
+    FROM comm c LEFT JOIN intra i ON i.community = c.community
+    CROSS JOIN m
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007),
+    SYNCHRONOUS variant with a deterministic tiebreak (most frequent
+    neighbor label incl. the node's own self-vote — the standard
+    damping for synchronous LPA's bipartite oscillation — ties to the
+    smallest) over the co-purchase graph, 3 fixed rounds — the
+    near-linear-time community algorithm that actually runs at
+    social-graph scale — followed by the Newman
+    modularity of the discovered partition (same integer-co-moment
+    finalization as graph_modularity_brand, which scores the STATIC
+    brand partition this one is compared against).  Each round is one
+    (edge x label) equi-join + a (node, label) count + a min-struct
+    argmax + a left-join label carry — all keyed, localCheckpointed
+    per round (fixpoint discipline); the oracle unrolls the 3 rounds
+    as MATERIALIZED CTEs.  Determinism note: synchronous LPA with a
+    total-order tiebreak is partitioning-proof, unlike the classic
+    random-order asynchronous variant.  BNLJ_BY_DESIGN: the 1-row
+    total-edge broadcast.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).localCheckpoint(eager=True)  # sym + deg + intra share it
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(_LPA_ROUNDS):
+        votes = sym.join(labels, labels["node"] == sym["v"]).select(
+            sym["u"].alias("fnode"), "lab"
+        ).unionByName(
+            labels.select(F.col("node").alias("fnode"), "lab")
+        )
+        freq = votes.groupBy("fnode", "lab").agg(F.count("*").alias("cnt"))
+        labels = (
+            freq.groupBy("fnode")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lab").alias("lab")
+                    )
+                ).alias("mn")
+            )
+            .select(F.col("fnode").alias("node"), F.col("mn.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    m = e.agg(F.count("*").alias("m_edges"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d").cast("bigint").alias("d_sum"),
+        )
+    )
+    fa = labels.select(F.col("node").alias("u"), F.col("lab").alias("la"))
+    fb = labels.select(F.col("node").alias("v"), F.col("lab").alias("lb"))
+    intra = (
+        e.join(fa, "u")
+        .join(fb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("l_intra"))
+    )
+    md = F.col("m_edges").cast("double")
+    frac = F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_members",
+            "d_sum",
+            F.coalesce(F.col("l_intra"), F.lit(0)).alias("intra_edges"),
+            F.round(
+                F.coalesce(F.col("l_intra"), F.lit(0)).cast("double") / md
+                - frac * frac,
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@register(
+    "supplier_topsis_ranking",
+    """
+    WITH crit AS (
+      SELECT s.s_suppkey, s.s_name,
+             CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))),
+                           0) AS DECIMAL(28,2)) AS revenue,
+             CAST(COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                                AS DECIMAL(28,2)), 0) AS DECIMAL(28,2))
+               AS volume,
+             CAST(s.s_acctbal AS DECIMAL(18,2)) AS acctbal
+      FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_name, s.s_acctbal),
+    norms AS (
+      SELECT SQRT(CAST(SUM(revenue * revenue) AS DOUBLE)) AS nr,
+             SQRT(CAST(SUM(volume * volume) AS DOUBLE)) AS nv,
+             SQRT(CAST(SUM(acctbal * acctbal) AS DOUBLE)) AS na
+      FROM crit),
+    v AS (
+      SELECT c.s_suppkey, c.s_name,
+             CAST(c.revenue AS DOUBLE) / n.nr AS vr,
+             CAST(c.volume AS DOUBLE) / n.nv AS vv,
+             CAST(c.acctbal AS DOUBLE) / n.na AS va
+      FROM crit c CROSS JOIN norms n),
+    ideal AS (
+      SELECT MAX(vr) AS ir, MAX(vv) AS iv, MAX(va) AS ia,
+             MIN(vr) AS wr, MIN(vv) AS wv, MIN(va) AS wa
+      FROM v),
+    d AS (
+      SELECT v.s_suppkey, v.s_name,
+             SQRT((v.vr - i.ir) * (v.vr - i.ir)
+                  + (v.vv - i.iv) * (v.vv - i.iv)
+                  + (v.va - i.ia) * (v.va - i.ia)) AS d_pos,
+             SQRT((v.vr - i.wr) * (v.vr - i.wr)
+                  + (v.vv - i.wv) * (v.vv - i.wv)
+                  + (v.va - i.wa) * (v.va - i.wa)) AS d_neg
+      FROM v CROSS JOIN ideal i)
+    SELECT s_suppkey, s_name,
+           ROUND(d_neg / (d_pos + d_neg), 6) AS closeness,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT s_suppkey, s_name, d_pos, d_neg,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(d_neg / (d_pos + d_neg), 6) DESC,
+                        s_suppkey ASC) AS rank
+      FROM d) r
+    WHERE rank <= 20
+    """,
+)
+def supplier_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPSIS multi-criteria supplier ranking (Hwang & Yoon 1981) —
+    the classic decision-support operator: score each supplier by
+    closeness d-/(d+ + d-) to the ideal (max revenue, max volume,
+    max account balance) vs anti-ideal point after L2 vector
+    normalization.  Exactness discipline: all three criteria are
+    DECIMAL-exact before normalization, the L2 norms square DECIMALS
+    (never a rounded double product — revenue² ~ 1e14 is ulp-coarser
+    than any decimal grid), and each distance is ONE fixed-order
+    3-term double expression + SQRT (IEEE-exact), so both engines
+    rank identical doubles (closeness rounded 6 dp BEFORE ranking, id
+    tiebreak).  Scale: one supplier-keyed fact agg; everything after
+    operates on the supplier dim with two 1-row broadcasts
+    (BNLJ_BY_DESIGN: norms + ideal points).
+    """
+    li = _t(spark, sf_dir)["lineitem"]
+    sup = _t(spark, sf_dir)["supplier"]
+    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    crit = (
+        sup.join(li, li["l_suppkey"] == sup["s_suppkey"], "left")
+        .groupBy("s_suppkey", "s_name", "s_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(dec2(F.col("l_extendedprice"))), F.lit(0)
+            )
+            .cast("decimal(28,2)")
+            .alias("revenue"),
+            F.coalesce(F.sum(dec2(F.col("l_quantity"))), F.lit(0))
+            .cast("decimal(28,2)")
+            .alias("volume"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            "volume",
+            dec2(F.col("s_acctbal")).alias("acctbal"),
+        )
+    ).localCheckpoint(eager=True)  # norms + projection share it
+    norms = crit.agg(
+        F.sqrt(F.sum(F.col("revenue") * F.col("revenue")).cast("double")).alias("nr"),
+        F.sqrt(F.sum(F.col("volume") * F.col("volume")).cast("double")).alias("nv"),
+        F.sqrt(F.sum(F.col("acctbal") * F.col("acctbal")).cast("double")).alias("na"),
+    )
+    v = crit.crossJoin(F.broadcast(norms)).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("revenue").cast("double") / F.col("nr")).alias("vr"),
+        (F.col("volume").cast("double") / F.col("nv")).alias("vv"),
+        (F.col("acctbal").cast("double") / F.col("na")).alias("va"),
+    )
+    ideal = v.agg(
+        F.max("vr").alias("ir"),
+        F.max("vv").alias("iv"),
+        F.max("va").alias("ia"),
+        F.min("vr").alias("wr"),
+        F.min("vv").alias("wv"),
+        F.min("va").alias("wa"),
+    )
+    sq = lambda a, b: (F.col(a) - F.col(b)) * (F.col(a) - F.col(b))  # noqa: E731
+    d = v.crossJoin(F.broadcast(ideal)).select(
+        "s_suppkey",
+        "s_name",
+        F.sqrt(sq("vr", "ir") + sq("vv", "iv") + sq("va", "ia")).alias("d_pos"),
+        F.sqrt(sq("vr", "wr") + sq("vv", "wv") + sq("va", "wa")).alias("d_neg"),
+    )
+    closeness = F.round(F.col("d_neg") / (F.col("d_pos") + F.col("d_neg")), 6)
+    w = Window.orderBy(closeness.desc(), F.asc("s_suppkey"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("s_suppkey", "s_name", closeness.alias("closeness"), "rank")
+    )
+
+
+@register(
+    "sample_stratified_neyman",
+    """
+    WITH o AS (
+      SELECT n.n_name AS nation, o.o_orderkey, o.o_totalprice
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    st AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM o GROUP BY nation),
+    sd AS (
+      SELECT nation, n_h,
+             SQRT((sxx - n_h * (sx / n_h) * (sx / n_h))
+                  / (n_h - 1)) AS sd_h
+      FROM st WHERE n_h >= 2),
+    tot AS (
+      SELECT CAST(SUM(CAST(ROUND(n_h * sd_h, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS denom
+      FROM sd),
+    alloc AS (
+      SELECT s.nation, s.n_h, s.sd_h,
+             CAST(FLOOR(CAST(1000.0 AS DOUBLE) * (s.n_h * s.sd_h) / t.denom)
+                  AS BIGINT) AS n_alloc
+      FROM sd s CROSS JOIN tot t),
+    ranked AS (
+      SELECT o.nation, ROW_NUMBER() OVER (
+               PARTITION BY o.nation
+               ORDER BY MD5('smp:' || o.o_orderkey) ASC,
+                        o.o_orderkey ASC) AS rn
+      FROM o),
+    achieved AS (
+      SELECT r.nation, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM ranked r JOIN alloc a ON a.nation = r.nation
+      WHERE r.rn <= a.n_alloc GROUP BY r.nation)
+    SELECT a.nation, a.n_h, ROUND(a.sd_h, 6) AS sd_price, a.n_alloc,
+           COALESCE(ac.n_sampled, 0) AS n_sampled
+    FROM alloc a LEFT JOIN achieved ac ON ac.nation = a.nation
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (optimal allocation,
+    survey-sampling 101): a 1000-row budget is split across nation
+    strata proportional to N_h * sigma_h (big AND volatile strata get
+    more), then the sample itself is drawn DETERMINISTICALLY by
+    md5-ranking rows within each stratum and cutting at the
+    allocation — reproducible on any cluster, no RNG state
+    (operators/sampling.py's hash discipline).  Variances come from
+    decimal sufficient stats (DECIMAL(18,2)^2 exact squares); the
+    allocation denominator decimal-sums 6-dp-rounded N*sigma terms;
+    the per-stratum md5 rank runs as the grouped two-phase prefix scan
+    (operators/prefix.py:grouped_row_number — 25 heavy strata would
+    otherwise pin 25 tasks).  Output: stratum sizes, price sd,
+    allocation, and the achieved sample count (== allocation whenever
+    n_alloc <= N_h).  BNLJ_BY_DESIGN: the 1-row denominator.
+    """
+    from .operators.prefix import grouped_row_number
+
+    o = (
+        _t(spark, sf_dir)["orders"]
+        .join(
+            _t(spark, sf_dir)["customer"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir)["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"), "o_orderkey", "o_totalprice"
+        )
+    ).localCheckpoint(eager=True)  # stats + ranked sample share it
+    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    st = o.groupBy("nation").agg(
+        F.count("*").alias("n_h"),
+        F.sum(dec2(F.col("o_totalprice"))).cast("double").alias("sx"),
+        F.sum(dec2(F.col("o_totalprice")) * dec2(F.col("o_totalprice")))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    sd = st.filter(F.col("n_h") >= 2).select(
+        "nation",
+        "n_h",
+        F.sqrt(
+            (
+                F.col("sxx")
+                - nd * (F.col("sx") / nd) * (F.col("sx") / nd)
+            )
+            / (nd - 1)
+        ).alias("sd_h"),
+    )
+    tot = sd.agg(
+        F.sum(
+            F.round(F.col("n_h") * F.col("sd_h"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("denom")
+    )
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_h",
+        "sd_h",
+        F.floor(
+            F.lit(1000.0) * (F.col("n_h") * F.col("sd_h")) / F.col("denom")
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    ranked = grouped_row_number(
+        o.select(
+            "nation",
+            "o_orderkey",
+            F.md5(F.concat(F.lit("smp:"), F.col("o_orderkey").cast("string"))).alias(
+                "__h"
+            ),
+        ),
+        ["nation"],
+        [F.asc("__h"), F.asc("o_orderkey")],
+        "rn",
+    )
+    achieved = (
+        ranked.join(
+            F.broadcast(alloc.select("nation", "n_alloc")), "nation"
+        )
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("nation")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return alloc.join(achieved, "nation", "left").select(
+        "nation",
+        "n_h",
+        F.round(F.col("sd_h"), 6).alias("sd_price"),
+        "n_alloc",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )

@@ -78,6 +78,9 @@ REPRESENTATIVE = [
     "graph_hyperball_neighborhood",
     "events_attribution_position",
     "rec_precision_at_k",
+    # synchronous LPA: per-round frequency argmax must not depend on
+    # vote arrival order (min-struct over counts)
+    "graph_lpa_communities",
 ]
 
 

@@ -179,6 +179,9 @@ BNLJ_BY_DESIGN = {
     "embedding_top_component",  # broadcast 1-row n / norm / Rayleigh scalars
     "sketch_join_size_estimate",  # broadcast 1-row est x exact pairs
     "parts_abc_classification",  # broadcast 1-row total revenue
+    "graph_lpa_communities",  # broadcast 1-row total-edge count
+    "supplier_topsis_ranking",  # broadcast 1-row norms + ideal points
+    "sample_stratified_neyman",  # broadcast 1-row allocation denominator
     "dedup_semantic_clusters",  # broadcast 8-row anchor set (SemDeDup cells)
     "sketch_hll_rolling_users",  # broadcast ~days spine over register rows
     "text_bigram_perplexity",   # broadcast 1-row vocabulary size
