@@ -16307,3 +16307,121 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alloc",
         F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
     )
+
+
+@register(
+    "similarity_pq_distortion_audit",
+    """
+    WITH x AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             CAST((i - 1) // 2 AS INT) AS j, CAST((i - 1) % 2 AS INT) AS ps
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    cb AS (
+      SELECT j, id AS c, ps, val AS cb_val
+      FROM x WHERE id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 16)),
+    enc AS (
+      SELECT x.id, x.j, cb.c,
+             SUM(CAST(ROUND((x.val - cb.cb_val) * (x.val - cb.cb_val), 12)
+                      AS DECIMAL(28,12))) AS dist2
+      FROM x JOIN cb ON x.j = cb.j AND x.ps = cb.ps
+      GROUP BY x.id, x.j, cb.c),
+    codes AS (
+      SELECT id, j, MIN(dist2) AS best_dist2
+      FROM enc GROUP BY id, j),
+    nrm AS (
+      SELECT x.j,
+             SUM(CAST(ROUND(x.val * x.val, 12) AS DECIMAL(28,12)))
+               AS energy
+      FROM x GROUP BY x.j)
+    SELECT c.j AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(c.best_dist2) AS DOUBLE) AS total_sq_error,
+           CAST(MAX(n.energy) AS DOUBLE) AS total_energy,
+           ROUND(CAST(SUM(c.best_dist2) AS DOUBLE)
+                 / CAST(MAX(n.energy) AS DOUBLE), 6) AS rel_distortion
+    FROM codes c JOIN nrm n ON n.j = c.j
+    GROUP BY c.j
+    """,
+)
+def similarity_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error audit — the third ANN tuning gauge next
+    to recall (similarity_ann_recall) and LSH candidate quality
+    (dedup_lsh_quality_audit): per subspace, the total squared
+    quantization error of the best code against the subspace's total
+    signal energy (rel_distortion = quantization MSE / signal power —
+    the quantity PQ codebook sizing trades against memory).  Uses the
+    corpus-sampled 16-code codebook of similarity_ivfpq_topk_det; the
+    per-(id, subspace) argmin is a plain MIN (only the distance, not
+    the code id, is reported); all sums are 12-dp-rounded products in
+    DECIMAL(28,12) (exact: inputs are 6-dp).  Scale: encode is the
+    (j, ps)-keyed broadcast join + one keyed agg; the audit output is
+    m rows.  A healthy codebook shows rel_distortion well under 1;
+    random data with 16 codes in 2-D subspaces sits near ~0.3-0.6.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    spark_ = spark
+    sample = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    if not sample or sample[0][1] is None:
+        return spark_.createDataFrame(
+            [],
+            "subspace int, n_vectors long, total_sq_error double, "
+            "total_energy double, rel_distortion double",
+        )
+    dim = len(sample[0][1])
+    d_sub = 2
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v0"
+        ),
+    ).select(
+        "id",
+        F.round("v0", 6).alias("val"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    ).localCheckpoint(eager=True)  # encode + energy share it
+    cb = spark_.createDataFrame(
+        [
+            (pos // d_sub, r[0], pos % d_sub, r[1][pos])
+            for r in sample
+            for pos in range(dim)
+        ],
+        "j int, c long, ps int, cb_raw double",
+    ).select("j", "c", "ps", F.round("cb_raw", 6).alias("cb_val"))
+    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
+    enc = (
+        x.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("id", "j", "c")
+        .agg(
+            dec(
+                (F.col("val") - F.col("cb_val"))
+                * (F.col("val") - F.col("cb_val"))
+            ).alias("dist2")
+        )
+    )
+    codes = enc.groupBy("id", "j").agg(F.min("dist2").alias("best_dist2"))
+    nrm = x.groupBy("j").agg(dec(F.col("val") * F.col("val")).alias("energy"))
+    return (
+        codes.groupBy("j")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("best_dist2").cast("double").alias("total_sq_error"),
+        )
+        .join(F.broadcast(nrm.select("j", F.col("energy").cast("double").alias("total_energy"))), "j")
+        .select(
+            F.col("j").alias("subspace"),
+            "n_vectors",
+            "total_sq_error",
+            "total_energy",
+            F.round(
+                F.col("total_sq_error") / F.col("total_energy"), 6
+            ).alias("rel_distortion"),
+        )
+    )
