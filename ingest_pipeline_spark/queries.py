@@ -16425,3 +16425,89 @@ def similarity_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("rel_distortion"),
         )
     )
+
+
+@register(
+    "corpus_source_jaccard_matrix",
+    """
+    WITH toks AS (
+      SELECT DISTINCT d.source, x AS w
+      FROM documents d,
+           UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+'),
+                              t -> t <> '')) u(x)),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM toks GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM toks a JOIN toks b
+        ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.src_a, i.src_b, sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
+           i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(sa.n_vocab + sb.n_vocab - i.n_common AS DOUBLE),
+                 6) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def corpus_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap matrix: Jaccard similarity of
+    the distinct-token sets of every source pair — the corpus
+    provenance diagnostic that flags mirrored / re-crawled sources
+    before doc-level dedup even runs (a near-1 cell means two feeds
+    are the same corpus), complementing the distributional view of
+    text_source_kl_divergence with a set view.  The pair intersection
+    is an INVERTED-INDEX equi-join on the token (the dedup.py
+    discipline — candidates meet only through shared tokens, never a
+    source cross product); set sizes fold in one keyed agg and attach
+    via two |sources|-row joins.  Integer counts, one final ratio.
+    Scale: work is Σ_token df(token)² over the source-level posting
+    lists (|sources| bounds a posting list at ~20 here), and the
+    output is the (|sources| choose 2) matrix — both domain-bounded.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # sizes + self-join share it
+    )
+    sizes = toks.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a = toks.select(F.col("source").alias("src_a"), "w")
+    b = toks.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
