@@ -233,33 +233,49 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in names), 3)
     tier2_total = round(sum(timings[n] for n in tier2), 3)
+    # run_id stamps which process produced an artifact (the r7 judge
+    # bench silently clobbered the builder's uncommitted BENCH_LOCAL —
+    # same code, but the provenance was gone)
+    run_id = "%d-%d" % (int(time.time()), os.getpid())
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "tier2_total": tier2_total,
+        "value_all": round(total + tier2_total, 3),
+        "n_queries": len(names) + len(tier2),
+        "sf": float(sf),
+        "run_id": run_id,
+    }
     # value = headline min-of-reps subtotal (methodology since r4, list
     # pinned for cross-round comparability); tier2_total covers every
     # other registered query; value_single_run is the sum of first
     # headline executions — the r1-r3-comparable single-run number
     line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "timing": {"method": "min_of_reps", "reps": reps},
-            "value_single_run": round(first_total, 3),
-            "tier2_total": tier2_total,
-            "value_all": round(total + tier2_total, 3),
-            "n_queries": len(names) + len(tier2),
-            "queries": timings,
-            "sf": float(sf),
-        }
+        dict(
+            summary,
+            timing={"method": "min_of_reps", "reps": reps},
+            value_single_run=round(first_total, 3),
+            queries=timings,
+        )
     )
     print(line)
-    # also persist in-repo: the driver's tail capture has truncated the
-    # stdout line before (r5), and the judge diffs per-query timings
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    try:
-        with open(out, "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout line remains the contract
+    # the driver's artifact keeps only the LAST ~2000 chars of stdout and
+    # the big line leads with the headline number — print a second tiny
+    # summary line so any tail capture still contains the totals
+    print(json.dumps(summary))
+    # also persist in-repo: the judge diffs per-query timings.  Skip with
+    # SPARK_GRAFT_BENCH_LOCAL=0 (e.g. a verification re-run that must not
+    # clobber the builder's artifact); run_id disambiguates otherwise.
+    if os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "1") != "0":
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        try:
+            with open(out, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout line remains the contract
 
 
 if __name__ == "__main__":

@@ -10,12 +10,14 @@ multimodal corpus as:
 
 Spark-side plumbing (schema, partitioning, Arrow batch shape) is real
 and tested.  PNG decode is REAL (pure-stdlib inflate + unfilter +
-palette expansion — ``png_decode`` / ``decode_image_features`` below);
-the remaining codec work (JPEG/audio/video decode, resample, frame
-sampling) stays stubbed — those decode libraries are not in this
-container — behind ``decode_stub_features``: a deterministic
-byte-level fake whose signature/batching matches what a real
-Pandas-UDF decoder would use.  The format METADATA path is NOT
+palette expansion — ``png_decode`` / ``decode_image_features`` below),
+strip-TIFF decode is REAL (IFD walk + Deflate strips + Predictor 2 —
+``tiff_decode``, closing the reference's own OME/SCN TIFF family),
+and WAV decode is REAL (``wav_decode``); the remaining codec work
+(JPEG/video decode, resample) stays stubbed — those decode libraries
+are not in this container — behind ``decode_stub_features``: a
+deterministic byte-level fake whose signature/batching matches what a
+real Pandas-UDF decoder would use.  The format METADATA path is NOT
 stubbed: operators/extractors.py parses OME-TIFF/imzML/FASTQ/transform
 files for real.
 
@@ -86,15 +88,19 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Non-PNG decoder entry point — NOT IMPLEMENTED in this container.
+    """Catch-all decoder entry point for formats WITHOUT a real codec
+    here (JPEG, CZI, video) — NOT IMPLEMENTED in this container.
 
-    PNG is decoded for REAL by ``decode_image_features`` (pure-stdlib
-    codec below); a production build plugs Pillow/librosa/pyav into
-    the same mapInPandas harness for the remaining formats.
+    PNG and strip-TIFF are decoded for REAL by
+    ``decode_image_features`` (pure-stdlib codecs below), WAV by
+    ``decode_audio_features``; a production build plugs
+    Pillow/librosa/pyav into the same mapInPandas harness for the
+    remaining formats.
     """
     raise NotImplementedError(
-        "non-PNG media codecs are not available in this environment; "
-        "use decode_image_features (real PNG) or decode_stub_features "
+        "JPEG/CZI/video codecs are not available in this environment; "
+        "use decode_image_features (real PNG + TIFF), "
+        "decode_audio_features (real WAV), or decode_stub_features "
         "for the plumbing-equivalent path"
     )
 
@@ -267,6 +273,9 @@ def png_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
             raise ValueError("truncated chunk")
         pos += ln + 4  # payload + CRC
         if typ == b"IHDR":
+            if ln != 13:
+                # struct.error would escape callers' `except ValueError`
+                raise ValueError(f"IHDR length {ln} != 13")
             w, h, bd, ct, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -411,12 +420,15 @@ def png_encode(
 
 def decode_image_features(assets: DataFrame) -> DataFrame:
     """REAL image decode over the mapInPandas harness: PNG media is
-    fully decoded (inflate + unfilter + palette expansion) and reduced
-    to exact integer pixel statistics; undecodable/unsupported media
-    flows to (decode_ok=false, error) rows instead of failing the job —
-    the corrupt-input-tolerant extractor discipline of
-    operators/extractors.py.  All stats are integers (px_sum exact
-    bigint), so downstream oracles never touch float hazards.
+    fully decoded (inflate + unfilter + palette expansion), TIFF media
+    is strip-decoded (IFD walk + Deflate strips + Predictor 2, both
+    byte orders — ``tiff_decode`` below), and both reduce to exact
+    integer pixel statistics; undecodable/unsupported media flows to
+    (decode_ok=false, error) rows instead of failing the job — the
+    corrupt-input-tolerant extractor discipline of
+    operators/extractors.py.  Format dispatch is by magic bytes, one
+    pass.  All stats are integers (px_sum exact bigint), so downstream
+    oracles never touch float hazards.
     """
     out_schema = (
         "asset_id long, width int, height int, channels int, "
@@ -430,7 +442,10 @@ def decode_image_features(assets: DataFrame) -> DataFrame:
             for aid, buf in zip(pdf["asset_id"], pdf["media"]):
                 b = bytes(buf) if buf is not None else b""
                 try:
-                    w, h, ch, bd, px = png_decode(b)
+                    if b[:2] in (b"II", b"MM"):
+                        w, h, ch, bd, px = tiff_decode(b)
+                    else:
+                        w, h, ch, bd, px = png_decode(b)
                     rows.append(
                         (aid, w, h, ch, bd, sum(px), min(px), max(px),
                          True, None)
@@ -629,3 +644,270 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib TIFF strip codec — the reference's OWN flagship imaging family
+# (reference md/data_file_types/ome_tiff_metadata_file.py:12-17 and
+# scn_tiff_metadata_file.py:13-17 wrap tifffile; extractors.py already walks
+# the IFD for metadata).  This closes the decode_media gap for TIFF PIXEL
+# data: classic TIFF, grayscale 8-bit, strip-organized (StripOffsets /
+# StripByteCounts / RowsPerStrip honored), Compression 1 (none) and
+# 8/32946 (Deflate), Predictor 1 (none) and 2 (horizontal differencing),
+# both byte orders.  Tiled TIFF, LZW, and multi-sample planar variants
+# still raise ValueError (callers degrade to error rows).
+# ---------------------------------------------------------------------------
+
+
+def tiff_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    compression: str = "deflate",
+    rows_per_strip: int = 4,
+    predictor: int = 1,
+    byte_order: str = "<",
+) -> bytes:
+    """Encode an 8-bit grayscale buffer as a classic strip TIFF.
+
+    Deterministic for fixed inputs (zlib stable for a given library).
+    Multiple strips are emitted whenever height > rows_per_strip, so a
+    decoder must genuinely walk the StripOffsets/StripByteCounts
+    arrays — not just slurp one blob.
+    """
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer length mismatch")
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    if comp_code is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = min(rows_per_strip, height - y0)
+        raw = bytearray(pixels[y0 * width : (y0 + rows) * width])
+        if predictor == 2:  # horizontal differencing, per row
+            for r in range(rows):
+                base = r * width
+                for x in range(width - 1, 0, -1):
+                    raw[base + x] = (raw[base + x] - raw[base + x - 1]) & 0xFF
+        strips.append(
+            zlib.compress(bytes(raw), 6) if comp_code == 8 else bytes(raw)
+        )
+
+    n_strips = len(strips)
+    e = byte_order
+
+    # layout: header(8) | IFD | [offset arrays] | strip data
+    tags = []  # (tag, type, count, value-or-bytes)
+
+    def short(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack(e + "I", v)
+
+    # IFD entry count: 10 tags below
+    entries = [
+        (256, 3, 1, short(width)),            # ImageWidth
+        (257, 3, 1, short(height)),           # ImageLength
+        (258, 3, 1, short(8)),                # BitsPerSample
+        (259, 3, 1, short(comp_code)),        # Compression
+        (262, 3, 1, short(1)),                # Photometric: BlackIsZero
+        (277, 3, 1, short(1)),                # SamplesPerPixel
+        (278, 3, 1, short(rows_per_strip)),   # RowsPerStrip
+        (317, 3, 1, short(predictor)),        # Predictor
+    ]
+    n_tags = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    after_ifd = ifd_off + ifd_size
+
+    # strip offset/bytecount arrays go right after the IFD when n>1
+    if n_strips == 1:
+        arrays = b""
+        data_off = after_ifd
+        offsets_val = long_(data_off)
+        counts_val = long_(len(strips[0]))
+    else:
+        arr_bytes = 4 * n_strips
+        data_off = after_ifd + 2 * arr_bytes
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        arrays = b"".join(struct.pack(e + "I", o) for o in offs) + b"".join(
+            struct.pack(e + "I", len(s)) for s in strips
+        )
+        offsets_val = long_(after_ifd)
+        counts_val = long_(after_ifd + arr_bytes)
+
+    entries_all = sorted(
+        entries
+        + [(273, 4, n_strips, offsets_val), (279, 4, n_strips, counts_val)]
+    )
+    ifd = struct.pack(e + "H", n_tags)
+    for tag, typ, count, val in entries_all:
+        ifd += struct.pack(e + "HHI", tag, typ, count) + val
+    ifd += long_(0)  # next-IFD pointer: none
+
+    header = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    return header + ifd + arrays + b"".join(strips)
+
+
+def tiff_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a strip TIFF → (width, height, channels, bit_depth, pixels).
+
+    Walks the first IFD (both byte orders), honors StripOffsets /
+    StripByteCounts / RowsPerStrip, inflates Deflate strips
+    (Compression 8 and legacy 32946), and undoes horizontal-differencing
+    Predictor 2.  Grayscale 8-bit single-sample only; anything else
+    (tiles, LZW, palettes, multi-sample) raises ValueError so callers
+    degrade to error rows — the extractor discipline.
+    """
+    import struct
+    import zlib
+
+    if len(data) < 8:
+        raise ValueError("not a TIFF: too short")
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, off = struct.unpack(e + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    if off + 2 > len(data):
+        raise ValueError("truncated IFD")
+    (n,) = struct.unpack(e + "H", data[off : off + 2])
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+    def tag_values(typ, count, raw):
+        size = type_size.get(typ, 1) * count
+        if size <= 4:
+            payload = raw[:size]
+        else:
+            (voff,) = struct.unpack(e + "I", raw)
+            payload = data[voff : voff + size]
+            if len(payload) != size:
+                raise ValueError("truncated tag payload")
+        if typ == 3:
+            return list(struct.unpack(e + f"{count}H", payload))
+        if typ == 4:
+            return list(struct.unpack(e + f"{count}I", payload))
+        return payload
+
+    tags: dict[int, object] = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        if base + 12 > len(data):
+            raise ValueError("truncated IFD entry")
+        tag, typ, count, raw = struct.unpack(
+            e + "HHI4s", data[base : base + 12]
+        )
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 317, 322):
+            tags[tag] = tag_values(typ, count, raw)
+
+    if 322 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    try:
+        width = int(tags[256][0])
+        height = int(tags[257][0])
+        offsets = [int(v) for v in tags[273]]
+        counts = [int(v) for v in tags[279]]
+    except KeyError as k:
+        raise ValueError(f"missing required tag {k}") from None
+    bits = int(tags.get(258, [8])[0])
+    comp = int(tags.get(259, [1])[0])
+    spp = int(tags.get(277, [1])[0])
+    rps = int(tags.get(278, [height or 1])[0]) or (height or 1)
+    pred = int(tags.get(317, [1])[0])
+    if bits != 8 or spp != 1:
+        raise ValueError(f"unsupported sample layout ({spp}x{bits}-bit)")
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported compression {comp}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported predictor {pred}")
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+
+    out = bytearray()
+    rows_done = 0
+    for soff, scnt in zip(offsets, counts):
+        blob = data[soff : soff + scnt]
+        if len(blob) != scnt:
+            raise ValueError("truncated strip")
+        if comp in (8, 32946):
+            try:
+                raw = bytearray(zlib.decompress(blob))
+            except zlib.error as z:
+                raise ValueError(f"bad deflate strip: {z}") from None
+        else:
+            raw = bytearray(blob)
+        rows = min(rps, height - rows_done)
+        if len(raw) != rows * width:
+            raise ValueError("strip size mismatch")
+        if pred == 2:
+            for r in range(rows):
+                base = r * width
+                for x in range(1, width):
+                    raw[base + x] = (raw[base + x] + raw[base + x - 1]) & 0xFF
+        out += raw
+        rows_done += rows
+    if rows_done != height:
+        raise ValueError("missing strips")
+    return width, height, 1, 8, bytes(out)
+
+
+def embeddings_to_tiff(
+    emb: DataFrame,
+    width: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a grayscale strip TIFF (asset_id, media)
+    with the SAME floor quantization as embeddings_to_png, alternating
+    codec paths by id parity so the corpus exercises every decoder
+    branch: even ids → Deflate strips + Predictor 2 + little-endian,
+    odd ids → uncompressed strips + big-endian.  rows_per_strip=3
+    forces multi-strip layout on the 8-row images.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid, vec in zip(pdf[id_col], pdf[vec_col]):
+                px = bytes(
+                    min(255, max(0, math.floor((float(v) + 1.0) * 127.5)))
+                    for v in vec
+                )
+                h = len(px) // width
+                if int(aid) % 2 == 0:
+                    blob = tiff_encode(
+                        width, h, px[: width * h],
+                        compression="deflate", rows_per_strip=3,
+                        predictor=2, byte_order="<",
+                    )
+                else:
+                    blob = tiff_encode(
+                        width, h, px[: width * h],
+                        compression="none", rows_per_strip=3,
+                        predictor=1, byte_order=">",
+                    )
+                ids.append(aid)
+                blobs.append(blob)
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, "asset_id long, media binary"
+    )

@@ -62,67 +62,68 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-7 window: the 49 registrations that have never held a driver
-# slot (late-r6 stats/dedup-audit/ANN-recall pack + post-snapshot
-# additions; all judge-verified green at sf0.01 at r6 HEAD), then
-# round-7's new queries take the remaining slot(s) as they land.
-# Permanently OUT of the window: the rows-only-by-design entries
-# (similarity_pq_topk, source_listing, graph_kcore_parts) — each
-# would burn a slot as an eternal `no_oracle`.  List EXACTLY 50
-# names (sized by test_driver_contract).
+# Round-8 window: the 29 oracle-backed round-7 registrations that have
+# never held a driver slot (judge-verified green at sf0.01 at r7 HEAD),
+# plus 21 re-samples of the STALEST greens — queries whose only driver
+# rows date to r1-r3, before the table cache (r5), prefix-scan rewires
+# (r6), and session-conf changes; their old rows certify code that no
+# longer exists.  Permanently OUT of the window: the rows-only-by-design
+# entries (similarity_pq_topk, source_listing, graph_kcore_parts,
+# text_bpe_learn_merges) — each would burn a slot as an eternal
+# `no_oracle`.  List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled before round 7 (judge-verified green at r6)
-    "orders_price_decile_stats",
-    "cdc_apply_changes",
-    "events_attribution_last_touch",
-    "stats_linear_trend",
-    "quantiles_histogram_estimate",
-    "graph_triangle_count",
-    "basket_item_cosine",
-    "stats_group_median",
-    "similarity_ann_recall",
-    "compliance_delete_cascade",
-    "multimodal_work_plan",
-    "agg_grouping_sets",
-    "stats_winsorized_mean",
-    "text_bpe_token_budget",
-    "stats_mode_per_group",
-    "market_concentration_hhi",
-    "orders_seasonal_index",
-    "orders_benford_digit_audit",
-    "customer_gini_by_nation",
-    "orders_autocorr_daily",
-    "corpus_token_shards",
-    "text_vocab_coverage",
-    "survival_customer_churn",
-    "linkage_surprisal_pairs",
-    "text_source_kl_divergence",
-    "stats_group_mad",
-    "events_cusum_changepoint",
-    "events_interarrival_stats",
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "orders_cohort_ltv",
-    "quantiles_exact_global",
-    "experiment_cuped_adjustment",
-    "customer_theil_by_nation",
-    "forecast_seasonal_naive_backtest",
-    "text_zipf_slope",
-    "events_anomaly_mad_days",
-    "dedup_lsh_quality_audit",
-    "events_debounce_dedup",
-    "docs_quantile_normalize",
-    "stats_anova_oneway",
-    "graph_degree_assortativity",
-    "stats_spearman_rank",
-    "graph_adamic_adar",
-    "quality_roc_auc",
-    "customer_lorenz_curve",
-    "stats_kendall_tau",
-    "stats_weighted_median_brand",
-    "orders_runs_test",
-    # round-7 additions
-    "text_bpe_pair_stats",
+    # never driver-sampled round-7 registrations (oracle-backed)
+    "multimodal_png_roundtrip",
+    "dedup_semantic_clusters",
+    "search_rrf_fusion",
+    "text_gopher_quality_flags",
+    "forecast_ewma_daily",
+    "stats_bootstrap_ci",
+    "search_mmr_rerank",
+    "text_rake_keywords",
+    "similarity_ivfpq_topk_det",
+    "corpus_filter_funnel",
+    "stats_welch_ttest",
+    "corpus_mix_temperature",
+    "quality_calibration_bins",
+    "graph_modularity_brand",
+    "graph_hyperball_neighborhood",
+    "basket_association_rules",
+    "embedding_top_component",
+    "multimodal_wav_roundtrip",
+    "events_attribution_position",
+    "rec_precision_at_k",
+    "sketch_join_size_estimate",
+    "text_winnowing_fingerprints",
+    "parts_abc_classification",
+    "embedding_outlier_scores",
+    "graph_lpa_communities",
+    "supplier_topsis_ranking",
+    "sample_stratified_neyman",
+    "similarity_pq_distortion_audit",
+    "corpus_source_jaccard_matrix",
+    # stalest re-samples (last driver row r3; infra rewired since)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "checksum_manifest",
+    "dedup_minhash_lsh",
+    "dedup_exact_docs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "similarity_topk",
+    "sessionize_users",
+    "stream_window_counts",
+    "stream_dedup_run_ids",
+    "status_state_machine",
+    "window_running_total",
+    "window_topk_overflow",
+    "window_latest_order",
+    "multimodal_extract_metadata",
+    "text_quality_scores",
+    "graph_bfs_descendants",
+    "schema_validate_documents",
 ]
 
 
@@ -13190,7 +13191,8 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS word
       FROM documents),
     h AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-          FROM w GROUP BY word),
+          FROM w WHERE word NOT LIKE '%' || CHR(31) || '%'
+          GROUP BY word),
     c AS (SELECT freq, REGEXP_EXTRACT_ALL(word, '.') AS chars FROM h),
     p AS (SELECT chars[i] AS a, chars[i + 1] AS b, freq
           FROM c, UNNEST(GENERATE_SERIES(1, LEN(chars) - 1)) t(i))
@@ -13878,9 +13880,14 @@ def _mmr_oracle_sql(k: int = 5, n_cand: int = 12) -> str:
             GROUP BY c.id, c.rel) t
       ORDER BY score DESC, id ASC LIMIT 1)"""
         )
+    # report score+score (= 2*mmr): rel/mx sit on the 6-dp grid, so the
+    # doubled margin is also on the 6-dp grid and never on the 6-dp HALF
+    # grid — ROUND(score, 6) would land exactly on .xxxxxx5 whenever the
+    # difference's numerator is odd, the Spark-HALF_UP vs DuckDB-exact
+    # divergence class CLAUDE.md documents for 2-dp products
     unions = "\n    UNION ALL ".join(
         f"SELECT id AS doc_id, CAST({t} AS BIGINT) AS pick, "
-        f"ROUND(score, 6) AS mmr_score FROM p{t}"
+        f"ROUND(score + score, 6) AS mmr_margin FROM p{t}"
         for t in range(1, k + 1)
     )
     return "".join(parts) + "\n    " + unions
@@ -13895,7 +13902,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval diversifier (and the selection rule semantic-dedup
     inverts).  Determinism: rel and pairwise sims are 6-dp-rounded
     cosines; the MMR score halves them (exact binary scaling), so every
-    comparison is on engine-identical doubles, with id tiebreaks.
+    comparison is on engine-identical doubles, with id tiebreaks.  The
+    REPORTED column is mmr_margin = 2*score = rel - max_sim: the halved
+    score sits exactly on the 6-dp HALF grid whenever the margin's
+    numerator is odd (Spark HALF_UP vs DuckDB exact-double divergence),
+    while the margin stays on the 6-dp grid — safe to round.
     Scale/shape: the candidate set is a bounded top-k
     (TakeOrderedAndProject over the corpus — the only data-proportional
     stage); the 12x12 sim matrix and the k-1 greedy steps run on
@@ -13938,7 +13949,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not head:
         # empty corpus (or no non-query vectors): nothing to rank
         return spark.createDataFrame(
-            [], "doc_id long, pick long, mmr_score double"
+            [], "doc_id long, pick long, mmr_margin double"
         )
     first = head[0]
     picks = [(int(first.id), 1, float(first.score))]
@@ -13971,7 +13982,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks, "doc_id long, pick long, mmr_score double"
     )
     return out.select(
-        "doc_id", "pick", F.round("mmr_score", 6).alias("mmr_score")
+        "doc_id",
+        "pick",
+        F.round(F.col("mmr_score") + F.col("mmr_score"), 6).alias(
+            "mmr_margin"
+        ),
     )
 
 
@@ -16510,4 +16525,52 @@ def corpus_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "multimodal_tiff_roundtrip",
+    """
+    WITH px AS (
+      SELECT vec_id,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(e AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(embedding) t(e))
+    SELECT vec_id AS asset_id,
+           CAST(8 AS INT) AS width,
+           CAST(COUNT(*) / 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(MIN(p) AS INT) AS px_min,
+           CAST(MAX(p) AS INT) AS px_max
+    FROM px GROUP BY vec_id
+    """,
+)
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode, end-to-end verified — closes decode_media for
+    the reference's own flagship imaging family (reference
+    md/data_file_types/ome_tiff_metadata_file.py:12-17 and
+    scn_tiff_metadata_file.py wrap tifffile; here the strip codec is
+    pure stdlib).  Every embedding is rendered as an 8xN grayscale
+    strip TIFF with the SAME floor quantization as the PNG roundtrip,
+    alternating codec paths by id parity (even: Deflate strips +
+    Predictor 2 + little-endian; odd: uncompressed + big-endian;
+    rows_per_strip=3 forces a real multi-strip IFD walk), then
+    tiff_decode recovers the pixels and reduces them to EXACT integer
+    stats.  Losslessness means the DuckDB oracle computes the same
+    stats straight from the arrays — one hash proves decode inverts
+    encode across every branch of the decoder on 500+ images per SF.
+    Scale: mapInPandas both ways, row-local, zero pre-agg shuffles.
+    Codec units: tests/test_tiff_codec.py (variant matrix +
+    corrupt-input + cross-codec vs PNG fixtures).
+    """
+    from .operators.multimodal import decode_image_features, embeddings_to_tiff
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = decode_image_features(embeddings_to_tiff(emb, width=8))
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "width", "height", "channels", "bit_depth",
+        "px_sum", "px_min", "px_max",
     )

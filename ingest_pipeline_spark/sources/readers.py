@@ -287,8 +287,17 @@ def read_excel_sidecars(
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
                     sheet_name, cells = xlsx_parse(bytes(content), sheet=sheet)
-                except ValueError as e:
-                    rows.append((path, None, -1, None, str(e)[:200]))
+                except Exception as e:  # noqa: BLE001 — see below
+                    # realistic corrupt workbooks raise beyond ValueError:
+                    # malformed XML inside a valid zip → ET.ParseError,
+                    # missing workbook rel Id → KeyError, out-of-range
+                    # sharedStrings index → IndexError, truncated zip →
+                    # zlib.error/struct.error.  One bad file must degrade
+                    # to an error row, never fail the distributed job.
+                    rows.append(
+                        (path, None, -1, None,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
                     continue
                 if not cells:
                     continue

@@ -39,20 +39,23 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the late-round-6 additions that had
-    # never been driver-sampled must be inside round 7's window, and the
-    # permanently-rows-only entries must NOT burn slots (each would sit
-    # as an eternal `no_oracle` row)
+    # the driver grades the first 50: the round-7 registrations that had
+    # never been driver-sampled must be inside round 8's window (plus a
+    # stale-re-sample spot check), and the permanently-rows-only entries
+    # must NOT burn slots (each would sit as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("dedup_lsh_quality_audit", "similarity_ann_recall",
-                 "text_bpe_token_budget", "corpus_token_shards",
-                 "stats_ks_two_sample", "orders_cohort_ltv",
-                 "quality_roc_auc", "stats_kendall_tau",
-                 "events_cusum_changepoint", "customer_lorenz_curve"):
+    for must in ("multimodal_png_roundtrip", "dedup_semantic_clusters",
+                 "similarity_ivfpq_topk_det", "embedding_top_component",
+                 "corpus_filter_funnel", "graph_lpa_communities",
+                 "text_winnowing_fingerprints", "stats_welch_ttest",
+                 "corpus_source_jaccard_matrix",
+                 "q1_pricing_summary", "dedup_minhash_lsh",
+                 "sessionize_users", "checksum_manifest"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "similarity_pq_topk" not in first50
     assert "source_listing" not in first50
     assert "graph_kcore_parts" not in first50
+    assert "text_bpe_learn_merges" not in first50
 
 
 def test_bench_headline_entries_registered():

@@ -1,0 +1,200 @@
+"""TIFF strip codec guards (operators/multimodal.py tiff_decode/encode).
+
+Same three-legged battery as the PNG codec: round-trips across the
+variant matrix (compression x predictor x byte order x strip layout),
+a HAND-BUILT byte fixture whose IFD and predictor arithmetic are
+worked out in literals (a matched encoder/decoder bug pair survives
+round-trips), corrupt-input degradation (ValueError only — never
+struct.error/zlib.error/KeyError escaping to fail a distributed job),
+and a cross-codec check: the SAME embedding quantization through the
+TIFF path and the PNG path must produce identical pixel stats."""
+
+import os
+import struct
+import sys
+import zlib
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ingest_pipeline_spark.operators.extractors import (  # noqa: E402
+    _tiff_ifd_tags,
+)
+from ingest_pipeline_spark.operators.multimodal import (  # noqa: E402
+    decode_image_features,
+    embeddings_to_png,
+    embeddings_to_tiff,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+def _pixels(w, h, seed=3):
+    return bytes(
+        (x * 5 + y * 11 + seed * (1 + ((x * y) % 7))) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def test_roundtrip_variant_matrix():
+    px = _pixels(7, 9)
+    for comp in ("none", "deflate"):
+        for pred in (1, 2):
+            for bo in ("<", ">"):
+                for rps in (1, 4, 9, 100):
+                    blob = tiff_encode(
+                        7, 9, px, compression=comp, rows_per_strip=rps,
+                        predictor=pred, byte_order=bo,
+                    )
+                    w, h, ch, bd, out = tiff_decode(blob)
+                    assert (w, h, ch, bd) == (7, 9, 1, 8), (comp, pred, bo, rps)
+                    assert out == px, (comp, pred, bo, rps)
+
+
+def test_decode_hand_built_fixture():
+    """Decode a TIFF assembled byte-by-byte in literals (not by our
+    encoder): little-endian, 3x2 grayscale, TWO uncompressed strips
+    (RowsPerStrip=1), Predictor 2 with hand-differenced strip bytes.
+
+    target image:   10 25 45     row diffs: 10, 15, 20
+                    200 190 210            200, -10=246, 20
+    """
+    e = "<"
+    strip0 = bytes([10, 15, 20])
+    strip1 = bytes([200, 246, 20])
+    # layout: header(8) | IFD at 8 | strip arrays | strip data
+    n_tags = 10
+    ifd_size = 2 + n_tags * 12 + 4
+    arr0 = 8 + ifd_size          # StripOffsets array (2 longs)
+    arr1 = arr0 + 8              # StripByteCounts array (2 longs)
+    data0 = arr1 + 8
+    data1 = data0 + 3
+
+    def entry(tag, typ, count, val4):
+        return struct.pack(e + "HHI", tag, typ, count) + val4
+
+    def short(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    ifd = struct.pack(e + "H", n_tags)
+    ifd += entry(256, 3, 1, short(3))                       # width
+    ifd += entry(257, 3, 1, short(2))                       # height
+    ifd += entry(258, 3, 1, short(8))                       # bits
+    ifd += entry(259, 3, 1, short(1))                       # no compression
+    ifd += entry(262, 3, 1, short(1))                       # photometric
+    ifd += entry(273, 4, 2, struct.pack(e + "I", arr0))     # strip offsets
+    ifd += entry(277, 3, 1, short(1))                       # samples/px
+    ifd += entry(278, 3, 1, short(1))                       # rows/strip
+    ifd += entry(279, 4, 2, struct.pack(e + "I", arr1))     # byte counts
+    ifd += entry(317, 3, 1, short(2))                       # predictor 2
+    ifd += struct.pack(e + "I", 0)
+    blob = (
+        b"II" + struct.pack(e + "HI", 42, 8) + ifd
+        + struct.pack(e + "II", data0, data1)
+        + struct.pack(e + "II", 3, 3)
+        + strip0 + strip1
+    )
+    w, h, ch, bd, out = tiff_decode(blob)
+    assert (w, h, ch, bd) == (3, 2, 1, 8)
+    assert out == bytes([10, 25, 45, 200, 190, 210])
+
+
+def test_corrupt_inputs_raise_valueerror_only():
+    good = tiff_encode(4, 4, _pixels(4, 4))
+    bads = [
+        b"",
+        b"II",
+        b"XX*\x00\x08\x00\x00\x00",          # bad byte order
+        b"II\x2b\x00\x08\x00\x00\x00",       # BigTIFF magic
+        good[:11],                            # truncated IFD
+        good[:40],                            # truncated entries
+        good[:-3],                            # truncated strip data
+        # deflate strip replaced with garbage
+        good[: len(good) - len(good) + 0],
+    ]
+    # corrupt a deflate strip in place: flip bytes in the tail
+    corrupted = bytearray(tiff_encode(4, 4, _pixels(4, 4), compression="deflate"))
+    corrupted[-5:] = b"\xff\xff\xff\xff\xff"
+    bads.append(bytes(corrupted))
+    for bad in bads:
+        if not bad:
+            with pytest.raises(ValueError):
+                tiff_decode(bad)
+            continue
+        with pytest.raises(ValueError):
+            tiff_decode(bad)
+
+
+def test_unsupported_variants_raise():
+    px = _pixels(4, 4)
+    blob = bytearray(tiff_encode(4, 4, px, compression="none"))
+    # patch Compression tag (259) value to LZW (5): find the entry
+    e = "<"
+    (n,) = struct.unpack(e + "H", blob[8:10])
+    for i in range(n):
+        base = 10 + i * 12
+        tag = struct.unpack(e + "H", blob[base : base + 2])[0]
+        if tag == 259:
+            blob[base + 8 : base + 10] = struct.pack(e + "H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        tiff_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        tiff_encode(4, 4, px, compression="lzw")
+    with pytest.raises(ValueError):
+        tiff_encode(4, 4, px[:-1])  # buffer mismatch
+
+
+def test_extractor_ifd_walk_agrees():
+    """The metadata extractor's independent IFD walk must read the same
+    dimensions from our encoder's output (two IFD readers, one format)."""
+    blob = tiff_encode(6, 5, _pixels(6, 5), byte_order=">")
+    tags = _tiff_ifd_tags(blob)
+    assert tags[256] == 6 and tags[257] == 5 and tags[258] == 8
+
+
+def test_deflate_strip_content_is_real_zlib():
+    blob = tiff_encode(8, 3, _pixels(8, 3), compression="deflate",
+                       rows_per_strip=100)
+    # single strip: locate via decode path by re-walking with stdlib
+    w, h, ch, bd, out = tiff_decode(blob)
+    assert out == _pixels(8, 3)
+    # the strip bytes must actually be zlib (not stored raw)
+    assert zlib.decompress(blob[blob.index(b"x\x9c") :])
+
+
+def test_spark_tiff_path_matches_png_path(spark):
+    """Cross-codec equivalence: the same floor quantization through
+    embeddings_to_tiff and embeddings_to_png must yield identical
+    integer pixel stats per asset (both codecs lossless)."""
+    emb = spark.createDataFrame(
+        [(i, [((i * 13 + j * 7) % 200) / 100.0 - 1.0 for j in range(16)])
+         for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    t = {
+        r.asset_id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
+        for r in decode_image_features(embeddings_to_tiff(emb, width=8))
+        .filter("decode_ok").collect()
+    }
+    p = {
+        r.asset_id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
+        for r in decode_image_features(embeddings_to_png(emb, width=8))
+        .filter("decode_ok").collect()
+    }
+    assert len(t) == 6 and t == p
+
+
+def test_corrupt_media_degrades_to_error_rows(spark):
+    rows = spark.createDataFrame(
+        [(1, bytearray(tiff_encode(4, 2, bytes(range(8))))),
+         (2, bytearray(b"II*\x00garbage")),
+         (3, bytearray(b"MM\x00*")),
+         (4, None)],
+        "asset_id long, media binary",
+    )
+    out = {r.asset_id: r.decode_ok for r in
+           decode_image_features(rows).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False}
