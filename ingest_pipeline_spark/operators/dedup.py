@@ -539,3 +539,92 @@ def prefix_filter_jaccard_pairs(
             "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
         )
     )
+
+
+def max_duplicated_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_span: int = 8,
+    df_cap: int = 50,
+) -> DataFrame:
+    """MAXIMAL duplicated-span detection — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    exact-substring primitive, restated distributively: suffix arrays
+    don't distribute, but positional shingle matching + diagonal
+    run-extension does, and finds the same maximal shared token spans.
+
+    Per document pair, a shared span is a maximal run of positions
+    where k-token windows match on a common diagonal
+    (pos_a - pos_b constant).  Stages:
+
+    1. positional k-shingles (id, pos, shingle) — NOT distinct: the
+       position IS the payload (NGram index = 0-based token position);
+    2. document frequency per shingle; keep 2 <= df <= df_cap — a
+       shingle in one doc can't witness a cross-doc span, and the cap
+       bounds the hottest inverted-index bucket (stop-phrase shingles)
+       so no reduce task sees more than df_cap² pair rows per key.
+       A capped shingle inside a long duplication can SPLIT a reported
+       span (conservative under-merge, never a false pair);
+    3. inverted-index pair join on the shingle (id_a < id_b) — the
+       only stage that meets candidates, never a cross product;
+    4. gaps-and-islands per (id_a, id_b, diagonal): consecutive pos_a
+       runs collapse to one island via pos_a - row_number(), a window
+       PARTITIONED by pair+diagonal (never global);
+    5. island → span: start positions + token length (run + k - 1),
+       kept when >= min_span.
+
+    Maximality: a run is extendable iff the boundary shingles also
+    match, which would place them in the same island — so every
+    reported island is a maximal span by construction (modulo df_cap
+    splits).  Returns (doc_a, doc_b, start_a, start_b, span_tokens).
+    """
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_ws
+
+    tok = docs.select(
+        F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("__toks")
+    )
+    ng = NGram(n=k, inputCol="__toks", outputCol="__sh")
+    grams = ng.transform(tok).select(
+        "id", F.posexplode("__sh").alias("pos", "shingle")
+    )
+    grams = grams.localCheckpoint(eager=True)  # df agg + pair join share it
+    keep = (
+        grams.groupBy("shingle")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= df_cap))
+        .select("shingle")
+    )
+    m = grams.join(keep, "shingle")
+    a = m.select(
+        F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = m.select(
+        F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.select(
+        "doc_a", "doc_b", "diag", "pa", "pb",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

