@@ -911,3 +911,99 @@ def embeddings_to_tiff(
     return emb.select(id_col, vec_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
+
+
+def audio_autocorr_features(
+    assets: DataFrame, lags: "tuple[int, ...]" = (1, 2, 4)
+) -> DataFrame:
+    """Exact integer autocorrelation numerators over REAL-decoded WAV
+    media: per asset, n_samples, energy = Σ s², and Σ s[i]·s[i+L] for
+    each requested lag — the pitch/periodicity feature a speech-data
+    curation pass ranks clips by, kept in integers end-to-end so the
+    DuckDB oracle reproduces every value exactly (no FFT floats).
+    Same mapInPandas/error-row discipline as decode_audio_features.
+    """
+    cols = ", ".join(f"ac{L} long" for L in lags)
+    out_schema = (
+        "asset_id long, n_samples long, energy long, "
+        + cols
+        + ", decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = (
+            ["asset_id", "n_samples", "energy"]
+            + [f"ac{L}" for L in lags]
+            + ["decode_ok", "error"]
+        )
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _ch, _rate, _bits, sm = wav_decode(b)
+                    acs = [
+                        sum(sm[i] * sm[i + L] for i in range(len(sm) - L))
+                        for L in lags
+                    ]
+                    rows.append(
+                        (aid, len(sm), sum(s * s for s in sm), *acs, True, None)
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, *([None] * len(lags)), False,
+                         str(e)[:200])
+                    )
+            yield pd.DataFrame(rows, columns=names)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def tile_pixel_stats(assets: DataFrame, tile: int = 4) -> DataFrame:
+    """REAL per-tile pixel statistics: decode each image (PNG or strip
+    TIFF, magic dispatch) and reduce every non-overlapping tile x tile
+    block to exact integer stats — tile_plan's geometry carried all the
+    way through an actual decoder instead of stopping at metadata
+    (the patch-embedding precompute of a vision-training pipeline).
+    Grayscale only (channels == 1); other media degrade to error rows.
+    Emits (asset_id, tile_x, tile_y, n_px, px_sum, px_min, px_max,
+    decode_ok, error); edge tiles are clamped to image bounds.
+    """
+    out_schema = (
+        "asset_id long, tile_x int, tile_y int, n_px int, px_sum long, "
+        "px_min int, px_max int, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "tile_x", "tile_y", "n_px", "px_sum",
+                "px_min", "px_max", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    if b[:2] in (b"II", b"MM"):
+                        w, h, ch, _bd, px = tiff_decode(b)
+                    else:
+                        w, h, ch, _bd, px = png_decode(b)
+                    if ch != 1:
+                        raise ValueError(f"tile stats need grayscale, got {ch}ch")
+                    for ty in range((h + tile - 1) // tile):
+                        for tx in range((w + tile - 1) // tile):
+                            vals = [
+                                px[y * w + x]
+                                for y in range(ty * tile, min((ty + 1) * tile, h))
+                                for x in range(tx * tile, min((tx + 1) * tile, w))
+                            ]
+                            rows.append(
+                                (aid, tx, ty, len(vals), sum(vals),
+                                 min(vals), max(vals), True, None)
+                            )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, False,
+                         str(e)[:200])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

@@ -1218,3 +1218,66 @@ def ivf_index_upsert(
         "origin", F.lit("delta")
     )
     return b.unionByName(d)
+
+
+def ivf_knn_indegree(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Hubness audit: the in-degree histogram of the intra-cell kNN
+    graph (every vector queries its own IVF cell, n_probe=1, top-k by
+    6-dp cosine with id tiebreak).  High-dimensional embedding spaces
+    concentrate: a few "hub" vectors appear in everyone's neighbor
+    list and poison retrieval/dedup — the in-degree distribution's
+    right tail is the standard gauge (Radovanovic et al. 2010).
+    Candidates meet only through the cell equi-join (|cell|² work per
+    cell, the semantic_dedup shape); vectors never retrieved appear as
+    in_degree 0 via the left join.  Returns (in_degree, n_vectors).
+    """
+    anchors = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(anchors)).select(
+        "id",
+        "vec",
+        "anchor_id",
+        F.round(cosine(F.col("vec"), F.col("a_vec")), 6).alias("a_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("a_sim"), F.asc("anchor_id"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", F.col("anchor_id").alias("cell"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # both join sides share it
+    a = cells.select(F.col("id").alias("qid"), F.col("vec").alias("qv"), "cell")
+    b = cells.select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    knn = (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid")
+    )
+    deg = knn.groupBy("nid").agg(F.count("*").cast("bigint").alias("indeg"))
+    alldeg = cells.select("id").join(
+        deg, F.col("id") == F.col("nid"), "left"
+    ).select(F.coalesce(F.col("indeg"), F.lit(0).cast("bigint")).alias("indeg"))
+    return alldeg.groupBy(F.col("indeg").alias("in_degree")).agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )

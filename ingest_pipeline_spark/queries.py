@@ -16835,3 +16835,675 @@ def similarity_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_upsert(
         emb.filter(~is_delta), emb.filter(is_delta), n_cells=8
     )
+
+
+_MAX_SPANS_SQL = _REGISTRY["dedup_max_spans"][1]
+
+
+@register(
+    "corpus_span_dedup_cut",
+    f"""
+    WITH spans AS MATERIALIZED (SELECT * FROM ({_MAX_SPANS_SQL}) t),
+    {_AUG},
+    iv AS (
+      SELECT doc_b AS doc_id, start_b AS s,
+             start_b + span_tokens AS e
+      FROM spans),
+    pm AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM pm),
+    per_isl AS (
+      SELECT doc_id, island, MAX(e) - MIN(s) AS cov
+      FROM isl GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS removed
+      FROM per_isl GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS ntok
+      FROM aug),
+    j AS (
+      SELECT d.source, t.ntok, COALESCE(p.removed, 0) AS removed
+      FROM tot t
+      JOIN documents d ON d.doc_id = t.doc_id % 1000000
+      LEFT JOIN per_doc p ON p.doc_id = t.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE removed > 0) AS BIGINT) AS n_docs_cut,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_scanned,
+           CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+           ROUND(CAST(SUM(removed) AS DOUBLE)
+                 / CAST(SUM(ntok) AS DOUBLE), 6) AS removed_frac
+    FROM j GROUP BY source
+    """,
+)
+def corpus_span_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut curation report — the ACTIONABLE follow-through on
+    dedup_max_spans: under the keep-first rule (the higher doc_id of
+    each pair loses the span), merge every doc's incoming spans into
+    their interval UNION (gaps-and-islands: running max-end prefix,
+    adjacent/overlapping intervals coalesce) and report per source how
+    many tokens a span-cutting pass would remove — the number a
+    curation team signs off on before running the cut (Lee et al. cut
+    ~3% of tokens this way).  Scale: spans are pair-bounded rows, the
+    union window partitions by doc_id (never global), totals are one
+    corpus token-count pass; join back to sources is keyed by doc_id.
+    Hazard class: running MAX/SUM flag windows under ties — exact
+    duplicate intervals are flag-0 under ANY tie order (both engines),
+    asserted in the partition-invariance battery.
+    """
+    from .operators.dedup import max_duplicated_spans
+    from .functions.text import tokenize_ws
+
+    aug = _aug_docs(spark, sf_dir)
+    spans = max_duplicated_spans(aug, "text", "doc_id", k=5, min_span=8, df_cap=50)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).alias("e"),
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ws = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pm = iv.select("doc_id", "s", "e", F.max("e").over(wp).alias("pmax"))
+    isl = pm.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0)
+        )
+        .over(ws)
+        .alias("island"),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("bigint").alias("removed"))
+    )
+    tot = aug.select(
+        "doc_id", F.size(tokenize_ws(F.col("text"))).cast("bigint").alias("ntok")
+    )
+    src = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("src_id"), "source"
+    )
+    j = (
+        tot.withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(src, F.col("orig_id") == F.col("src_id"))
+        .drop("src_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "source",
+            "ntok",
+            F.coalesce(F.col("removed"), F.lit(0).cast("bigint")).alias(
+                "removed"
+            ),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("removed") > 0, 1)).cast("bigint").alias(
+            "n_docs_cut"
+        ),
+        F.sum("ntok").cast("bigint").alias("tokens_scanned"),
+        F.sum("removed").cast("bigint").alias("tokens_removed"),
+        F.round(
+            F.sum("removed").cast("double") / F.sum("ntok").cast("double"), 6
+        ).alias("removed_frac"),
+    )
+
+
+@register(
+    "embedding_int8_quant_audit",
+    """
+    WITH el AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS j, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    st AS (
+      SELECT j, MIN(v) AS lo, MAX(v) AS hi FROM el GROUP BY j),
+    q AS (
+      SELECT el.j, el.v, st.lo, st.hi,
+             CASE WHEN st.hi > st.lo THEN
+               LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (el.v - st.lo) * CAST(255.0 AS DOUBLE)
+                 / (st.hi - st.lo)) AS INT)))
+             ELSE 0 END AS code
+      FROM el JOIN st USING (j)),
+    e AS (
+      SELECT j, lo, hi, code,
+             v - (lo + CAST(code AS DOUBLE) * (hi - lo)
+                  / CAST(255.0 AS DOUBLE)) AS err,
+             v
+      FROM q)
+    SELECT j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(lo), 6) AS lo,
+           ROUND(MAX(hi), 6) AS hi,
+           CAST(SUM(CAST(ROUND(err * err, 12) AS DECIMAL(18,12)))
+                AS DOUBLE) AS sse,
+           ROUND(
+             CAST(SUM(CAST(ROUND(err * err, 12) AS DECIMAL(18,12)))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE), 9) AS rel_distortion
+    FROM e GROUP BY j
+    """,
+)
+def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantization audit for the embedding store — the
+    compression gauge a vector-database operator reads before flipping
+    a collection to int8 (the scalar sibling of
+    similarity_pq_distortion_audit): per dimension, min/max calibration
+    (asymmetric affine, 256 levels, FLOOR quantization — floor, not
+    round, so both engines agree bit-for-bit), exact reconstruction
+    SSE, and relative distortion = SSE / signal energy.  Error squares
+    are 12-dp-rounded then decimal-summed (the tfidf discipline) so
+    accumulation order never moves the hash.  Scale: one explode pass,
+    a |dims|-row stats broadcast join back, one keyed agg — scan-bound;
+    the calibration table (j, lo, hi) IS the shippable quantizer.
+    Reference unit: tests/test_quant_audit.py reproduces a dimension's
+    audit in pure Python.
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "v")
+    ).select("vec_id", "j", F.col("v").cast("double").alias("v"))
+    st = el.groupBy("j").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = el.join(F.broadcast(st), "j").select(
+        "j",
+        "v",
+        "lo",
+        "hi",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        * F.lit(255.0)
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+    )
+    e = q.select(
+        "j",
+        "lo",
+        "hi",
+        "v",
+        (
+            F.col("v")
+            - (
+                F.col("lo")
+                + F.col("code").cast("double")
+                * (F.col("hi") - F.col("lo"))
+                / F.lit(255.0)
+            )
+        ).alias("err"),
+    )
+    return e.groupBy("j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("lo"), 6).alias("lo"),
+        F.round(F.max("hi"), 6).alias("hi"),
+        F.sum(
+            F.round(F.col("err") * F.col("err"), 12).cast("decimal(18,12)")
+        )
+        .cast("double")
+        .alias("sse"),
+        F.round(
+            F.sum(
+                F.round(F.col("err") * F.col("err"), 12).cast(
+                    "decimal(18,12)"
+                )
+            ).cast("double")
+            / F.sum(
+                F.round(F.col("v") * F.col("v"), 12).cast("decimal(18,12)")
+            ).cast("double"),
+            9,
+        ).alias("rel_distortion"),
+    )
+
+
+@register(
+    "multimodal_audio_autocorr",
+    """
+    WITH s AS (
+      SELECT vec_id, i,
+             LEAST(32767, GREATEST(-32768, CAST(FLOOR(
+               CAST(embedding[i] AS DOUBLE) * CAST(32767.0 AS DOUBLE))
+               AS BIGINT))) AS smp
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    w AS (
+      SELECT vec_id, smp,
+             LEAD(smp, 1) OVER (PARTITION BY vec_id ORDER BY i) AS l1,
+             LEAD(smp, 2) OVER (PARTITION BY vec_id ORDER BY i) AS l2,
+             LEAD(smp, 4) OVER (PARTITION BY vec_id ORDER BY i) AS l4
+      FROM s)
+    SELECT vec_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           CAST(SUM(smp * l1) AS BIGINT) AS ac1,
+           CAST(SUM(smp * l2) AS BIGINT) AS ac2,
+           CAST(SUM(smp * l4) AS BIGINT) AS ac4
+    FROM w GROUP BY vec_id
+    """,
+)
+def multimodal_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP over decoded media: every embedding is rendered
+    as a 16-bit PCM WAV, the pure-stdlib codec decodes it back, and the
+    per-clip autocorrelation numerators at lags 1/2/4 (plus energy) are
+    computed in EXACT integers — the periodicity/voicing gauge a
+    speech-corpus curation pass ranks clips by before spending GPU
+    transcription time.  Because the codec is lossless and the feature
+    is integer arithmetic, the oracle computes the identical values
+    straight from the arrays via LEAD windows — a hash match proves
+    decode + DSP end to end (the roundtrip query's stats cover only
+    order-free moments; lag products also pin SAMPLE ORDER).  Scale:
+    mapInPandas row-local; one pass.
+    """
+    from .operators.multimodal import audio_autocorr_features, embeddings_to_wav
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = audio_autocorr_features(embeddings_to_wav(emb), lags=(1, 2, 4))
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "n_samples", "energy", "ac1", "ac2", "ac4"
+    )
+
+
+@register(
+    "multimodal_tile_stats",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    g AS (
+      SELECT vec_id,
+             CAST((i0 % 8) // 4 AS INT) AS tile_x,
+             CAST((i0 // 8) // 4 AS INT) AS tile_y,
+             p
+      FROM px)
+    SELECT vec_id AS asset_id, tile_x, tile_y,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(MIN(p) AS INT) AS px_min,
+           CAST(MAX(p) AS INT) AS px_max
+    FROM g GROUP BY vec_id, tile_x, tile_y
+    """,
+)
+def multimodal_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile pixel statistics through the REAL codec path — the
+    patch-embedding precompute of a vision pipeline: each embedding is
+    rendered as an 8x8 grayscale strip TIFF (exercising the r8 codec's
+    multi-strip + predictor + byte-order branches by id parity),
+    decoded back, and reduced to exact integer stats per 4x4 tile.
+    tile_plan supplies this geometry at metadata level; here it runs
+    against actual pixels, and the oracle recomputes every tile from
+    the arrays with pure index arithmetic (i -> row/col -> tile) — a
+    hash match pins decoder PIXEL ORDER per tile position, stronger
+    than whole-image sums.  Scale: mapInPandas row-local, one pass, no
+    pre-agg shuffle; output is 4 rows per asset.
+    """
+    from .operators.multimodal import embeddings_to_tiff, tile_pixel_stats
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = tile_pixel_stats(embeddings_to_tiff(emb, width=8), tile=4)
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "tile_x", "tile_y", "n_px", "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
+    "stats_theil_sen",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders GROUP BY 1),
+    p AS (
+      SELECT a.day AS d1, b.day AS d2,
+             CAST((b.rev - a.rev) * 100 AS BIGINT) AS num_cents,
+             CAST(DATE_DIFF('day', a.day, b.day) AS BIGINT) AS den_days
+      FROM daily a JOIN daily b
+        ON a.day < b.day AND DATE_DIFF('day', a.day, b.day) <= 60),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(num_cents AS DOUBLE)
+                        / CAST(den_days AS DOUBLE), d1, d2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p)
+    SELECT 'lower' AS which, CAST(rn AS BIGINT) AS position,
+           num_cents, den_days, CAST(n AS BIGINT) AS n_pairs
+    FROM r WHERE rn = (n + 1) // 2
+    UNION ALL
+    SELECT 'upper', CAST(rn AS BIGINT), num_cents, den_days,
+           CAST(n AS BIGINT)
+    FROM r WHERE rn = (n + 2) // 2
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of ALL
+    pairwise day-to-day slopes — the outlier-immune alternative to the
+    OLS trend of stats_linear_trend (29% breakdown point).  The median
+    slope is reported as an EXACT rational (revenue-delta cents /
+    day-gap days) at the lower/upper median positions rather than a
+    rounded double: slope doubles are cent-multiples over small
+    integer day gaps, which land exactly on the 6-dp HALF grid (e.g.
+    0.01/32), the engine-divergent rounding class CLAUDE.md bans —
+    ordering uses the double (identical IEEE both engines), values
+    stay integers.  Scale/shape: the day-pair self-join is WINDOWED
+    (gap <= 60 days — the bounded-lag Theil-Sen variant), so pairs =
+    |days| x 60, linear in the date domain and corpus-size-independent
+    (BNLJ_BY_DESIGN), and the median is extracted with the
+    two-phase distributed prefix rank (operators/prefix.py), never a
+    single-task global window.
+    """
+    from .operators.prefix import global_row_number
+
+    daily = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)  # both join sides + count share it
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("rev1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("rev2"))
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("d1") < F.col("d2"))
+            & (F.datediff("d2", "d1") <= 60),
+        )
+        .select(
+            "d1",
+            "d2",
+            ((F.col("rev2") - F.col("rev1")) * 100)
+            .cast("bigint")
+            .alias("num_cents"),
+            F.datediff("d2", "d1").cast("bigint").alias("den_days"),
+        )
+    )
+    slope = (
+        F.col("num_cents").cast("double") / F.col("den_days").cast("double")
+    ).alias("slope_d")
+    ranked = global_row_number(
+        pairs.select("d1", "d2", "num_cents", "den_days", slope),
+        [F.asc("slope_d"), F.asc("d1"), F.asc("d2")],
+        "rn",
+    )
+    n = pairs.agg(F.count("*").cast("bigint").alias("n"))
+    pos = n.select(
+        "n",
+        F.expr("(n + 1) div 2").cast("bigint").alias("p_lo"),
+        F.expr("(n + 2) div 2").cast("bigint").alias("p_hi"),
+    )
+    j = ranked.crossJoin(F.broadcast(pos))
+    lower = j.filter(F.col("rn") == F.col("p_lo")).select(
+        F.lit("lower").alias("which"),
+        F.col("rn").cast("bigint").alias("position"),
+        "num_cents",
+        "den_days",
+        F.col("n").alias("n_pairs"),
+    )
+    upper = j.filter(F.col("rn") == F.col("p_hi")).select(
+        F.lit("upper").alias("which"),
+        F.col("rn").cast("bigint").alias("position"),
+        "num_cents",
+        "den_days",
+        F.col("n").alias("n_pairs"),
+    )
+    return lower.unionByName(upper)
+
+
+@register(
+    "quality_rater_kappa",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '')) AS wc,
+             n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_cnt
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             (wc BETWEEN 20 AND 400 AND n_chars <= 3000) AS ra,
+             (stop_cnt * 20 >= wc AND wc > 0) AS rb
+      FROM f),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM r)
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                    / CAST(n * n AS DOUBLE))
+                 / (CAST(1.0 AS DOUBLE)
+                    - CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                      / CAST(n * n AS DOUBLE)), 6) AS kappa
+    FROM c
+    """,
+)
+def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two INDEPENDENT
+    heuristic quality raters — the calibration gauge a labeling
+    pipeline reads before trusting cheap heuristics as training
+    labels: rater A gates on length (word count 20-400, <= 3000
+    chars), rater B on stopword density (>= 5%, via integer
+    cross-multiplication — no division in the flag).  Kappa corrects
+    raw agreement for chance agreement from the marginals.  All four
+    confusion cells are exact integers; po/pe/kappa are int-ratio
+    doubles computed identically in both engines (the
+    basket_association_rules final-division discipline).  Scale: one
+    corpus pass, one global agg row.
+    """
+    from .functions.text import tokenize_ws
+
+    docs = _t(spark, sf_dir)["documents"]
+    stop = ["the", "a", "of", "and", "to"]
+    f = docs.select(
+        F.size(tokenize_ws(F.col("text"))).alias("wc"),
+        "n_chars",
+        F.size(
+            F.filter(
+                tokenize_ws(F.lower(F.col("text"))),
+                lambda t: t.isin(stop),
+            )
+        ).alias("stop_cnt"),
+    )
+    r = f.select(
+        (
+            F.col("wc").between(20, 400) & (F.col("n_chars") <= 3000)
+        ).alias("ra"),
+        ((F.col("stop_cnt") * 20 >= F.col("wc")) & (F.col("wc") > 0)).alias(
+            "rb"
+        ),
+    )
+    c = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+4], ' ') AS gram
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 4)) t(i)
+      WHERE LEN(tk) >= 5),
+    fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM g JOIN fst f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order novelty curve: per document (in doc_id =
+    arrival order), the fraction of its distinct 5-gram windows never
+    seen in any EARLIER document — the diminishing-returns signal a
+    data-acquisition team tracks to decide when a source is mined out
+    (novelty collapsing toward 0 means new crawls only re-deliver
+    known text; the streaming cousin of dedup_substring_windows'
+    static shared fraction).  Shape: distinct (doc, gram) rows → one
+    MIN agg on the gram key (first-occurrence table) → equi-join back
+    → doc-keyed agg; first-occurrence by MIN is shuffle-order-free.
+    Scale: same inverted-index discipline as the dedup family — work
+    is posting-list-bounded, never pairwise.
+    """
+    from .operators.dedup import _shingle_rows
+
+    docs = _t(spark, sf_dir)["documents"]
+    grams = _shingle_rows(docs, "text", "doc_id", 5)
+    fst = grams.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    return (
+        grams.join(fst, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.count(F.when(F.col("first_doc") == F.col("id"), 1)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "embedding_hubness_audit",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    assign AS (
+      SELECT id, vec, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY id
+               ORDER BY {_COS6.format(a="vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (SELECT id, vec, anchor_id AS cell FROM assign WHERE rn = 1),
+    cand AS (
+      SELECT a.id AS qid, b.id AS nid,
+             {_COS6.format(a="a.vec", b="b.vec")} AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id <> b.id),
+    knn AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+        FROM cand) WHERE rk <= 5),
+    deg AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS indeg
+            FROM knn GROUP BY nid),
+    alldeg AS (
+      SELECT COALESCE(d.indeg, 0) AS indeg
+      FROM cells c LEFT JOIN deg d ON d.nid = c.id)
+    SELECT CAST(indeg AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM alldeg GROUP BY indeg
+    """,
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: in-degree histogram of
+    the intra-cell kNN graph (k=5, deterministic IVF cells, n_probe=1)
+    — high-dimensional concentration makes a few "hub" vectors appear
+    in everyone's neighbor list (Radovanovic et al., JMLR 2010),
+    poisoning ANN retrieval and semantic dedup alike; a heavy right
+    tail here is the signal to re-normalize or re-train the encoder.
+    The fourth ANN tuning gauge beside recall, LSH candidate quality,
+    and PQ distortion.  Shape: cell equi-join candidates (the
+    semantic_dedup plan), WindowGroupLimit top-k per query, one
+    in-degree agg, left join for the zero bucket.
+    operators/similarity.py:ivf_knn_indegree.
+    """
+    from .operators.similarity import ivf_knn_indegree
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    return ivf_knn_indegree(emb, k=5, n_cells=8)

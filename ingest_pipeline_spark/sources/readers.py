@@ -100,20 +100,29 @@ def read_yaml_sidecars(
         import yaml as _yaml
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "path": pdf["path"],
-                    "doc_json": [
+            docs, errs = [], []
+            for content in pdf["content"]:
+                try:
+                    docs.append(
                         json.dumps(
-                            _yaml.safe_load(content.decode("utf-8")),
+                            _yaml.safe_load(bytes(content).decode("utf-8")),
                             sort_keys=True,
                         )
-                        for content in pdf["content"]
-                    ],
-                }
+                    )
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — one bad sidecar
+                    # (YAMLError, UnicodeDecodeError, unserializable
+                    # anchors) must degrade to an error row, never fail
+                    # the million-file scan (the xlsx-reader ADVICE class)
+                    docs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {"path": pdf["path"], "doc_json": docs, "error": errs}
             )
 
-    return bin_df.mapInPandas(parse, "path string, doc_json string")
+    return bin_df.mapInPandas(
+        parse, "path string, doc_json string, error string"
+    )
 
 
 def read_text_logs(spark: SparkSession, glob: str) -> DataFrame:

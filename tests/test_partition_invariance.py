@@ -82,8 +82,10 @@ REPRESENTATIVE = [
     # vote arrival order (min-struct over counts)
     "graph_lpa_communities",
     # r8 hazard classes: gaps-and-islands row_number on a pair/diagonal
-    # partition (island grouping must not depend on shuffle order)
+    # partition (island grouping must not depend on shuffle order);
+    # interval-union running-max flag windows under duplicate intervals
     "dedup_max_spans",
+    "corpus_span_dedup_cut",
 ]
 
 

@@ -216,6 +216,10 @@ BNLJ_BY_DESIGN = {
                                 # lo/hi/moment frames
     "similarity_index_upsert",  # broadcast 8-row frozen anchor set
                                 # (IVF quantizer; ivf_assign)
+    "embedding_hubness_audit",  # broadcast 8-row anchor set (IVF cells)
+    "stats_theil_sen",          # windowed day-pair self-join: bounded by
+                                # |date domain| x 60 (gap cap), plus the
+                                # broadcast 1-row median-position frame
 }
 
 

@@ -1,0 +1,97 @@
+"""Pure-Python reference units for the r8 statistics queries
+(stats_theil_sen, quality_rater_kappa) — the r5 mirrored-constant
+discipline: the oracle mirrors the same formulas, so a wrong pe
+marginal product or a wrong median position on BOTH sides would pass
+the hash check; these pin the math independently."""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from ingest_pipeline_spark import queries as q  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """Recompute the windowed Theil-Sen median slope by brute force in
+    Python from the daily revenue series and compare the selected
+    rational(s) at the lower/upper median positions."""
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS rev
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    daily = [(d, float(r)) for d, r in rows]
+    pairs = []
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            gap = (daily[j][0] - daily[i][0]).days
+            if gap <= 60:
+                num = round((daily[j][1] - daily[i][1]) * 100)
+                pairs.append(
+                    (num / gap, daily[i][0], daily[j][0], num, gap)
+                )
+    pairs.sort(key=lambda t: (t[0], t[1], t[2]))
+    n = len(pairs)
+    lo, hi = pairs[(n + 1) // 2 - 1], pairs[(n + 2) // 2 - 1]
+
+    got = {
+        r.which: (r.position, r.num_cents, r.den_days, r.n_pairs)
+        for r in q.stats_theil_sen(spark, SF_DIR).collect()
+    }
+    assert got["lower"] == ((n + 1) // 2, lo[3], lo[4], n)
+    assert got["upper"] == ((n + 2) // 2, hi[3], hi[4], n)
+
+
+def test_kappa_matches_hand_formula(spark):
+    """Recompute kappa from the query's own confusion cells with the
+    textbook formula AND recompute the cells from raw text in Python."""
+    import re
+
+    (row,) = q.quality_rater_kappa(spark, SF_DIR).collect()
+    # formula leg
+    n, n11, n10, n01, n00 = row.n, row.n11, row.n10, row.n01, row.n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert row.po == round(po, 6)
+    assert row.pe == round(pe, 6)
+    assert row.kappa == round((po - pe) / (1 - pe), 6)
+    # cells leg: independent rater implementation over the raw corpus
+    docs = duckdb.sql(
+        f"SELECT text, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    stop = {"the", "a", "of", "and", "to"}
+    cells = {"11": 0, "10": 0, "01": 0, "00": 0}
+    for text, n_chars in docs:
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        wc = len(toks)
+        sc = sum(1 for t in re.split(r"\s+", text.strip().lower()) if t in stop)
+        ra = 20 <= wc <= 400 and n_chars <= 3000
+        rb = sc * 20 >= wc and wc > 0
+        cells[f"{int(ra)}{int(rb)}"] += 1
+    assert (n11, n10, n01, n00) == (
+        cells["11"], cells["10"], cells["01"], cells["00"]
+    )
+    assert n == len(docs)
+
+
+def test_kappa_known_fixture():
+    """Classic textbook example: perfect agreement -> kappa 1; marginal
+    independence -> kappa 0."""
+    def kappa(n11, n10, n01, n00):
+        n = n11 + n10 + n01 + n00
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+        return (po - pe) / (1 - pe)
+
+    assert kappa(30, 0, 0, 70) == 1.0
+    # independent raters: joint = product of marginals -> po == pe
+    assert abs(kappa(20, 20, 30, 30)) < 1e-12

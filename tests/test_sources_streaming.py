@@ -82,8 +82,16 @@ def test_yaml_sidecars_distributed(spark, tmp_path):
         (d / "rslt.yml").write_text(
             f"dataset: ds{i}\nassay_type: CODEX\nn_channels: {i}\n"
         )
+    # one corrupt sidecar must degrade to an error row, not kill the scan
+    bad = tmp_path / "ds_bad"
+    bad.mkdir()
+    (bad / "rslt.yml").write_bytes(b"\xff\xfe{{ not yaml ][")
     df = read_yaml_sidecars(spark, str(tmp_path / "*" / "rslt.yml"))
     rows = df.collect()
+    assert len(rows) == 13
+    errs = [r for r in rows if r.error is not None]
+    assert len(errs) == 1 and errs[0].doc_json is None
+    rows = [r for r in rows if r.error is None]
     assert len(rows) == 12
     docs = {json.loads(r.doc_json)["dataset"]: json.loads(r.doc_json) for r in rows}
     assert docs["ds7"] == {"dataset": "ds7", "assay_type": "CODEX", "n_channels": 7}
