@@ -337,3 +337,80 @@ def kcore(
         rounds += 1
         if rounds % checkpoint_every == 0:
             sym = sym.localCheckpoint(eager=True)
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm — the classic
+    distributed MST (each round EVERY component picks its cheapest
+    outgoing edge, components contract; O(log n) rounds).  Edges are
+    totally ordered by the struct (w, a, b), so ties never make the
+    forest ambiguous: the MSF is UNIQUE and reference-checkable
+    (tests/test_mst.py holds the edge set to exact equality with a
+    pure-Python Kruskal).  Input: undirected weighted edges (a < b
+    expected, one row per edge).  Output: (a, b, w) tree edges.
+
+    Shape per round: two comp-label equi-joins onto the edge list, a
+    per-component min-struct aggregate (the PQ-argmin discipline — a
+    hash agg, never a sort window), and a component contraction via
+    connected_components over the SELECTED edges only (a forest on
+    components, so the inner fixpoint propagates over a relation that
+    halves every round).  Driver state: one count per round (the
+    fixpoint-loop discipline of connected_components).
+    """
+    from .components import connected_components
+
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b"), F.col(w_col).alias("w")
+    ).localCheckpoint(eager=True)
+    comp = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    tree: DataFrame | None = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+        lab = (
+            e.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)  # count + min-agg share it
+        )
+        if lab.count() == 0:
+            break
+        est = F.struct("w", "a", "b", "ca", "cb").alias("e")
+        sym = lab.select(F.col("ca").alias("c"), est).unionByName(
+            lab.select(F.col("cb").alias("c"), est)
+        )
+        sel = (
+            sym.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.w", "e.a", "e.b", "e.ca", "e.cb")
+            .distinct()
+            .localCheckpoint(eager=True)  # tree union + contraction share
+        )
+        picked = sel.select("a", "b", "w")
+        tree = picked if tree is None else tree.unionByName(picked)
+        mapping = connected_components(
+            sel.select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+        )
+        comp = (
+            comp.join(mapping, comp.comp == mapping.id, "left")
+            .select(
+                comp.id,
+                F.coalesce(mapping.component, comp.comp).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if tree is None:
+        return e.select("a", "b", "w").limit(0)
+    return tree.distinct()

@@ -17507,3 +17507,486 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir)["embeddings"]
     return ivf_knn_indegree(emb, k=5, n_cells=8)
+
+
+def _recall_probe_sql(probes=(1, 2, 4), k: int = 5, n_q: int = 15) -> str:
+    """Recall-vs-n_probe oracle: shared anchor/cell/exact CTEs, one
+    candidate+top-k+hit-count block per probed-cell count."""
+    cos_qc = _COS6.format(a="c.embedding", b="q.embedding")
+    cos_cell = _COS6.format(a="v", b="a_vec")
+    cos_cand = _COS6.format(a="cs.vec", b="qa.qvec")
+    parts = [
+        f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {n_q} AND c.vec_id <> q.vec_id) t
+      WHERE rk <= {k}),
+    cs AS MATERIALIZED (
+      SELECT id, vec, anchor_id AS cell FROM (
+        SELECT vec_id AS id, embedding AS vec, anchor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {cos_cell} DESC, anchor_id ASC) AS rn
+        FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings) e,
+             anchors) t
+      WHERE rn = 1),
+    qa AS MATERIALIZED (
+      SELECT qid, qvec, anchor_id AS cell, rn FROM (
+        SELECT vec_id AS qid, embedding AS qvec, anchor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {cos_cell} DESC, anchor_id ASC) AS rn
+        FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings
+              WHERE vec_id < {n_q}) e,
+             anchors) t
+      WHERE rn <= {max(probes)})"""
+    ]
+    for p in probes:
+        parts.append(
+            f""",
+    top{p} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.qid AS query_id, cs.id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qa.qid
+                 ORDER BY {cos_cand} DESC, cs.id ASC) AS rk
+        FROM qa JOIN cs ON qa.cell = cs.cell
+        WHERE qa.rn <= {p} AND cs.id <> qa.qid) t
+      WHERE rk <= {k}),
+    hit{p} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top{p} JOIN exact USING (query_id, neighbor_id))"""
+        )
+    sels = "\n    UNION ALL ".join(
+        f"""SELECT CAST({p} AS INT) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           hits AS n_hits,
+           ROUND(CAST(hits AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact), 6)
+             AS recall FROM hit{p}"""
+        for p in probes
+    )
+    return "".join(parts) + "\n    " + sels
+
+
+@register("similarity_recall_probe_curve", _recall_probe_sql())
+def similarity_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-probe tuning curve: recall@5 of the deterministic
+    IVF index at n_probe = 1, 2, 4 against the exact brute-force
+    top-5 — THE operating-point chart an ANN deployment is tuned from
+    (each doubling of probed cells roughly doubles scan cost; this
+    query shows what recall each step buys).  Complements the fixed
+    n_probe=2 gauge of similarity_ann_recall and the hubness/LSH/PQ
+    audits.  Shape: anchors + cell assignment computed ONCE
+    (checkpointed), candidates meet per probe level through the cell
+    equi-join, hits counted by an exact-pair equi-join; the 15-query
+    set bounds every per-probe relation.
+    """
+    from .operators.similarity import cosine, cosine_topk
+
+    emb = _t(spark, sf_dir)["embeddings"].localCheckpoint(eager=True)
+    queries_df = emb.filter(F.col("vec_id") < 15)
+    exact = cosine_topk(
+        emb, queries_df, "embedding", "vec_id", k=5, round_decimals=6
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec"))
+    )
+
+    def ranked_cells(side, sid, svec, keep):
+        scored = side.crossJoin(F.broadcast(anchors)).select(
+            sid, svec, "anchor_id",
+            F.round(cosine(F.col(svec), F.col("a_vec")), 6).alias("a_sim"),
+        )
+        w = Window.partitionBy(sid).orderBy(F.desc("a_sim"), F.asc("anchor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(sid, svec, F.col("anchor_id").alias("cell"), "rn")
+        )
+
+    cs = ranked_cells(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        "id", "vec", 1,
+    ).localCheckpoint(eager=True)
+    qa = ranked_cells(
+        queries_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ),
+        "qid", "qvec", 4,
+    ).localCheckpoint(eager=True)
+
+    n_exact = exact.count()  # 1 scalar; exact is a bounded top-k table
+    out = None
+    for p in (1, 2, 4):
+        cand = (
+            F.broadcast(qa.filter(F.col("rn") <= p))
+            .join(cs, "cell")
+            .filter(F.col("id") != F.col("qid"))
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        topk = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("bigint").alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(p).cast("int").alias("n_probe"),
+            F.lit(n_exact).cast("bigint").alias("n_exact"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(n_exact)), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "stats_permutation_test",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents,
+             (MONTH(CAST(o_orderdate AS DATE)) <= 6) AS grp_a
+      FROM orders GROUP BY 1, 3),
+    sizes AS (
+      SELECT CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN grp_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN grp_a THEN 0 ELSE cents END) AS BIGINT) AS sb
+      FROM daily),
+    reps AS (SELECT UNNEST(GENERATE_SERIES(0, 199)) AS r),
+    keyed AS (
+      SELECT r.r, d.day, d.cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.r
+               ORDER BY MD5(r.r || ':' || CAST(d.day AS VARCHAR)), d.day)
+               AS rk
+      FROM reps r, daily d),
+    perm AS (
+      SELECT k.r,
+             CAST(SUM(CASE WHEN k.rk <= s.na THEN k.cents ELSE 0 END)
+                  AS BIGINT) AS sa_r,
+             CAST(SUM(CASE WHEN k.rk <= s.na THEN 0 ELSE k.cents END)
+                  AS BIGINT) AS sb_r
+      FROM keyed k, sizes s GROUP BY k.r),
+    obs AS (
+      SELECT na, nb, sa, sb, ABS(sa * nb - sb * na) AS absnum FROM sizes),
+    cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ge
+      FROM perm p, obs o
+      WHERE ABS(p.sa_r * o.nb - p.sb_r * o.na) >= o.absnum)
+    SELECT o.na AS n_days_a, o.nb AS n_days_b,
+           CAST(o.sa AS BIGINT) AS sum_cents_a,
+           CAST(o.sb AS BIGINT) AS sum_cents_b,
+           CAST(o.sa * o.nb - o.sb * o.na AS BIGINT) AS obs_diff_num,
+           CAST(o.na * o.nb AS BIGINT) AS obs_diff_den,
+           c.n_ge AS n_extreme,
+           ROUND(CAST(c.n_ge + 1 AS DOUBLE) / CAST(201 AS DOUBLE), 6)
+             AS p_value
+    FROM obs o, cnt c
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-sample permutation test, FULLY integer-exact:
+    is mean daily revenue different between calendar half-years?  200
+    md5-keyed permutations reassign days to pseudo-groups of the SAME
+    sizes (rank the md5(rep:day) draw per rep, first n_A days form
+    A'), and because sizes are preserved, |meanA' - meanB'| >=
+    |meanA - meanB| reduces to comparing INTEGER numerators
+    |sa*nb - sb*na| — no float enters the decision anywhere (the
+    bootstrap_ci md5-resampling discipline, hardened to exact
+    arithmetic).  p = (b+1)/(m+1) with the standard +1 correction.
+    Scale: reps x days rows (~480k at any corpus size — the date
+    domain bounds it), one rank window per rep partition, two aggs.
+    """
+    daily = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("grp_a"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # sizes + 200 reps share it
+    )
+    sizes = daily.agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("grp_a"), 0).otherwise(1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("grp_a"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("grp_a"), 0).otherwise(F.col("cents")))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    keyed = daily.select(
+        "day",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("r"),
+    ).select(
+        "r",
+        "day",
+        "cents",
+        F.md5(F.concat_ws("", F.col("r").cast("string"), F.lit(":"),
+                          F.col("day").cast("string"))).alias("key"),
+    )
+    wr = Window.partitionBy("r").orderBy("key", "day")
+    ranked = keyed.withColumn("rk", F.row_number().over(wr))
+    perm = ranked.crossJoin(F.broadcast(sizes)).groupBy("r").agg(
+        F.sum(F.when(F.col("rk") <= F.col("na"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa_r"),
+        F.sum(F.when(F.col("rk") <= F.col("na"), 0).otherwise(F.col("cents")))
+        .cast("bigint")
+        .alias("sb_r"),
+    )
+    obs = sizes.select(
+        "na", "nb", "sa", "sb",
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias(
+            "absnum"
+        ),
+    )
+    cnt = (
+        perm.crossJoin(F.broadcast(obs))
+        .filter(
+            F.abs(
+                F.col("sa_r") * F.col("nb") - F.col("sb_r") * F.col("na")
+            )
+            >= F.col("absnum")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ge"))
+    )
+    return obs.crossJoin(F.broadcast(cnt)).select(
+        F.col("na").alias("n_days_a"),
+        F.col("nb").alias("n_days_b"),
+        F.col("sa").alias("sum_cents_a"),
+        F.col("sb").alias("sum_cents_b"),
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        .cast("bigint")
+        .alias("obs_diff_num"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("obs_diff_den"),
+        F.col("n_ge").alias("n_extreme"),
+        F.round(
+            (F.col("n_ge") + 1).cast("double") / F.lit(201.0), 6
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "corpus_source_scorecard",
+    f"""
+    WITH {_AUG},
+    feat AS (
+      SELECT a.doc_id,
+             d.source,
+             MD5(a.text) AS digest,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(a.text), '\\s+'),
+                 x -> x <> '')) AS wc,
+             LENGTH(a.text) AS n_chars
+      FROM aug a JOIN documents d ON d.doc_id = a.doc_id % 1000000),
+    grp AS (SELECT digest, COUNT(*) AS sz FROM feat GROUP BY digest),
+    j AS (
+      SELECT f.source, f.wc,
+             (g.sz > 1) AS is_dup,
+             NOT (f.wc BETWEEN 20 AND 400 AND f.n_chars <= 3000)
+               AS q_fail
+      FROM feat f JOIN grp g USING (digest))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN q_fail THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_fail,
+           CAST(SUM(CASE WHEN is_dup AND q_fail THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(SUM(wc) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+           ROUND(CAST(SUM(CASE WHEN q_fail THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS fail_frac
+    FROM j GROUP BY source
+    """,
+)
+def corpus_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the one table a data-acquisition
+    lead reads per crawl snapshot: document count, exact-dup incidence
+    (corpus-wide digest groups, so cross-source mirrors count), quality
+    failure rate (the length/char gate of quality_rater_kappa's rater
+    A), their overlap cell (are the dups also the junk?), and token
+    volume.  Joins the quality x dedup signals the individual queries
+    measure separately into the decision artifact.  Shape: one digest
+    groupBy (the exact-dedup shuffle), one group-size equi-join back,
+    one source-keyed agg; integer cells, int-ratio fractions.
+    """
+    from .functions.text import tokenize_ws
+
+    aug = _aug_docs(spark, sf_dir)
+    src = _t(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("src_id"), "source"
+    )
+    feat = (
+        aug.withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(src, F.col("orig_id") == F.col("src_id"))
+        .select(
+            "source",
+            F.md5("text").alias("digest"),
+            F.size(tokenize_ws(F.col("text"))).alias("wc"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    grp = feat.groupBy("digest").agg(F.count("*").alias("sz"))
+    j = feat.join(grp, "digest").select(
+        "source",
+        "wc",
+        (F.col("sz") > 1).alias("is_dup"),
+        (~(F.col("wc").between(20, 400) & (F.col("n_chars") <= 3000))).alias(
+            "q_fail"
+        ),
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum(F.when(F.col("q_fail"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_fail"),
+        F.sum(F.when(F.col("is_dup") & F.col("q_fail"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum("wc").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_frac"),
+        F.round(
+            F.sum(F.when(F.col("q_fail"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("fail_frac"),
+    )
+
+
+@register(
+    "events_trending_topk",
+    """
+    WITH x AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + (CAST(FLOOR(EPOCH(ts) / 10800) AS BIGINT) * 10800
+                  - i * 10800) * INTERVAL 1 SECOND AS win_start
+      FROM events, UNNEST(GENERATE_SERIES(0, 1)) t(i)),
+    c AS (
+      SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY win_start, event_type),
+    m AS (
+      SELECT win_start, event_type, n,
+             n - LAG(n) OVER (
+               PARTITION BY event_type ORDER BY win_start) AS momentum
+      FROM c),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type ASC)
+               AS rnk
+      FROM m)
+    SELECT win_start, event_type, n, momentum, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k over hopping windows: per 6-hour window (3-hour
+    slide), the 3 busiest event types with their MOMENTUM (count delta
+    vs the type's previous window) — the dashboard tile every ops/feed
+    team runs.  The count stage is the streaming-safe
+    windowed_event_counts plan (ONE Expand, no self-join) and the unit
+    test proves streamed counts + post-rank == this batch query
+    (tests/test_stream_trending.py — rank/lag run post-aggregation, as
+    a foreachBatch consumer would at production scale).  Windows: rank
+    partitions by win_start, lag by event_type — both keyed, never
+    global.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    c = (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    wl = Window.partitionBy("event_type").orderBy("win_start")
+    m = c.select(
+        "win_start",
+        "event_type",
+        "n",
+        (F.col("n") - F.lag("n").over(wl)).alias("momentum"),
+    )
+    wr = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        m.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "n", "momentum", "rnk")
+    )
+
+
+@register("graph_mst_copurchase", None)
+def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-affinity spanning forest of the part co-purchase graph
+    (Boruvka): edges are part pairs bought together in >= 3 orders,
+    weight = -co_count, so the forest keeps each catalog cluster's
+    strongest affinities — the backbone a merchandising/navigation
+    team draws (the graph analog of the dup-cluster canonical tree).
+    Boruvka is inherently iterative (per-round component argmin +
+    contraction -> not SQL-expressible), so this is a rows-only driver
+    entry; correctness is held to EXACT edge-set equality with a
+    pure-Python Kruskal on the real graph plus hand fixtures in
+    tests/test_mst.py (the kcore/BPE rows-only discipline).  The
+    (w, a, b) struct order makes the forest unique under ties.
+    Returns (a, b, co_count).  operators/graph.py:boruvka_mst.
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.graph import boruvka_mst
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("a"),
+        F.col(pairs.columns[1]).alias("b"),
+        (-F.col(pairs.columns[2])).cast("bigint").alias("w"),
+    )
+    mst = boruvka_mst(edges)
+    return mst.select(
+        "a", "b", (-F.col("w")).cast("bigint").alias("co_count")
+    )

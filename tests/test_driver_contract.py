@@ -25,6 +25,8 @@ def test_registry_and_oracles_consistent():
         "graph_kcore_parts",  # iterative peeling: not SQL-expressible
         "text_bpe_learn_merges",  # iterative merge loop: reference-
         # trainer equality unit instead (tests/test_bpe.py)
+        "graph_mst_copurchase",  # Boruvka rounds: not SQL-expressible;
+        # exact Kruskal equality unit instead (tests/test_mst.py)
     }
     # no duplicate registrations silently overwrote each other
     assert len(qs) >= 104

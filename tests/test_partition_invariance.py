@@ -86,6 +86,8 @@ REPRESENTATIVE = [
     # interval-union running-max flag windows under duplicate intervals
     "dedup_max_spans",
     "corpus_span_dedup_cut",
+    # per-rep md5-rank permutation + integer-numerator decision
+    "stats_permutation_test",
 ]
 
 

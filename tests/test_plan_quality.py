@@ -220,6 +220,9 @@ BNLJ_BY_DESIGN = {
     "stats_theil_sen",          # windowed day-pair self-join: bounded by
                                 # |date domain| x 60 (gap cap), plus the
                                 # broadcast 1-row median-position frame
+    "similarity_recall_probe_curve",  # broadcast 8-row anchors + the
+                                # 15-query exact side (ann_recall's shape)
+    "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
 }
 
 

@@ -95,3 +95,58 @@ def test_kappa_known_fixture():
     assert kappa(30, 0, 0, 70) == 1.0
     # independent raters: joint = product of marginals -> po == pe
     assert abs(kappa(20, 20, 30, 30)) < 1e-12
+
+
+def test_permutation_test_matches_pure_python(spark):
+    """Recompute the md5 permutation test end-to-end in pure Python
+    (hashlib, exact ints) and compare every output column."""
+    import hashlib
+
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    daily = [(d, int(c)) for d, c in rows]
+    na = sum(1 for d, _ in daily if d.month <= 6)
+    nb = len(daily) - na
+    sa = sum(c for d, c in daily if d.month <= 6)
+    sb = sum(c for d, c in daily if d.month > 6)
+    absnum = abs(sa * nb - sb * na)
+    n_ge = 0
+    for r in range(200):
+        keyed = sorted(
+            daily,
+            key=lambda dc: (
+                hashlib.md5(f"{r}:{dc[0]}".encode()).hexdigest(),
+                dc[0],
+            ),
+        )
+        sa_r = sum(c for _, c in keyed[:na])
+        sb_r = sum(c for _, c in keyed[na:])
+        if abs(sa_r * nb - sb_r * na) >= absnum:
+            n_ge += 1
+
+    (row,) = q.stats_permutation_test(spark, SF_DIR).collect()
+    assert (row.n_days_a, row.n_days_b) == (na, nb)
+    assert (row.sum_cents_a, row.sum_cents_b) == (sa, sb)
+    assert row.obs_diff_num == sa * nb - sb * na
+    assert row.obs_diff_den == na * nb
+    assert row.n_extreme == n_ge
+    assert row.p_value == round((n_ge + 1) / 201, 6)
+
+
+def test_recall_probe_curve_monotone_and_bounded(spark):
+    rows = {
+        r.n_probe: r
+        for r in q.similarity_recall_probe_curve(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # more probed cells can only add candidates -> recall monotone
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall == round(r.n_hits / r.n_exact, 6)
