@@ -17585,12 +17585,14 @@ def similarity_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     (each doubling of probed cells roughly doubles scan cost; this
     query shows what recall each step buys).  Complements the fixed
     n_probe=2 gauge of similarity_ann_recall and the hubness/LSH/PQ
-    audits.  Shape: anchors + cell assignment computed ONCE
-    (checkpointed), candidates meet per probe level through the cell
-    equi-join, hits counted by an exact-pair equi-join; the 15-query
-    set bounds every per-probe relation.
+    audits.  Shape: ONE pass — anchors, cell assignment, candidate
+    cosines (Arrow dot_seq over precomputed norms) are computed once;
+    each candidate then EXPLODES to the probe levels that can see it
+    (levels >= its cell's probe rank), so the three curve points share
+    every join and every cosine; one (level, query) rank window, one
+    hit equi-join, one agg.  The 15-query set bounds every relation.
     """
-    from .operators.similarity import cosine, cosine_topk
+    from .operators.similarity import _norm, cosine, cosine_topk, dot_seq
 
     emb = _t(spark, sf_dir)["embeddings"].localCheckpoint(eager=True)
     queries_df = emb.filter(F.col("vec_id") < 15)
@@ -17613,54 +17615,80 @@ def similarity_recall_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= keep)
-            .select(sid, svec, F.col("anchor_id").alias("cell"), "rn")
+            .select(
+                sid, svec, _norm(F.col(svec)).alias("nrm"),
+                F.col("anchor_id").alias("cell"), "rn",
+            )
         )
 
     cs = ranked_cells(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
         "id", "vec", 1,
-    ).localCheckpoint(eager=True)
+    )
     qa = ranked_cells(
         queries_df.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         ),
         "qid", "qvec", 4,
-    ).localCheckpoint(eager=True)
-
-    n_exact = exact.count()  # 1 scalar; exact is a bounded top-k table
-    out = None
-    for p in (1, 2, 4):
-        cand = (
-            F.broadcast(qa.filter(F.col("rn") <= p))
-            .join(cs, "cell")
-            .filter(F.col("id") != F.col("qid"))
-            .select(
-                F.col("qid").alias("query_id"),
-                F.col("id").alias("neighbor_id"),
-                F.round(cosine(F.col("vec"), F.col("qvec")), 6).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), F.asc("neighbor_id")
-        )
-        topk = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 5)
-            .select("query_id", "neighbor_id")
-        )
-        hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count("*").cast("bigint").alias("n_hits")
-        )
-        row = hits.select(
-            F.lit(p).cast("int").alias("n_probe"),
-            F.lit(n_exact).cast("bigint").alias("n_exact"),
-            "n_hits",
+    )
+    qa2 = qa.select(
+        "qid", "qvec", "cell",
+        F.col("nrm").alias("qnrm"), F.col("rn").alias("prn"),
+    )
+    cs2 = cs.select("id", "vec", "cell", F.col("nrm").alias("cnrm"))
+    cand = (
+        F.broadcast(qa2)
+        .join(cs2, "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "prn",
             F.round(
-                F.col("n_hits").cast("double") / F.lit(float(n_exact)), 6
+                dot_seq(F.col("vec"), F.col("qvec"))
+                / (F.col("cnrm") * F.col("qnrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    lv = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.explode(
+            F.filter(
+                F.array(F.lit(1), F.lit(2), F.lit(4)),
+                lambda l: l >= F.col("prn"),
+            )
+        ).alias("n_probe"),
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    topk = (
+        lv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    hits = topk.join(exact, ["query_id", "neighbor_id"]).groupBy("n_probe").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    levels = spark.createDataFrame([(1,), (2,), (4,)], "n_probe int")
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    return (
+        levels.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(ne))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
             ).alias("recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 @register(
