@@ -18018,3 +18018,269 @@ def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mst.select(
         "a", "b", (-F.col("w")).cast("bigint").alias("co_count")
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    f"""
+    WITH {_AUG},
+    {_SHINGLE_CTE},
+    hashes AS MATERIALIZED (
+      SELECT doc_id, seed,
+             MIN((CAST('0x' || SUBSTR(MD5(shingle), 1, 8) AS BIGINT)
+                  + seed * CAST('0x' || SUBSTR(MD5(shingle), 9, 8) AS BIGINT))
+                 % 4294967296) AS h
+      FROM sh, UNNEST(GENERATE_SERIES(0, 15)) s(seed)
+      GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, LIST(h ORDER BY seed) AS sig
+             FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, ARRAY_TO_STRING(sig[b*4+1:b*4+4], '_') AS band_key
+      FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) bb(b)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS eq_slots
+      FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.id_a
+        JOIN hashes hb ON hb.doc_id = c.id_b AND hb.seed = ha.seed
+      GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    ext AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    pairs AS (
+      SELECT e.id_a, e.id_b, e.eq_slots,
+             CAST(e.eq_slots AS DOUBLE) / CAST(16.0 AS DOUBLE) AS est_j,
+             CAST(COALESCE(x.ni, 0) AS DOUBLE)
+               / CAST(sa.sz + sb.sz - COALESCE(x.ni, 0) AS DOUBLE)
+               AS exact_j
+      FROM est e
+        LEFT JOIN ext x ON x.id_a = e.id_a AND x.id_b = e.id_b
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN sizes sb ON sb.doc_id = e.id_b)
+    SELECT CAST(FLOOR(ABS(est_j - exact_j) * CAST(8.0 AS DOUBLE)) AS INT)
+             AS err_octile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(eq_slots) AS BIGINT) AS sum_eq_slots,
+           ROUND(CAST(SUM(CAST(ROUND(exact_j, 12) AS DECIMAL(18,12)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_exact_j
+    FROM pairs GROUP BY 1
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — does the 16-slot signature
+    estimate actually track exact Jaccard on the pairs LSH surfaces?
+    For every LSH candidate pair: estimate = matching-slot fraction,
+    truth = exact shingle Jaccard (inverted-index, restricted to the
+    candidate pairs), bucketed by |error| octile — the estimator-audit
+    sibling of dedup_lsh_quality_audit (which audits candidate
+    RECALL; this audits estimate ACCURACY, the quantity threshold
+    decisions are made on).  Integer slot counts and 12-dp
+    decimal-summed exact-Jaccard means keep the hash engine-portable;
+    the bucket boundary is floor of identical IEEE doubles.  Scale:
+    signatures are 16 rows/doc, slot comparison is candidate x seed
+    (equi-join on seed), exact Jaccard touches only candidate pairs.
+    Pure-Python reference unit: tests/test_minhash_calibration.py.
+    """
+    from .operators.dedup import (
+        _shingle_rows,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    aug = _aug_docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        aug, "text", "doc_id", num_hashes=16, bands=4
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(aug, "text", "doc_id", num_hashes=16)
+    hashes = sigs.select(
+        "id", F.posexplode("signature").alias("seed", "h")
+    ).localCheckpoint(eager=True)  # est join uses it twice
+    ha = hashes.select(
+        F.col("id").alias("id_a"), "seed", F.col("h").alias("h_a")
+    )
+    hb = hashes.select(
+        F.col("id").alias("id_b"), "seed", F.col("h").alias("h_b")
+    )
+    est = (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("h_a") == F.col("h_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("eq_slots")
+        )
+    )
+    sh = _shingle_rows(aug, "text", "doc_id", 3).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    ext = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        est.join(ext, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "eq_slots",
+            (F.col("eq_slots").cast("double") / F.lit(16.0)).alias("est_j"),
+            (
+                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+                / (
+                    F.col("sz_a") + F.col("sz_b")
+                    - F.coalesce(F.col("ni"), F.lit(0))
+                ).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    return pairs.groupBy(
+        F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * F.lit(8.0))
+        .cast("int")
+        .alias("err_octile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("eq_slots").cast("bigint").alias("sum_eq_slots"),
+        F.round(
+            F.sum(F.round(F.col("exact_j"), 12).cast("decimal(18,12)"))
+            .cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_exact_j"),
+    )
+
+
+@register(
+    "dedup_semantic_threshold_sweep",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    assign AS (
+      SELECT id, vec, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY id
+               ORDER BY {_COS6.format(a="vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (SELECT id, vec, anchor_id AS cell FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT b.id AS id_b, {_COS_RAW.format(a="a.vec", b="b.vec")} AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
+    best AS MATERIALIZED (
+      SELECT c.id, bb.best
+      FROM cells c LEFT JOIN (
+        SELECT id_b, MAX(sim) AS best FROM pairs GROUP BY id_b) bb
+        ON bb.id_b = c.id),
+    taus AS (
+      SELECT CAST(t AS DOUBLE) / CAST(100.0 AS DOUBLE) AS tau
+      FROM UNNEST(GENERATE_SERIES(30, 50, 5)) g(t))
+    SELECT ROUND(tau, 2) AS tau,
+           CAST(COUNT(*) FILTER (
+             WHERE best IS NOT NULL AND best >= tau) AS BIGINT) AS n_pruned,
+           CAST(COUNT(*) FILTER (
+             WHERE best IS NULL OR best < tau) AS BIGINT) AS n_kept,
+           ROUND(CAST(COUNT(*) FILTER (
+                   WHERE best IS NOT NULL AND best >= tau) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS prune_frac
+    FROM best, taus GROUP BY tau
+    """,
+)
+def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup operating curve: how many vectors the SemDeDup
+    leader rule would prune at cosine thresholds 0.30-0.50 (step .05)
+    — the threshold-selection chart run BEFORE committing a prune
+    level (the dedup sibling of similarity_recall_probe_curve; at
+    production thresholds ~0.9+ the same query sweeps that range).
+    The per-vector best-lower-neighbor cosine is computed ONCE
+    (unrounded, the semantic_dedup decision value — identical IEEE
+    fold in both engines; tau = t/100 from integers, never a decimal
+    literal); the five curve points are an explode + one agg over the
+    |corpus|-row best table.  Shape: cell equi-join pairs with Arrow
+    dot_seq over precomputed norms — never all-pairs.
+    """
+    from .operators.similarity import _norm, cosine, dot_seq
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec"))
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).crossJoin(F.broadcast(anchors))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.round(cosine(F.col("vec"), F.col("a_vec")), 6)),
+        F.asc("anchor_id"),
+    )
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "nrm", F.col("anchor_id").alias("cell"))
+        .localCheckpoint(eager=True)  # both pair sides + the left join
+    )
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("id_b"),
+            (
+                dot_seq(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("sim"),
+        )
+    )
+    bb = pairs.groupBy("id_b").agg(F.max("sim").alias("best"))
+    best = cells.select("id").join(
+        bb, F.col("id") == F.col("id_b"), "left"
+    ).select("id", "best")
+    taus = F.transform(
+        F.sequence(F.lit(30), F.lit(50), F.lit(5)),
+        lambda t: t.cast("double") / F.lit(100.0),
+    )
+    lv = best.select("best", F.explode(taus).alias("tau"))
+    return lv.groupBy(F.round("tau", 2).alias("tau")).agg(
+        F.count(
+            F.when(F.col("best").isNotNull() & (F.col("best") >= F.col("tau")), 1)
+        )
+        .cast("bigint")
+        .alias("n_pruned"),
+        F.count(
+            F.when(F.col("best").isNull() | (F.col("best") < F.col("tau")), 1)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.count(
+                F.when(
+                    F.col("best").isNotNull() & (F.col("best") >= F.col("tau")),
+                    1,
+                )
+            ).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("prune_frac"),
+    )

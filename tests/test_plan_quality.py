@@ -223,6 +223,7 @@ BNLJ_BY_DESIGN = {
     "similarity_recall_probe_curve",  # broadcast 8-row anchors + the
                                 # 15-query exact side (ann_recall's shape)
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
+    "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
 }
 
 
