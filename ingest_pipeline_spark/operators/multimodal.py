@@ -13,8 +13,10 @@ and tested.  PNG decode is REAL (pure-stdlib inflate + unfilter +
 palette expansion — ``png_decode`` / ``decode_image_features`` below),
 strip-TIFF decode is REAL (IFD walk + Deflate strips + Predictor 2 —
 ``tiff_decode``, closing the reference's own OME/SCN TIFF family),
-and WAV decode is REAL (``wav_decode``); the remaining codec work
-(JPEG/video decode, resample) stays stubbed — those decode libraries
+WAV decode is REAL (``wav_decode``), and VIDEO decode is REAL for
+the uncompressed Y4M interchange container (``y4m_decode`` — per-frame
+stats + frame sampling against actual pixels); the remaining codec
+work (JPEG, H.264, resample) stays stubbed — those decode libraries
 are not in this container — behind ``decode_stub_features``: a
 deterministic byte-level fake whose signature/batching matches what a
 real Pandas-UDF decoder would use.  The format METADATA path is NOT
@@ -89,7 +91,7 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
 
 def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """Catch-all decoder entry point for formats WITHOUT a real codec
-    here (JPEG, CZI, video) — NOT IMPLEMENTED in this container.
+    here (JPEG, CZI, compressed video) — NOT IMPLEMENTED here.
 
     PNG and strip-TIFF are decoded for REAL by
     ``decode_image_features`` (pure-stdlib codecs below), WAV by
@@ -100,7 +102,8 @@ def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
     raise NotImplementedError(
         "JPEG/CZI/video codecs are not available in this environment; "
         "use decode_image_features (real PNG + TIFF), "
-        "decode_audio_features (real WAV), or decode_stub_features "
+        "decode_audio_features (real WAV), video_frame_stats (real Y4M), "
+        "or decode_stub_features "
         "for the plumbing-equivalent path"
     )
 
@@ -1002,6 +1005,145 @@ def tile_pixel_stats(assets: DataFrame, tile: int = 4) -> DataFrame:
                 except ValueError as e:
                     rows.append(
                         (aid, None, None, None, None, None, None, False,
+                         str(e)[:200])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib Y4M (YUV4MPEG2) codec — REAL video decode.  Y4M is the
+# uncompressed interchange format every video toolchain speaks (mjpegtools,
+# ffmpeg -f yuv4mpeg2): a text stream header + per-frame FRAME markers over
+# raw planar pixel data.  Mono (Cmono) colorspace keeps the plumbing exact
+# and integer; compressed codecs (H.264 etc.) remain behind decode_media's
+# documented stub.  This closes the video modality the way the TIFF codec
+# closed imaging: frame_sample_plan's geometry can now run against REAL
+# decoded frames.
+# ---------------------------------------------------------------------------
+
+
+def y4m_encode(
+    width: int, height: int, frames: "list[bytes]", rate: str = "25:1"
+) -> bytes:
+    """Encode mono 8-bit frames as a YUV4MPEG2 (Cmono) stream."""
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i} length {len(f)} != {width * height}")
+    head = f"YUV4MPEG2 W{width} H{height} F{rate} Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def y4m_decode(data: bytes) -> tuple[int, int, str, "list[bytes]"]:
+    """Decode a YUV4MPEG2 stream → (width, height, rate, frames).
+
+    Mono (Cmono) only — planar color subsampling needs no new plumbing,
+    just a bigger per-frame slice, but mono keeps the oracle exact.
+    Raises ValueError on malformed/truncated input (callers degrade to
+    error rows — the extractor discipline).
+    """
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    rate = ""
+    cspace = "C420"
+    for tok in data[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            rate = tok[1:]
+        elif tok[0] == "C":
+            cspace = tok
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing or bad W/H in stream header")
+    if cspace != "Cmono":
+        raise ValueError(f"unsupported colorspace {cspace}")
+    frames = []
+    pos = nl + 1
+    fsize = w * h
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        frame = data[pos : pos + fsize]
+        if len(frame) != fsize:
+            raise ValueError("truncated frame")
+        frames.append(frame)
+        pos += fsize
+    return w, h, rate, frames
+
+
+def embeddings_to_y4m(
+    emb: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as a mono Y4M clip (asset_id, media):
+    floor-quantized samples (the PNG/TIFF formula) laid out as
+    consecutive width x height frames — a 64-dim embedding becomes a
+    4-frame 4x4 clip.  mapInPandas, row-local, scan-bound.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        fsize = width * height
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid, vec in zip(pdf[id_col], pdf[vec_col]):
+                px = bytes(
+                    min(255, max(0, math.floor((float(v) + 1.0) * 127.5)))
+                    for v in vec
+                )
+                n = len(px) // fsize
+                frames = [px[k * fsize : (k + 1) * fsize] for k in range(n)]
+                ids.append(aid)
+                blobs.append(y4m_encode(width, height, frames))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, "asset_id long, media binary"
+    )
+
+
+def video_frame_stats(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL per-frame video statistics: decode each Y4M clip and reduce
+    every ``every_n``-th frame to exact integer luma stats —
+    frame_sample_plan's geometry (sample stride over the frame index)
+    finally running against ACTUAL decoded frames instead of metadata.
+    Emits (asset_id, frame_idx, n_px, luma_sum, luma_min, luma_max,
+    decode_ok, error); corrupt media degrades to error rows.
+    """
+    out_schema = (
+        "asset_id long, frame_idx int, n_px int, luma_sum long, "
+        "luma_min int, luma_max int, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "n_px", "luma_sum", "luma_min",
+                "luma_max", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _w, _h, _rate, frames = y4m_decode(b)
+                    for k in range(0, len(frames), every_n):
+                        f = frames[k]
+                        rows.append(
+                            (aid, k, len(f), sum(f), min(f), max(f),
+                             True, None)
+                        )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, None, False,
                          str(e)[:200])
                     )
             yield pd.DataFrame(rows, columns=cols)

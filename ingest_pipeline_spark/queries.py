@@ -18284,3 +18284,49 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("prune_frac"),
     )
+
+
+@register(
+    "multimodal_video_frame_stats",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    f AS (
+      SELECT vec_id, CAST(i0 // 16 AS INT) AS frame_idx, p
+      FROM px
+      WHERE (i0 // 16) % 2 = 0)
+    SELECT vec_id AS asset_id, frame_idx,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS luma_sum,
+           CAST(MIN(p) AS INT) AS luma_min,
+           CAST(MAX(p) AS INT) AS luma_max
+    FROM f GROUP BY vec_id, frame_idx
+    """,
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode — the last stubbed modality closed: every
+    embedding becomes a 4-frame 4x4 mono Y4M clip (YUV4MPEG2, the
+    uncompressed interchange format every video toolchain speaks),
+    the pure-stdlib codec decodes it back, and every SECOND frame
+    (frame_sample_plan's stride geometry, every_n=2, against actual
+    pixels) reduces to exact integer luma stats.  The oracle recomputes
+    the sampled frames from the arrays by index arithmetic
+    (frame = i0 // 16) — a hash match pins FRAME ORDER, frame
+    boundaries, and the sampling stride through the real decoder.
+    Compressed codecs (H.264) stay behind decode_media's documented
+    stub; the Spark plumbing they'd plug into is now proven end-to-end
+    on a real container format.  Codec units: tests/test_y4m_codec.py.
+    """
+    from .operators.multimodal import embeddings_to_y4m, video_frame_stats
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = video_frame_stats(
+        embeddings_to_y4m(emb, width=4, height=4), every_n=2
+    )
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "frame_idx", "n_px", "luma_sum", "luma_min", "luma_max"
+    )
