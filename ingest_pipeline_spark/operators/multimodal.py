@@ -54,6 +54,7 @@ MAGIC_RULES: list[tuple[bytes, str]] = [
     (b"MM\x00*", "image/tiff"),
     (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"YUV4MPEG2", "video/y4m"),
 ]
 
 

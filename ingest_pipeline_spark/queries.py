@@ -18330,3 +18330,177 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "frame_idx", "n_px", "luma_sum", "luma_min", "luma_max"
     )
+
+
+@register(
+    "corpus_heaps_curve",
+    """
+    WITH d AS (
+      SELECT doc_id, text, NTILE(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents),
+    toks AS (
+      SELECT doc_id, decile, UNNEST(LIST_FILTER(
+        STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')) AS w
+      FROM d),
+    per_dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY decile),
+    fst AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+    fdec AS (
+      SELECT f.w, d.decile
+      FROM fst f JOIN (SELECT DISTINCT doc_id, decile FROM d) d
+        ON d.doc_id = f.first_doc),
+    new_per_dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fdec GROUP BY decile),
+    full_ AS (
+      SELECT p.decile, p.n_docs, p.n_tok, COALESCE(n.n_new, 0) AS n_new
+      FROM per_dec p LEFT JOIN new_per_dec n USING (decile))
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
+           CAST(SUM(n_tok) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(n_new) OVER w AS BIGINT) AS vocab_cum
+    FROM full_
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-word
+    vocabulary vs cumulative token count at ten ingestion checkpoints
+    (doc_id-order deciles) — the scaling-law chart an LLM data team
+    fits V = K·N^beta on to forecast how much NEW vocabulary (and by
+    proxy, novel content) the next crawl tranche buys; the corpus-level
+    integral of corpus_ngram_novelty's per-doc signal.  Exact integers
+    end to end: per-decile token/doc counts, first-occurrence decile
+    per word (MIN doc then decile join), one cumulative pass over the
+    10 decile rows.  Shape: the decile assignment is the distributed
+    prefix rank (never a single-task NTILE window over corpus rows);
+    the word MIN-agg is the inverted-index discipline; the only window
+    over data-proportional input is avoided — cumulative sums run on
+    the 10-row decile table.
+    """
+    from .functions.text import tokenize_ws
+    from .operators.prefix import global_ntile
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    d = global_ntile(docs, [F.asc("doc_id")], 10, "decile").localCheckpoint(
+        eager=True
+    )  # token explode + first-doc decile join share it
+    toks = d.select(
+        "doc_id", "decile", F.explode(tokenize_ws(F.col("text"))).alias("w")
+    )
+    per_dec = toks.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    fst = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    fdec = fst.join(
+        d.select(F.col("doc_id").alias("first_doc"), F.col("decile").alias("fd")),
+        "first_doc",
+    )
+    new_per_dec = fdec.groupBy(F.col("fd").alias("decile")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    full = per_dec.join(new_per_dec, "decile", "left").select(
+        "decile",
+        "n_docs",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0).cast("bigint")).alias("n_new"),
+    )
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the cumulative window runs over the 10-row decile table only
+    return full.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+        F.sum("n_tok").over(w).cast("bigint").alias("tokens_cum"),
+        F.sum("n_new").over(w).cast("bigint").alias("vocab_cum"),
+    )
+
+
+@register(
+    "multimodal_modality_router",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             CASE vec_id % 4
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'image/tiff'
+               WHEN 2 THEN 'audio/wav'
+               ELSE 'video/y4m' END AS mime
+      FROM embeddings)
+    SELECT mime,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded
+    FROM m GROUP BY mime
+    """,
+)
+def multimodal_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dispatch over a MIXED corpus: each
+    embedding is encoded into one of the four REAL container formats
+    by id (PNG / strip-TIFF / WAV / Y4M), the magic-byte MIME sniffer
+    routes every blob to its decoder, and the per-modality decode
+    success counts prove the whole router — a corpus where images,
+    audio, and video arrive interleaved is the normal case for a
+    multimodal training pipeline, and per-format queries never test
+    the DISPATCH.  The oracle derives expected routing from the id
+    arithmetic; n_decoded == n_assets iff every sniff picked the
+    decoder that actually decodes the bytes.  Scale: one mapInPandas
+    encode pass, one sniff+decode pass, one keyed agg.
+    """
+    from .operators.multimodal import (
+        audio_autocorr_features,
+        decode_image_features,
+        embeddings_to_png,
+        embeddings_to_tiff,
+        embeddings_to_wav,
+        embeddings_to_y4m,
+        sniff_mime,
+        video_frame_stats,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    m = F.col("vec_id") % 4
+    blobs = (
+        embeddings_to_png(emb.filter(m == 0), width=8)
+        .unionByName(embeddings_to_tiff(emb.filter(m == 1), width=8))
+        .unionByName(embeddings_to_wav(emb.filter(m == 2)))
+        .unionByName(embeddings_to_y4m(emb.filter(m == 3), width=4, height=4))
+        .localCheckpoint(eager=True)  # sniffed + three decode branches
+    )
+    sniffed = blobs.select(
+        "asset_id",
+        "media",
+        sniff_mime(F.col("media")).alias("mime"),
+    )
+    img = decode_image_features(
+        sniffed.filter(F.col("mime").isin("image/png", "image/tiff"))
+    ).select("asset_id", "decode_ok")
+    aud = audio_autocorr_features(
+        sniffed.filter(F.col("mime") == "audio/wav")
+    ).select("asset_id", "decode_ok")
+    vid = (
+        video_frame_stats(sniffed.filter(F.col("mime") == "video/y4m"))
+        .groupBy("asset_id")
+        .agg(F.min(F.col("decode_ok").cast("int")).alias("ok_i"))
+        .select("asset_id", (F.col("ok_i") == 1).alias("decode_ok"))
+    )
+    decoded = img.unionByName(aud).unionByName(vid)
+    return (
+        sniffed.select("asset_id", "mime")
+        .join(decoded, "asset_id", "left")
+        .groupBy("mime")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assets"),
+            F.sum(
+                F.when(F.coalesce(F.col("decode_ok"), F.lit(False)), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_decoded"),
+        )
+    )

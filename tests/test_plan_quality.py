@@ -243,6 +243,7 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "search_rrf_fusion",  # final rank over the fused ≤40-row (two top-20 lists) relation
     "stats_bootstrap_ci",  # day-rank over ~2.4k fixed date domain + rank over the 200 replicate means
     "corpus_mix_temperature",  # normalizer over the per-source weight rows (|sources|, a domain bound)
+    "corpus_heaps_curve",  # cumulative pass over the 10 decile rows
 }
 
 
