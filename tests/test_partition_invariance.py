@@ -88,6 +88,11 @@ REPRESENTATIVE = [
     "corpus_span_dedup_cut",
     # per-rep md5-rank permutation + integer-numerator decision
     "stats_permutation_test",
+    # prefix-ntile deciles + first-occurrence MIN join must compose
+    # identically across pid counts
+    "corpus_heaps_curve",
+    # Boruvka: per-component min-struct argmin + contraction fixpoint
+    "graph_mst_copurchase",
 ]
 
 
