@@ -1297,3 +1297,70 @@ def ivf_knn_indegree(
     return alldeg.groupBy(F.col("indeg").alias("in_degree")).agg(
         F.count("*").cast("bigint").alias("n_vectors")
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point sampling): seed with the
+    min-id vector, then k-1 times select the vector whose MAXIMUM
+    cosine to the already-selected set is smallest (i.e. the farthest
+    point in cosine terms, id tiebreak) — the classic 2-approximation
+    k-center picker used for data-pruning / coverage-preserving corpus
+    subsampling (Sener & Savarese 2018 coreset active learning).
+    Comparisons use 6-dp-rounded cosines so the selection sequence is
+    engine-portable.  Returns (rank, vec_id, max_sim_to_prior) —
+    max_sim NULL for the seed.
+
+    Shape: the greedy loop is inherently sequential — k-1 driver
+    rounds, each ONE distributed pass (corpus x selected broadcast,
+    Arrow dot over precomputed norms, a min-struct argmin, ONE
+    collected row) — the MMR / learn_bpe_merges fixpoint discipline
+    with a k-bounded trip count and 1-row driver state.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=True)  # reused k-1 times
+    spark = corpus.sparkSession
+    head = base.orderBy("id").limit(1).collect()
+    if not head:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, max_sim_to_prior double"
+        )
+    picks = [(1, int(head[0]["id"]), None)]
+    for r in range(2, k + 1):
+        sel = spark.createDataFrame(
+            [(p[1],) for p in picks], "sid long"
+        ).join(base, F.col("sid") == F.col("id")).select(
+            F.col("sid"),
+            F.col("vec").alias("svec"),
+            F.col("nrm").alias("snrm"),
+        )
+        cand = (
+            base.filter(~F.col("id").isin([p[1] for p in picks]))
+            .crossJoin(F.broadcast(sel))
+            .select(
+                "id",
+                F.round(
+                    dot_seq(F.col("vec"), F.col("svec"))
+                    / (F.col("nrm") * F.col("snrm")),
+                    6,
+                ).alias("s"),
+            )
+            .groupBy("id")
+            .agg(F.max("s").alias("mx"))
+            .orderBy(F.asc("mx"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break  # corpus smaller than k
+        picks.append((r, int(cand[0]["id"]), float(cand[0]["mx"])))
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, max_sim_to_prior double"
+    )

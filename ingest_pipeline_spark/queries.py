@@ -18504,3 +18504,63 @@ def multimodal_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_decoded"),
         )
     )
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center oracle: k-1 MATERIALIZED argmin CTEs
+    over the corpus, each taking the point with the smallest max
+    6-dp cosine to everything selected so far (the MMR oracle shape,
+    corpus-global instead of candidate-local)."""
+    cos = _COS6.format(a="c.vec", b="s.vec")
+    parts = [
+        """
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    p1 AS MATERIALIZED (
+      SELECT id, vec FROM corpus ORDER BY id LIMIT 1)"""
+    ]
+    for r in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT id, vec FROM p{i}" for i in range(1, r)
+        )
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT id, vec, mx FROM (
+        SELECT c.id, c.vec, MAX({cos}) AS mx
+        FROM corpus c, ({sel}) s
+        WHERE c.id NOT IN (SELECT id FROM ({sel}) t)
+        GROUP BY c.id, c.vec) z
+      ORDER BY mx ASC, id ASC LIMIT 1)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        [
+            "SELECT CAST(1 AS INT) AS rank, id AS vec_id, "
+            "CAST(NULL AS DOUBLE) AS max_sim_to_prior FROM p1"
+        ]
+        + [
+            f"SELECT CAST({r} AS INT), id, mx FROM p{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+@register("sample_kcenter_coreset", _kcenter_oracle_sql())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-preserving coreset: greedy k-center (farthest-point)
+    selection of 8 embedding exemplars — the data-pruning selector
+    that keeps the training subset SPREAD over the embedding space
+    (Sener & Savarese's coreset rule; the corpus-global complement of
+    MMR's query-relative diversification and the opposite objective
+    of semantic dedup's prune).  Selection compares 6-dp-rounded
+    cosines with id tiebreaks, so the greedy sequence is unique and
+    the oracle RE-RUNS the same greedy rounds as unrolled MATERIALIZED
+    argmin CTEs — no mirrored selections.  Scale: k-1 rounds x one
+    corpus pass each (broadcast selected set, Arrow dot over
+    precomputed norms, min-struct argmin, 1-row collect) — the
+    MMR/BPE fixpoint discipline.
+    """
+    from .operators.similarity import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir)["embeddings"], k=8)

@@ -224,6 +224,7 @@ BNLJ_BY_DESIGN = {
                                 # 15-query exact side (ann_recall's shape)
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
+    "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
 }
 
 

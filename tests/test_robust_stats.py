@@ -150,3 +150,43 @@ def test_recall_probe_curve_monotone_and_bounded(spark):
     for r in rows.values():
         assert 0 <= r.n_hits <= r.n_exact
         assert r.recall == round(r.n_hits / r.n_exact, 6)
+
+
+def test_kcenter_coreset_matches_pure_python(spark):
+    """Re-run the greedy farthest-point selection in pure Python
+    (rounded cosines, id tiebreaks) and hold the full (rank, id,
+    max_sim) sequence to exact equality."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return round(num / (na**0.5 * nb**0.5), 6)
+
+    sel = [min(vecs)]
+    want = [(1, sel[0], None)]
+    for r in range(2, 9):
+        best = None
+        for i in sorted(vecs):
+            if i in sel:
+                continue
+            mx = max(cos(vecs[i], vecs[s]) for s in sel)
+            if best is None or (mx, i) < best:
+                best = (mx, i)
+        sel.append(best[1])
+        want.append((r, best[1], best[0]))
+
+    got = sorted(
+        (r.rank, r.vec_id, r.max_sim_to_prior)
+        for r in q.sample_kcenter_coreset(spark, SF_DIR).collect()
+    )
+    assert got == want
