@@ -18564,3 +18564,100 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kcenter_coreset
 
     return kcenter_coreset(_t(spark, sf_dir)["embeddings"], k=8)
+
+
+def _shingle_sweep_sql(ks=(2, 3, 5), thr: str = "0.8") -> str:
+    """Unrolled shingle-size sweep: one CTE block per k (distinct
+    positional-free (doc, shingle) rows -> sizes -> inverted-index
+    pair Jaccard >= thr), UNION ALL of the per-k summary rows."""
+    blocks = [f"WITH {_AUG}"]
+    sels = []
+    for k in ks:
+        blocks.append(
+            f""",
+    toks{k} AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '') AS tk
+      FROM aug),
+    sh{k} AS MATERIALIZED (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+{k - 1}], ' ') AS s
+      FROM toks{k}, UNNEST(GENERATE_SERIES(1, LEN(tk) - {k - 1})) t(i)
+      WHERE LEN(tk) >= {k}),
+    sz{k} AS (SELECT doc_id, COUNT(*) AS n FROM sh{k} GROUP BY doc_id),
+    pr{k} AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+      FROM sh{k} a JOIN sh{k} b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    hit{k} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pr{k}
+        JOIN sz{k} sa ON sa.doc_id = ia
+        JOIN sz{k} sb ON sb.doc_id = ib
+      WHERE CAST(ni AS DOUBLE)
+            / CAST(sa.n + sb.n - ni AS DOUBLE) >= CAST({thr} AS DOUBLE))"""
+        )
+        sels.append(
+            f"""SELECT CAST({k} AS INT) AS shingle_k,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh{k})
+             AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh{k}) AS n_shingle_rows,
+           (SELECT n_pairs FROM hit{k}) AS n_pairs_ge_thr"""
+        )
+    return "".join(blocks) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@register("dedup_shingle_size_sweep", _shingle_sweep_sql())
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size operating sweep for the lexical dedup family: at
+    k = 2, 3, 5 tokens, how many docs are shingle-able, how large the
+    inverted index gets, and how many pairs clear exact Jaccard 0.8 —
+    the k-selection chart (small k = more recall + hotter posting
+    lists; large k = precision + docs dropping below the window) that
+    completes the tuning-gauge set (recall-probe for ANN, threshold
+    sweep for semantic dedup, calibration for MinHash).  Each k is an
+    independent inverted-index pass (the dedup_ngram_jaccard shape,
+    df-bounded posting lists); exact integer counts, one int-ratio
+    threshold per pair.
+    """
+    from .operators.dedup import _shingle_rows
+
+    aug = _aug_docs(spark, sf_dir)
+    out = None
+    for k in (2, 3, 5):
+        sh = _shingle_rows(aug, "text", "doc_id", k).localCheckpoint(
+            eager=True
+        )  # stats + sizes + both pair sides
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+        a = sh.select(F.col("id").alias("ia"), "shingle")
+        b = sh.select(F.col("id").alias("ib"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("ia") < F.col("ib"))
+            .groupBy("ia", "ib")
+            .agg(F.count("*").alias("ni"))
+        )
+        za = sizes.select(F.col("id").alias("ia"), F.col("n").alias("na"))
+        zb = sizes.select(F.col("id").alias("ib"), F.col("n").alias("nb"))
+        hits = (
+            inter.join(za, "ia")
+            .join(zb, "ib")
+            .filter(
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+                >= F.lit(0.8)
+            )
+            .agg(F.count("*").cast("bigint").alias("n_pairs_ge_thr"))
+        )
+        stats = sh.agg(
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_shingle_rows"),
+        )
+        row = stats.crossJoin(F.broadcast(hits)).select(
+            F.lit(k).cast("int").alias("shingle_k"),
+            "n_docs",
+            "n_shingle_rows",
+            "n_pairs_ge_thr",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

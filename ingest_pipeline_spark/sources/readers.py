@@ -476,3 +476,47 @@ def read_json_with_deadletter(
         "_corrupt_record"
     )
     return good, bad
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path_glob: str,
+    colspecs: "list[tuple[str, int, int]]",
+    skip_header: bool = False,
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width text source: (name, start, width) column specs over
+    line-oriented files — the mainframe/ERP export format that still
+    feeds enterprise ingestion (COBOL copybook layouts).  start is
+    0-based.  Pure JVM substring slicing (one codegen'd projection per
+    line, no UDF, no per-line Python); short lines yield NULL for
+    columns that begin past the line end and the available prefix
+    otherwise — padded exports stay rectangular, truncated tails
+    degrade per-column instead of failing the scan.
+
+    Scale: spark.read.text splits by file/line like any text source;
+    the projection is row-local.  skip_header drops the first line of
+    EVERY file (header repeated per shard, the common export layout),
+    implemented with a zero-filter on a per-file line index — no
+    global ordering assumptions.
+    """
+    lines = spark.read.text(path_glob)
+    if skip_header:
+        from pyspark.sql import Window as W
+
+        lines = lines.select(
+            "value", F.input_file_name().alias("__f")
+        ).withColumn(
+            "__i",
+            F.row_number().over(
+                W.partitionBy("__f").orderBy(F.monotonically_increasing_id())
+            ),
+        ).filter(F.col("__i") > 1)
+    cols = []
+    for name, start, width in colspecs:
+        c = F.substring(F.col("value"), start + 1, width)
+        c = F.when(F.length("value") > start, c).otherwise(F.lit(None))
+        if trim:
+            c = F.trim(c)
+        cols.append(c.alias(name))
+    return lines.select(*cols)

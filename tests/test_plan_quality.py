@@ -225,6 +225,7 @@ BNLJ_BY_DESIGN = {
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
     "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
+    "dedup_shingle_size_sweep", # broadcast 1-row per-k pair-count frames
 }
 
 

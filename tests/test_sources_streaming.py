@@ -739,3 +739,32 @@ def test_audio_window_plan(spark):
 
     with _pytest.raises(ValueError):
         audio_window_plan(assets, window_ms=0, hop_ms=10)
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    from ingest_pipeline_spark.sources.readers import read_fixed_width
+
+    (tmp_path / "a.txt").write_text(
+        "ID   NAME      QTY\n"
+        "001  widget    007\n"
+        "002  gadget    042\n"
+        "003  x\n"            # truncated tail: QTY starts past line end
+    )
+    (tmp_path / "b.txt").write_text(
+        "ID   NAME      QTY\n"
+        "004  doohickey 100\n"
+    )
+    specs = [("id", 0, 5), ("name", 5, 10), ("qty", 15, 3)]
+    df = read_fixed_width(
+        spark, str(tmp_path / "*.txt"), specs, skip_header=True
+    )
+    rows = {r.id: (r.name, r.qty) for r in df.collect()}
+    assert rows == {
+        "001": ("widget", "007"),
+        "002": ("gadget", "042"),
+        "003": ("x", None),        # column past EOL -> NULL, not error
+        "004": ("doohickey", "100"),
+    }
+    # the projection is pure JVM: no Python evaluation in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "EvalPython" not in plan
