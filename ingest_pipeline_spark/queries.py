@@ -18566,7 +18566,7 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(_t(spark, sf_dir)["embeddings"], k=8)
 
 
-def _shingle_sweep_sql(ks=(2, 3, 5), thr: str = "0.8") -> str:
+def _shingle_sweep_sql(ks=(2, 3, 5), thr: str = "0.8", cap: int = 100) -> str:
     """Unrolled shingle-size sweep: one CTE block per k (distinct
     positional-free (doc, shingle) rows -> sizes -> inverted-index
     pair Jaccard >= thr), UNION ALL of the per-k summary rows."""
@@ -18585,9 +18585,14 @@ def _shingle_sweep_sql(ks=(2, 3, 5), thr: str = "0.8") -> str:
       FROM toks{k}, UNNEST(GENERATE_SERIES(1, LEN(tk) - {k - 1})) t(i)
       WHERE LEN(tk) >= {k}),
     sz{k} AS (SELECT doc_id, COUNT(*) AS n FROM sh{k} GROUP BY doc_id),
+    keep{k} AS (
+      SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh{k} GROUP BY s)
+      WHERE df <= {cap}),
+    shc{k} AS MATERIALIZED (
+      SELECT sh{k}.* FROM sh{k} JOIN keep{k} USING (s)),
     pr{k} AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
-      FROM sh{k} a JOIN sh{k} b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shc{k} a JOIN shc{k} b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     hit{k} AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -18616,9 +18621,13 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists; large k = precision + docs dropping below the window) that
     completes the tuning-gauge set (recall-probe for ANN, threshold
     sweep for semantic dedup, calibration for MinHash).  Each k is an
-    independent inverted-index pass (the dedup_ngram_jaccard shape,
-    df-bounded posting lists); exact integer counts, one int-ratio
-    threshold per pair.
+    independent inverted-index pass with posting lists df-capped at
+    100 on BOTH sides (stop-shingle removal — mandatory at k=2, whose
+    hot 2-grams otherwise explode the pair join Σdf²; a >=0.8-Jaccard
+    pair shares rare shingles too, so the capped count is a tight
+    conservative gauge, and n_shingle_rows still reports the UNCAPPED
+    index size the chart is about); exact integer counts, one
+    int-ratio threshold per pair.
     """
     from .operators.dedup import _shingle_rows
 
@@ -18629,8 +18638,15 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )  # stats + sizes + both pair sides
         sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-        a = sh.select(F.col("id").alias("ia"), "shingle")
-        b = sh.select(F.col("id").alias("ib"), "shingle")
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 100)
+            .select("shingle")
+        )
+        shc = sh.join(keep, "shingle")
+        a = shc.select(F.col("id").alias("ia"), "shingle")
+        b = shc.select(F.col("id").alias("ib"), "shingle")
         inter = (
             a.join(b, "shingle")
             .filter(F.col("ia") < F.col("ib"))
