@@ -18677,3 +18677,121 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "corpus_pack_boundary_sweep",
+    """
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM sized),
+    lv AS (
+      SELECT c.*, l.seq_len
+      FROM cum c, (SELECT UNNEST([512, 1024, 2048]) AS seq_len) l),
+    per_src AS (
+      SELECT seq_len, source, CAST(SUM(n_tokens) AS BIGINT) AS tot
+      FROM lv WHERE doc_id IS NOT NULL
+      GROUP BY seq_len, source),
+    seqs AS (
+      SELECT seq_len,
+             CAST(SUM((tot + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs
+      FROM per_src GROUP BY seq_len),
+    strad AS (
+      SELECT seq_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (
+               WHERE n_tokens > 0
+                 AND start // seq_len
+                     <> (start + n_tokens - 1) // seq_len) AS BIGINT)
+               AS n_straddlers
+      FROM lv GROUP BY seq_len)
+    SELECT s.seq_len AS seq_len, s.n_docs, s.n_straddlers, q.n_seqs,
+           ROUND(CAST(s.n_straddlers AS DOUBLE)
+                 / CAST(s.n_docs AS DOUBLE), 6) AS straddle_frac,
+           ROUND(CAST(s.n_docs AS DOUBLE) / CAST(q.n_seqs AS DOUBLE), 6)
+             AS docs_per_seq
+    FROM strad s JOIN seqs q USING (seq_len)
+    """,
+)
+def corpus_pack_boundary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length operating sweep for concat-and-chunk packing:
+    at L = 512/1024/2048, how many documents STRADDLE a training-
+    sequence boundary (their context gets split across sequences — the
+    attention-contamination/truncation cost of shorter L), how many
+    sequences the corpus packs into, and docs-per-sequence — the chart
+    a training team reads next to corpus_pack_sequences before fixing
+    L (the packing sibling of the dedup/ANN tuning gauges).  One
+    source-partitioned cumsum (the pack query's own window) is shared
+    by all three L values via an explode; per-source ceil-division
+    gives exact sequence counts.  Integer counts, int-ratio finals.
+    """
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn(
+        "start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    lv = cum.select(
+        "source",
+        "n_tokens",
+        "start",
+        F.explode(F.array(F.lit(512), F.lit(1024), F.lit(2048))).alias(
+            "seq_len"
+        ),
+    ).localCheckpoint(eager=True)  # straddle agg + per-source totals share
+    per_src = lv.groupBy("seq_len", "source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tot")
+    )
+    seqs = per_src.groupBy("seq_len").agg(
+        F.sum(
+            F.expr("(tot + seq_len - 1) div seq_len")
+        )
+        .cast("bigint")
+        .alias("n_seqs")
+    )
+    strad = lv.groupBy("seq_len").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("n_tokens") > 0)
+                & (
+                    F.expr("start div seq_len")
+                    != F.expr("(start + n_tokens - 1) div seq_len")
+                ),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_straddlers"),
+    )
+    return strad.join(seqs, "seq_len").select(
+        F.col("seq_len").cast("int").alias("seq_len"),
+        "n_docs",
+        "n_straddlers",
+        "n_seqs",
+        F.round(
+            F.col("n_straddlers").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("straddle_frac"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_seqs").cast("double"), 6
+        ).alias("docs_per_seq"),
+    )
