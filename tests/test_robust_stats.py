@@ -190,3 +190,37 @@ def test_kcenter_coreset_matches_pure_python(spark):
         for r in q.sample_kcenter_coreset(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_pack_boundary_sweep_hand_fixture(spark):
+    """Recompute the straddle/sequence arithmetic by hand on the real
+    corpus (pure Python cumsum per source) — guards the ceil-division
+    and boundary-crossing formulas mirrored into the oracle."""
+    rows = duckdb.sql(
+        f"""
+        SELECT doc_id, source,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                   x -> x <> '')) AS n
+        FROM '{SF_DIR}/documents.parquet' ORDER BY source, doc_id
+        """
+    ).fetchall()
+    bysrc = {}
+    for _, src, n in rows:
+        bysrc.setdefault(src, []).append(int(n))
+    want = {}
+    for L in (512, 1024, 2048):
+        n_docs = n_str = n_seqs = 0
+        for ns in bysrc.values():
+            start = 0
+            for n in ns:
+                n_docs += 1
+                if n > 0 and start // L != (start + n - 1) // L:
+                    n_str += 1
+                start += n
+            n_seqs += (start + L - 1) // L
+        want[L] = (n_docs, n_str, n_seqs)
+    got = {
+        r.seq_len: (r.n_docs, r.n_straddlers, r.n_seqs)
+        for r in q.corpus_pack_boundary_sweep(spark, SF_DIR).collect()
+    }
+    assert got == want
