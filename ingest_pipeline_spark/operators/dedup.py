@@ -585,6 +585,15 @@ def max_duplicated_spans(
 
     from ..functions.text import tokenize_ws
 
+    if min_span < k:
+        # a shared run of length in [min_span, k) produces no k-shingle
+        # match and therefore no island — the >= min_span contract is
+        # only honorable for min_span >= k, so refuse loudly instead of
+        # returning silently incomplete spans
+        raise ValueError(
+            f"min_span ({min_span}) must be >= shingle size k ({k}): "
+            "shorter shared runs are invisible to k-shingle matching"
+        )
     tok = docs.select(
         F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("__toks")
     )

@@ -376,6 +376,7 @@ def boruvka_mst(
         .localCheckpoint(eager=True)
     )
     tree: DataFrame | None = None
+    converged = False
     for _ in range(max_rounds):
         ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
         cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
@@ -386,6 +387,7 @@ def boruvka_mst(
             .localCheckpoint(eager=True)  # count + min-agg share it
         )
         if lab.count() == 0:
+            converged = True
             break
         est = F.struct("w", "a", "b", "ca", "cb").alias("e")
         sym = lab.select(F.col("ca").alias("c"), est).unionByName(
@@ -410,6 +412,12 @@ def boruvka_mst(
                 F.coalesce(mapping.component, comp.comp).alias("comp"),
             )
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        # a truncated forest returned silently would look like a valid
+        # MSF — match the connected_components fixpoint discipline
+        raise RuntimeError(
+            f"boruvka_mst did not converge in {max_rounds} rounds"
         )
     if tree is None:
         return e.select("a", "b", "w").limit(0)

@@ -795,6 +795,12 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
     type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
     def tag_values(typ, count, raw):
+        if count < 1:
+            # a zero-count entry for a required tag (e.g. ImageWidth)
+            # would yield an empty list and make tags[256][0] throw
+            # IndexError, escaping callers' `except ValueError` and
+            # failing the whole distributed scan on one bad file
+            raise ValueError("IFD entry with count=0")
         size = type_size.get(typ, 1) * count
         if size <= 4:
             payload = raw[:size]

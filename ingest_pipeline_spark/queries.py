@@ -62,68 +62,71 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-8 window: the 29 oracle-backed round-7 registrations that have
-# never held a driver slot (judge-verified green at sf0.01 at r7 HEAD),
-# plus 21 re-samples of the STALEST greens — queries whose only driver
-# rows date to r1-r3, before the table cache (r5), prefix-scan rewires
-# (r6), and session-conf changes; their old rows certify code that no
-# longer exists.  Permanently OUT of the window: the rows-only-by-design
-# entries (similarity_pq_topk, source_listing, graph_kcore_parts,
-# text_bpe_learn_merges) — each would burn a slot as an eternal
-# `no_oracle`.  List EXACTLY 50 names (sized by test_driver_contract).
+# Round-9 window (r8-verdict ask #1): the 24 oracle-backed round-8
+# registrations that have never held a driver slot (judge-verified green
+# at sf0.01 at r8 HEAD), plus 26 re-samples of the STALEST greens — the
+# queries whose newest driver row still dates to r1-r3, before the table
+# cache (r5), prefix-scan rewires (r6), and session-conf changes; their
+# old rows certify code that no longer exists.  Two r3-era greens
+# (text_token_fingerprint, validation_battery) don't fit the 50 slots and
+# roll to the round-10 window.  Permanently OUT of the window: the
+# rows-only-by-design entries (similarity_pq_topk, source_listing,
+# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase) — each
+# would burn a slot as an eternal `no_oracle`.  List EXACTLY 50 names
+# (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled round-7 registrations (oracle-backed)
-    "multimodal_png_roundtrip",
-    "dedup_semantic_clusters",
-    "search_rrf_fusion",
-    "text_gopher_quality_flags",
-    "forecast_ewma_daily",
-    "stats_bootstrap_ci",
-    "search_mmr_rerank",
-    "text_rake_keywords",
-    "similarity_ivfpq_topk_det",
-    "corpus_filter_funnel",
-    "stats_welch_ttest",
-    "corpus_mix_temperature",
-    "quality_calibration_bins",
-    "graph_modularity_brand",
-    "graph_hyperball_neighborhood",
-    "basket_association_rules",
-    "embedding_top_component",
-    "multimodal_wav_roundtrip",
-    "events_attribution_position",
-    "rec_precision_at_k",
-    "sketch_join_size_estimate",
-    "text_winnowing_fingerprints",
-    "parts_abc_classification",
-    "embedding_outlier_scores",
-    "graph_lpa_communities",
-    "supplier_topsis_ranking",
-    "sample_stratified_neyman",
-    "similarity_pq_distortion_audit",
-    "corpus_source_jaccard_matrix",
-    # stalest re-samples (last driver row r3; infra rewired since)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "checksum_manifest",
-    "dedup_minhash_lsh",
-    "dedup_exact_docs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_near_dup",
-    "similarity_topk",
-    "sessionize_users",
-    "stream_window_counts",
-    "stream_dedup_run_ids",
-    "status_state_machine",
-    "window_running_total",
-    "window_topk_overflow",
-    "window_latest_order",
-    "multimodal_extract_metadata",
-    "text_quality_scores",
-    "graph_bfs_descendants",
-    "schema_validate_documents",
+    # never driver-sampled round-8 registrations (oracle-backed)
+    "multimodal_tiff_roundtrip",
+    "dedup_max_spans",
+    "text_bpe_apply_compression",
+    "similarity_index_upsert",
+    "corpus_span_dedup_cut",
+    "embedding_int8_quant_audit",
+    "multimodal_audio_autocorr",
+    "multimodal_tile_stats",
+    "stats_theil_sen",
+    "quality_rater_kappa",
+    "corpus_ngram_novelty",
+    "embedding_hubness_audit",
+    "similarity_recall_probe_curve",
+    "stats_permutation_test",
+    "corpus_source_scorecard",
+    "events_trending_topk",
+    "dedup_minhash_calibration",
+    "dedup_semantic_threshold_sweep",
+    "multimodal_video_frame_stats",
+    "corpus_heaps_curve",
+    "multimodal_modality_router",
+    "sample_kcenter_coreset",
+    "dedup_shingle_size_sweep",
+    "corpus_pack_boundary_sweep",
+    # stalest re-samples (newest driver row r1-r3; infra rewired since)
+    "agg_rollup_orders",
+    "agg_value_counts",
+    "coercion_functions",
+    "conditional_rewrite",
+    "cross_file_consistency",
+    "dedup_fingerprint_docs",
+    "graph_bfs_ancestors",
+    "hash_functions",
+    "join_anti_customers",
+    "join_broadcast_region",
+    "join_contains_keywords",
+    "join_left_coalesce",
+    "join_semi_customers",
+    "json_extract_props",
+    "map_fallback_lang",
+    "multimodal_stub_features",
+    "pivot_event_value",
+    "q10_returned_revenue",
+    "q4_order_priority",
+    "regex_extract_classify",
+    "report_customer_survey",
+    "report_log_mining",
+    "setop_except_intersect",
+    "slice_id_expansion",
+    "string_functions",
+    "text_langid_confusion",
 ]
 
 

@@ -478,6 +478,57 @@ def read_json_with_deadletter(
     return good, bad
 
 
+def _normalize_file_uri(col):
+    """Collapse scheme + slash-count differences between URI spellings
+    ('file:///x' from input_file_name vs 'file:/x' from Hadoop Path)
+    so driver-probed paths join against scan-reported paths."""
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/")
+
+
+def _probe_first_lines(
+    spark: SparkSession, path_glob: str
+) -> "list[tuple[str, str]]":
+    """Read the first line of every file matched by path_glob via the
+    Hadoop FileSystem API — a bounded driver-side probe (one buffered
+    line per file, O(files) like the listing itself).  Returns
+    (normalized_uri, first_line) pairs; empty files are omitted."""
+    import re as _re
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path_glob)
+    fs = jpath.getFileSystem(hconf)
+    statuses = fs.globStatus(jpath)
+    paths = []
+    for st in list(statuses) if statuses is not None else []:
+        if st.isDirectory():
+            paths.extend(
+                c.getPath() for c in fs.listStatus(st.getPath()) if c.isFile()
+            )
+        else:
+            paths.append(st.getPath())
+    out = []
+    for p in paths:
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # Spark's hidden-file filter
+        stream = fs.open(p)
+        try:
+            rdr = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            line = rdr.readLine()
+        finally:
+            stream.close()
+        if line is not None:
+            uri = _re.sub(
+                r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/", p.toUri().toString()
+            )
+            out.append((uri, line))
+    return out
+
+
 def read_fixed_width(
     spark: SparkSession,
     path_glob: str,
@@ -496,22 +547,47 @@ def read_fixed_width(
 
     Scale: spark.read.text splits by file/line like any text source;
     the projection is row-local.  skip_header drops the first line of
-    EVERY file (header repeated per shard, the common export layout),
-    implemented with a zero-filter on a per-file line index — no
-    global ordering assumptions.
+    EVERY file (header repeated per shard, the common export layout).
+    The true header CONTENT is probed per file with a bounded
+    driver-side Hadoop-FS read (one line per file — same O(files) cost
+    as the listing itself), then exactly ONE row with that content is
+    dropped per file.  Dropping any single content-equal row is
+    multiset-equivalent to dropping the physical first line, so the
+    result never depends on how Spark packed splits into partitions —
+    monotonically_increasing_id ordering across splits of one file is
+    an implementation detail, not a contract, and this path doesn't
+    rely on it.
     """
     lines = spark.read.text(path_glob)
     if skip_header:
         from pyspark.sql import Window as W
 
-        lines = lines.select(
-            "value", F.input_file_name().alias("__f")
-        ).withColumn(
-            "__i",
-            F.row_number().over(
-                W.partitionBy("__f").orderBy(F.monotonically_increasing_id())
-            ),
-        ).filter(F.col("__i") > 1)
+        headers = _probe_first_lines(spark, path_glob)
+        if headers:
+            hdr_df = spark.createDataFrame(
+                headers, "__f string, __hdr string"
+            )
+            lines = (
+                lines.select(
+                    "value", _normalize_file_uri(F.input_file_name()).alias("__f")
+                )
+                .join(F.broadcast(hdr_df), "__f", "left")
+                .withColumn(
+                    "__m", (F.col("value") == F.col("__hdr")).cast("int")
+                )
+                .withColumn(
+                    "__i",
+                    F.row_number().over(
+                        W.partitionBy("__f", "__m").orderBy(
+                            F.monotonically_increasing_id()
+                        )
+                    ),
+                )
+                .filter(
+                    ~((F.col("__m") == 1) & (F.col("__i") == 1))
+                    | F.col("__m").isNull()
+                )
+            )
     cols = []
     for name, start, width in colspecs:
         c = F.substring(F.col("value"), start + 1, width)

@@ -41,23 +41,24 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the round-7 registrations that had
-    # never been driver-sampled must be inside round 8's window (plus a
+    # the driver grades the first 50: the round-8 registrations that had
+    # never been driver-sampled must be inside round 9's window (plus a
     # stale-re-sample spot check), and the permanently-rows-only entries
     # must NOT burn slots (each would sit as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("multimodal_png_roundtrip", "dedup_semantic_clusters",
-                 "similarity_ivfpq_topk_det", "embedding_top_component",
-                 "corpus_filter_funnel", "graph_lpa_communities",
-                 "text_winnowing_fingerprints", "stats_welch_ttest",
-                 "corpus_source_jaccard_matrix",
-                 "q1_pricing_summary", "dedup_minhash_lsh",
-                 "sessionize_users", "checksum_manifest"):
+    for must in ("multimodal_tiff_roundtrip", "dedup_max_spans",
+                 "text_bpe_apply_compression", "similarity_index_upsert",
+                 "corpus_span_dedup_cut", "stats_theil_sen",
+                 "similarity_recall_probe_curve", "sample_kcenter_coreset",
+                 "corpus_pack_boundary_sweep",
+                 "agg_rollup_orders", "join_broadcast_region",
+                 "q4_order_priority", "report_log_mining"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "similarity_pq_topk" not in first50
     assert "source_listing" not in first50
     assert "graph_kcore_parts" not in first50
     assert "text_bpe_learn_merges" not in first50
+    assert "graph_mst_copurchase" not in first50
 
 
 def test_bench_headline_entries_registered():

@@ -768,3 +768,40 @@ def test_fixed_width_reader(spark, tmp_path):
     # the projection is pure JVM: no Python evaluation in the plan
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "EvalPython" not in plan
+
+
+def test_fixed_width_header_multisplit_and_collision(spark, tmp_path):
+    """skip_header must drop exactly ONE header line per file even when
+    (a) a file spans multiple scan splits (no split-ordering
+    assumptions) and (b) a DATA line is byte-identical to the header
+    (content-equality drop must be one-per-file, not all-matching)."""
+    from ingest_pipeline_spark.sources.readers import read_fixed_width
+
+    body = "".join(f"{i:05d}row-payload-{i % 7}\n" for i in range(4000))
+    (tmp_path / "big.txt").write_text("IDNUMHEADER-LINE\n" + body)
+    # collision file: line 3 repeats the header verbatim as data
+    (tmp_path / "coll.txt").write_text(
+        "IDNUMHEADER-LINE\n90001aaa\nIDNUMHEADER-LINE\n90002bbb\n"
+    )
+    specs = [("id", 0, 5), ("rest", 5, 30)]
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        # the SCAN must really be multi-split under this conf (the final
+        # df's rdd reflects the post-window shuffle, not the scan)
+        nsplits = spark.read.text(
+            str(tmp_path / "*.txt")
+        ).rdd.getNumPartitions()
+        assert nsplits > 4, nsplits
+        df = read_fixed_width(
+            spark, str(tmp_path / "*.txt"), specs, skip_header=True
+        )
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    ids = sorted(r.id for r in rows)
+    # 4000 data rows from big.txt + 3 from coll.txt (ONE header dropped,
+    # the data line equal to the header survives)
+    assert len(ids) == 4003
+    assert ids.count("IDNUM") == 1
+    assert ids[0] == "00000" and "90001" in ids and "90002" in ids

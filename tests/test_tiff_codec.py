@@ -119,6 +119,18 @@ def test_corrupt_inputs_raise_valueerror_only():
     corrupted = bytearray(tiff_encode(4, 4, _pixels(4, 4), compression="deflate"))
     corrupted[-5:] = b"\xff\xff\xff\xff\xff"
     bads.append(bytes(corrupted))
+    # zero-count IFD entries: a count=0 ImageWidth (or BitsPerSample)
+    # yields an empty value list — must be ValueError, never IndexError
+    e = "<"
+    (n,) = struct.unpack(e + "H", good[8:10])
+    for target in (256, 258):
+        zeroed = bytearray(good)
+        for i in range(n):
+            base = 10 + i * 12
+            tag = struct.unpack(e + "H", zeroed[base : base + 2])[0]
+            if tag == target:
+                zeroed[base + 4 : base + 8] = struct.pack(e + "I", 0)
+        bads.append(bytes(zeroed))
     for bad in bads:
         if not bad:
             with pytest.raises(ValueError):
