@@ -656,11 +656,126 @@ def decode_audio_features(assets: DataFrame) -> DataFrame:
 # scn_tiff_metadata_file.py:13-17 wrap tifffile; extractors.py already walks
 # the IFD for metadata).  This closes the decode_media gap for TIFF PIXEL
 # data: classic TIFF, grayscale 8-bit, strip-organized (StripOffsets /
-# StripByteCounts / RowsPerStrip honored), Compression 1 (none) and
-# 8/32946 (Deflate), Predictor 1 (none) and 2 (horizontal differencing),
-# both byte orders.  Tiled TIFF, LZW, and multi-sample planar variants
-# still raise ValueError (callers degrade to error rows).
+# StripByteCounts / RowsPerStrip honored), Compression 1 (none),
+# 5 (LZW, TIFF early-change variant) and 8/32946 (Deflate), Predictor 1
+# (none) and 2 (horizontal differencing), both byte orders.  Tiled TIFF,
+# JPEG-in-TIFF, and multi-sample planar variants still raise ValueError
+# (callers degrade to error rows).
 # ---------------------------------------------------------------------------
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(blob: bytes) -> bytes:
+    """TIFF-variant LZW strip decompression (TIFF 6.0 §13): MSB-first
+    bit packing, ClearCode 256 / EOI 257, first table code 258, 9→12
+    bit codes with the TIFF *early change* (width bumps when the table
+    length reaches 511/1023/2047 — one entry earlier than GIF).  The
+    single most common compression in real OME/SCN TIFF; the reference
+    probes these files as metadata only
+    (src/ingest-pipeline/md/data_file_types/ome_tiff_metadata_file.py),
+    so real pixel decode exceeds it.  Raises ValueError on any
+    malformed stream — the extractor degradation discipline."""
+    acc = accbits = pos = 0
+    n = len(blob)
+
+    def read(width: int):
+        nonlocal acc, accbits, pos
+        while accbits < width:
+            if pos >= n:
+                return None
+            acc = (acc << 8) | blob[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        v = (acc >> accbits) & ((1 << width) - 1)
+        acc &= (1 << accbits) - 1
+        return v
+
+    out = bytearray()
+    table: "list[bytes]" = []
+    width = 9
+    prev: "bytes | None" = None
+    while True:
+        code = read(width)
+        if code is None or code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("bad first LZW code after Clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        prev = entry
+        if len(table) in (511, 1023, 2047):
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Matched TIFF-variant LZW compressor (early change, MSB-first):
+    emits Clear at stream start and again before the table would
+    outgrow 12-bit codes, EOI at the end.  Width for each emitted code
+    mirrors _lzw_decode's read width at the same stream position
+    (pinned by the boundary-crossing roundtrip unit)."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+            acc &= (1 << accbits) - 1
+
+    width = 9
+    table: "dict[bytes, int]" = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # decoder appends one entry BEHIND the encoder, so its table
+        # hits 511/1023/2047 one code later — bump at 512/1024/2048
+        # to widen the same emission the decoder widens its read
+        if next_code in (512, 1024, 2048):
+            width += 1
+        elif next_code == 4094:  # keep 12-bit codes unambiguous
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
 
 
 def tiff_encode(
@@ -686,7 +801,7 @@ def tiff_encode(
         raise ValueError("pixel buffer length mismatch")
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8}.get(compression)
     if comp_code is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2):
@@ -701,9 +816,12 @@ def tiff_encode(
                 base = r * width
                 for x in range(width - 1, 0, -1):
                     raw[base + x] = (raw[base + x] - raw[base + x - 1]) & 0xFF
-        strips.append(
-            zlib.compress(bytes(raw), 6) if comp_code == 8 else bytes(raw)
-        )
+        if comp_code == 8:
+            strips.append(zlib.compress(bytes(raw), 6))
+        elif comp_code == 5:
+            strips.append(_lzw_encode(bytes(raw)))
+        else:
+            strips.append(bytes(raw))
 
     n_strips = len(strips)
     e = byte_order
@@ -770,10 +888,13 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
 
     Walks the first IFD (both byte orders), honors StripOffsets /
     StripByteCounts / RowsPerStrip, inflates Deflate strips
-    (Compression 8 and legacy 32946), and undoes horizontal-differencing
-    Predictor 2.  Grayscale 8-bit single-sample only; anything else
-    (tiles, LZW, palettes, multi-sample) raises ValueError so callers
-    degrade to error rows — the extractor discipline.
+    (Compression 8 and legacy 32946), decompresses LZW strips
+    (Compression 5, TIFF early-change variant — the most common
+    compression in real OME/SCN TIFF), and undoes
+    horizontal-differencing Predictor 2.  Grayscale 8-bit single-sample
+    only; anything else (tiles, JPEG, palettes, multi-sample) raises
+    ValueError so callers degrade to error rows — the extractor
+    discipline.
     """
     import struct
     import zlib
@@ -842,7 +963,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
     pred = int(tags.get(317, [1])[0])
     if bits != 8 or spp != 1:
         raise ValueError(f"unsupported sample layout ({spp}x{bits}-bit)")
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32946):
         raise ValueError(f"unsupported compression {comp}")
     if pred not in (1, 2):
         raise ValueError(f"unsupported predictor {pred}")
@@ -860,6 +981,8 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
                 raw = bytearray(zlib.decompress(blob))
             except zlib.error as z:
                 raise ValueError(f"bad deflate strip: {z}") from None
+        elif comp == 5:
+            raw = bytearray(_lzw_decode(blob))
         else:
             raw = bytearray(blob)
         rows = min(rps, height - rows_done)
@@ -885,9 +1008,10 @@ def embeddings_to_tiff(
 ) -> DataFrame:
     """Render each embedding as a grayscale strip TIFF (asset_id, media)
     with the SAME floor quantization as embeddings_to_png, alternating
-    codec paths by id parity so the corpus exercises every decoder
-    branch: even ids → Deflate strips + Predictor 2 + little-endian,
-    odd ids → uncompressed strips + big-endian.  rows_per_strip=3
+    codec paths by id residue mod 3 so the corpus exercises every
+    decoder branch: id%3==0 → Deflate strips + Predictor 2 +
+    little-endian, id%3==1 → uncompressed strips + big-endian,
+    id%3==2 → LZW strips + Predictor 2 + big-endian.  rows_per_strip=3
     forces multi-strip layout on the 8-row images.
     """
 
@@ -902,17 +1026,24 @@ def embeddings_to_tiff(
                     for v in vec
                 )
                 h = len(px) // width
-                if int(aid) % 2 == 0:
+                residue = int(aid) % 3
+                if residue == 0:
                     blob = tiff_encode(
                         width, h, px[: width * h],
                         compression="deflate", rows_per_strip=3,
                         predictor=2, byte_order="<",
                     )
-                else:
+                elif residue == 1:
                     blob = tiff_encode(
                         width, h, px[: width * h],
                         compression="none", rows_per_strip=3,
                         predictor=1, byte_order=">",
+                    )
+                else:
+                    blob = tiff_encode(
+                        width, h, px[: width * h],
+                        compression="lzw", rows_per_strip=3,
+                        predictor=2, byte_order=">",
                     )
                 ids.append(aid)
                 blobs.append(blob)

@@ -16558,8 +16558,10 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scn_tiff_metadata_file.py wrap tifffile; here the strip codec is
     pure stdlib).  Every embedding is rendered as an 8xN grayscale
     strip TIFF with the SAME floor quantization as the PNG roundtrip,
-    alternating codec paths by id parity (even: Deflate strips +
-    Predictor 2 + little-endian; odd: uncompressed + big-endian;
+    alternating codec paths by id residue mod 3 (0: Deflate strips +
+    Predictor 2 + little-endian; 1: uncompressed + big-endian; 2: LZW
+    strips + Predictor 2 + big-endian — TIFF early-change LZW, the
+    compression real OME/SCN TIFFs actually use;
     rows_per_strip=3 forces a real multi-strip IFD walk), then
     tiff_decode recovers the pixels and reduces them to EXACT integer
     stats.  Losslessness means the DuckDB oracle computes the same

@@ -143,20 +143,114 @@ def test_corrupt_inputs_raise_valueerror_only():
 def test_unsupported_variants_raise():
     px = _pixels(4, 4)
     blob = bytearray(tiff_encode(4, 4, px, compression="none"))
-    # patch Compression tag (259) value to LZW (5): find the entry
+    # patch Compression tag (259) value to JPEG (7): find the entry
     e = "<"
     (n,) = struct.unpack(e + "H", blob[8:10])
     for i in range(n):
         base = 10 + i * 12
         tag = struct.unpack(e + "H", blob[base : base + 2])[0]
         if tag == 259:
-            blob[base + 8 : base + 10] = struct.pack(e + "H", 5)
+            blob[base + 8 : base + 10] = struct.pack(e + "H", 7)
     with pytest.raises(ValueError, match="compression"):
         tiff_decode(bytes(blob))
     with pytest.raises(ValueError):
-        tiff_encode(4, 4, px, compression="lzw")
+        tiff_encode(4, 4, px, compression="jpeg")
     with pytest.raises(ValueError):
         tiff_encode(4, 4, px[:-1])  # buffer mismatch
+
+
+def _pack9(codes):
+    """Independent MSB-first bit packer (test-local, 9-bit only)."""
+    acc, bits, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        bits += 9
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+            acc &= (1 << bits) - 1
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_hand_built_fixture():
+    """Hand-derived TIFF-LZW stream for b'ABABABA': the code sequence
+    [Clear, A, B, AB, ABA, EOI] where ABA is the KwKwK case (code ==
+    table length at read time).  Packed by an independent test-local
+    bit writer — pins both decoder semantics and the encoder's output
+    byte-for-byte."""
+    from ingest_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    stream = _pack9([256, 65, 66, 258, 260, 257])
+    assert _lzw_decode(stream) == b"ABABABA"
+    assert _lzw_encode(b"ABABABA") == stream
+
+
+def test_lzw_roundtrip_width_boundaries():
+    """encode→decode identity across every code-width boundary
+    (9→10→11→12 bits) and across a mid-stream table reset (Clear at
+    next_code 4094) — the early-change off-by-one is exactly the bug
+    class this sweep exists to catch."""
+    import random
+
+    from ingest_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(1729)
+    cases = [
+        b"",
+        b"\x00",
+        b"\x07" * 4000,                      # highly compressible
+        bytes(rng.randrange(256) for _ in range(600)),
+        bytes(rng.randrange(256) for _ in range(2000)),   # crosses 511
+        bytes(rng.randrange(256) for _ in range(5000)),   # crosses 1023
+        bytes(rng.randrange(256) for _ in range(9000)),   # crosses 2047
+        bytes(rng.randrange(256) for _ in range(20000)),  # mid-stream Clear
+        bytes(rng.randrange(4) for _ in range(30000)),    # compressible long
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data, len(data)
+
+
+def test_lzw_corrupt_streams_raise_valueerror():
+    from ingest_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # no leading ClearCode: 9-bit code 65 first
+    with pytest.raises(ValueError):
+        _lzw_decode(_pack9([65, 257]))
+    # first code after Clear must be a literal (< 256)
+    with pytest.raises(ValueError):
+        _lzw_decode(_pack9([256, 258, 257]))
+    # code beyond the table
+    with pytest.raises(ValueError):
+        _lzw_decode(_pack9([256, 65, 300, 257]))
+    # truncated stream decodes the intact prefix, never throws IndexError
+    good = _lzw_encode(b"ABABABA")
+    assert _lzw_decode(good[:2]) in (b"", b"A")
+
+
+def test_lzw_tiff_variant_roundtrip_with_predictor():
+    """Full-blob LZW TIFF roundtrip: multi-strip + Predictor 2 + both
+    byte orders, against the same fixture generator as the other
+    codec paths."""
+    for bo in ("<", ">"):
+        px = _pixels(9, 7)
+        blob = tiff_encode(
+            9, 7, px, compression="lzw", rows_per_strip=2,
+            predictor=2, byte_order=bo,
+        )
+        w, h, ch, bd, out = tiff_decode(blob)
+        assert (w, h, ch, bd) == (9, 7, 1, 8)
+        assert out == px
 
 
 def test_extractor_ifd_walk_agrees():
