@@ -110,6 +110,112 @@ def test_bpe_matches_reference_on_real_corpus(spark):
     assert len(got) == 30  # the corpus supports a full 30-merge table
 
 
+def batched_ref(word_freqs, n_merges, min_count=2, batch_cap=8):
+    """Pure-Python batched trainer sharing the REAL _accept_batch rule
+    with the distributed trainer — lets the exactness property be
+    hammered over hundreds of corpora without Spark."""
+    from ingest_pipeline_spark.operators.bpe import _accept_batch
+
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        rows = [
+            {"a": a, "b": b, "cnt": c}
+            for (a, b), c in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[: batch_cap + 1]
+        ]
+        if not rows or rows[0]["cnt"] < min_count:
+            break
+        vocab = {sym for s in seqs.values() for sym in s}
+        # mirror the trainer's len-2 probe skip so the property test
+        # would catch that optimization being wrong
+        alias = {
+            c: c in vocab
+            for r in rows
+            if len(c := r["a"] + r["b"]) > 2
+        }
+        batch = _accept_batch(
+            rows, min(batch_cap, n_merges - len(merges)), min_count, alias
+        )
+        if not batch:
+            break
+        for a, b, c in batch:
+            merges.append((len(merges), a, b, c))
+            seqs = {w: _merge_seq(s, a, b) for w, s in seqs.items()}
+    return merges
+
+
+def test_batched_acceptance_equals_sequential_property():
+    """The batch-acceptance rule (prefix + symbol-disjoint + strict
+    boundary + alias stop) must reproduce the sequential greedy merge
+    list EXACTLY.  Tiny alphabets maximize the failure modes: symbol
+    interference, count ties, and concat-aliasing of existing vocab
+    symbols (e.g. ('a','bc') colliding with an 'abc' built earlier
+    from ('ab','c'))."""
+    import random
+
+    for seed in range(250):
+        rng = random.Random(seed)
+        alpha = "ab" if seed % 3 == 0 else ("abc" if seed % 3 == 1 else "abcd")
+        freqs = {}
+        for _ in range(rng.randrange(4, 30)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randrange(1, 9))
+            )
+            freqs[w] = freqs.get(w, 0) + rng.randrange(1, 9)
+        want = ref_bpe(freqs, 24, min_count=2)
+        for cap in (2, 5, 16):
+            got = batched_ref(freqs, 24, min_count=2, batch_cap=cap)
+            assert got == want, (seed, cap, got, want)
+
+
+def test_batched_spark_round_count_collapses(spark):
+    """Disjoint frequent pairs land in ONE census round; the merge
+    list still equals the sequential reference."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    freqs = {
+        letters[2 * i : 2 * i + 2]: 100 - i for i in range(13)
+    }
+    stats = {}
+    words = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    got = learn_bpe_merges(
+        spark, words, 20, min_count=2, batch_cap=16, stats=stats
+    ).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in got]
+    assert got == ref_bpe(freqs, 20)
+    assert stats["merges"] == 13
+    # one accepting round + one terminating census, vs 13 sequential
+    assert stats["rounds"] <= 3, stats
+
+
+def test_batched_spark_equals_sequential_on_adversarial_corpus(spark):
+    """Spark batched (cap 16) == Spark sequential (cap 1) == reference
+    on a corpus with chained interference (th/the/then family) — the
+    case where naive top-N batching diverges."""
+    freqs = {
+        "the": 50, "then": 30, "theme": 20, "than": 15,
+        "aaa": 40, "aaaa": 10, "banana": 25, "band": 12,
+    }
+    want = ref_bpe(freqs, 16)
+    assert _learn(spark, freqs, 16) == want  # default batch_cap=16
+    words = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    seq = learn_bpe_merges(spark, words, 16, batch_cap=1).collect()
+    assert [
+        (r["rank"], r["left"], r["right"], r["pair_count"]) for r in seq
+    ] == want
+
+
 def test_apply_bpe_merges_lossless_and_ordered(spark):
     docs = spark.createDataFrame(
         [(1, "the theme then"), (2, "ab ab cd"), (3, ""), (4, None)],
