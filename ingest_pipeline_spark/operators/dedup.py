@@ -637,3 +637,67 @@ def max_duplicated_spans(
         .filter(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def span_coverage_audit(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Hot-shingle coverage side-channel for max_duplicated_spans: the
+    df_cap there SILENTLY drops spans flowing through shingles shared
+    by > df_cap documents (at 100 TB, a boilerplate sentence shared by
+    millions of docs is exactly df >> cap).  This audit makes the
+    cap's blind spot a NUMBER: per df band (unique / kept / suppressed
+    under the same k and df_cap), the distinct-shingle count, total
+    positional occurrences (the shingle-level token mass the band
+    carries), the band's hottest document frequency, and its share of
+    all shingle occurrences.  One aggregation pass over the same
+    positional-shingle relation the dedup builds — no joins over the
+    capped set, no per-pair work, so the audit is strictly cheaper
+    than the dedup it audits.
+    """
+    from pyspark.ml.feature import NGram
+
+    from ..functions.text import tokenize_ws
+
+    tok = docs.select(
+        F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("__toks")
+    )
+    ng = NGram(n=k, inputCol="__toks", outputCol="__sh")
+    grams = ng.transform(tok).select(
+        "id", F.explode("__sh").alias("shingle")
+    )
+    stats = grams.groupBy("shingle").agg(
+        F.countDistinct("id").alias("nd"),
+        F.count("*").cast("bigint").alias("occ"),
+    )
+    banded = stats.select(
+        F.when(F.col("nd") == 1, "unique")
+        .when(F.col("nd") <= df_cap, "kept")
+        .otherwise("suppressed")
+        .alias("band"),
+        "nd",
+        "occ",
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+        F.max("nd").cast("bigint").alias("max_df"),
+    )
+    total = per_band.agg(
+        F.sum("n_occurrences").cast("bigint").alias("__tot")
+    )
+    return per_band.join(F.broadcast(total)).select(
+        "band",
+        "n_shingles",
+        "n_occurrences",
+        "max_df",
+        F.round(
+            F.col("n_occurrences").cast("double")
+            / F.col("__tot").cast("double"),
+            6,
+        ).alias("occ_share"),
+    )

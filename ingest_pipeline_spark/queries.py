@@ -16642,6 +16642,61 @@ def dedup_max_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_coverage_audit",
+    f"""
+    WITH {_AUG},
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM aug),
+    g AS (
+      SELECT doc_id, ARRAY_TO_STRING(tk[i:i+4], ' ') AS gram
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 4)) t(i)
+      WHERE LEN(tk) >= 5),
+    stats AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS occ
+      FROM g GROUP BY gram),
+    banded AS (
+      SELECT CASE WHEN nd = 1 THEN 'unique'
+                  WHEN nd <= 50 THEN 'kept'
+                  ELSE 'suppressed' END AS band, nd, occ
+      FROM stats),
+    per AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+             CAST(MAX(nd) AS BIGINT) AS max_df
+      FROM banded GROUP BY band)
+    SELECT band, n_shingles, n_occurrences, max_df,
+           ROUND(CAST(n_occurrences AS DOUBLE) /
+                 CAST((SELECT CAST(SUM(occ) AS BIGINT) FROM stats) AS DOUBLE),
+                 6) AS occ_share
+    FROM per
+    """,
+)
+def dedup_span_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle blind-spot audit for the max-span dedup (r8
+    verdict ask #4): dedup_max_spans drops spans through shingles with
+    df > 50, which at 100 TB is exactly where mega-duplicated
+    boilerplate lives — this query reports, per df band (unique /
+    kept / suppressed under the SAME k=5 and df_cap=50 on the SAME
+    augmented corpus), the distinct-shingle count, total positional
+    occurrences, hottest df, and occurrence share, so the cap's
+    truncation is a measured number instead of a silence.  Shape: the
+    dedup's own shingle relation + ONE aggregation pass + a broadcast
+    1-row total (q11 scalar-threshold pattern) — no pair join, no
+    work over the capped set (operators/dedup.py:span_coverage_audit).
+    All counts integer-exact; the single ratio is a division of
+    identical integer-derived doubles rounded 6 dp.
+    """
+    from .operators.dedup import span_coverage_audit
+
+    return span_coverage_audit(
+        _aug_docs(spark, sf_dir), "text", "doc_id", k=5, df_cap=50
+    )
+
+
 def _bpe_apply_oracle_sql(n_merges: int = 12, min_count: int = 2) -> str:
     """Unrolled BPE learn+apply oracle: per round, a MATERIALIZED pair
     census + 1-row argmax + a gaps-and-islands greedy merge REBUILD

@@ -125,3 +125,37 @@ def test_exact_dups_surface_full_doc_span(spark):
         if n >= 8 and spans.get((d, d + 1000000)) != (0, 0, n)
     ]
     assert not missing, missing[:5]
+
+
+def test_span_coverage_audit_hand_corpus(spark):
+    """The df_cap blind-spot audit on a corpus engineered so every band
+    is non-empty (testdata never exceeds df 3, so the 'suppressed' band
+    must be proven live on a fixture): with k=2 and df_cap=2, a bigram
+    shared by 3 docs lands in 'suppressed' with hand-computed mass."""
+    from ingest_pipeline_spark.operators.dedup import span_coverage_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hot span here alpha one"),
+            (2, "hot span there beta two"),
+            (3, "hot span again hot span"),
+            (4, "quiet words only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.band: (r.n_shingles, r.n_occurrences, r.max_df, r.occ_share)
+        for r in span_coverage_audit(
+            docs, "text", "doc_id", k=2, df_cap=2
+        ).collect()
+    }
+    # bigrams: doc1 {hot span, span here, here alpha, alpha one}
+    #          doc2 {hot span, span there, there beta, beta two}
+    #          doc3 {hot span x2, span again, again hot}
+    #          doc4 {quiet words, words only}
+    # 'hot span': df 3, 4 occurrences -> suppressed
+    # all other 10 bigrams: df 1, 1 occurrence each -> unique
+    total = 14
+    assert rows["suppressed"] == (1, 4, 3, round(4 / total, 6))
+    assert rows["unique"] == (10, 10, 1, round(10 / total, 6))
+    assert "kept" not in rows

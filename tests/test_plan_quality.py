@@ -226,6 +226,7 @@ BNLJ_BY_DESIGN = {
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
     "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
     "dedup_shingle_size_sweep", # broadcast 1-row per-k pair-count frames
+    "dedup_span_coverage_audit",  # broadcast 1-row occurrence grand total
 }
 
 
