@@ -1165,6 +1165,39 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+# Long-tail vocabulary fixture (r8 verdict ask #5): the synthetic
+# documents share a ~31-token vocabulary, which saturates any
+# vocabulary-growth gauge at the first decile.  Each doc gets three
+# deterministic suffix tokens forming a Zipf-ish frequency ladder —
+# a hot head (5 symbols), a mid band (50 symbols), and a long tail
+# (one NEW symbol every 3 docs) — pure integer arithmetic mirrored
+# verbatim in the oracle, so vocabulary keeps growing through every
+# decile and per-doc novelty never collapses to zero.
+_LONGTAIL = """
+    lt AS (
+      SELECT doc_id,
+             TRIM(text || ' zzh' || CAST(doc_id % 5 AS VARCHAR)
+                       || ' zzm' || CAST(doc_id % 50 AS VARCHAR)
+                       || ' zzt' || CAST(doc_id // 3 AS VARCHAR)) AS text
+      FROM documents)
+"""
+
+
+def _longtail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _t(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.trim(
+            F.concat(
+                F.col("text"),
+                F.lit(" zzh"), (d % 5).cast("string"),
+                F.lit(" zzm"), (d % 50).cast("string"),
+                F.lit(" zzt"), F.expr("doc_id DIV 3").cast("string"),
+            )
+        ).alias("text"),
+    )
+
+
 @register(
     "dedup_exact_docs",
     f"""
@@ -17457,12 +17490,13 @@ def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_ngram_novelty",
-    """
-    WITH toks AS (
+    f"""
+    WITH {_LONGTAIL},
+    toks AS (
       SELECT doc_id,
              LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
                  x -> x <> '') AS tk
-      FROM documents),
+      FROM lt),
     g AS (
       SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+4], ' ') AS gram
       FROM toks, UNNEST(GENERATE_SERIES(1, LEN(tk) - 4)) t(i)
@@ -17489,11 +17523,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN agg on the gram key (first-occurrence table) → equi-join back
     → doc-keyed agg; first-occurrence by MIN is shuffle-order-free.
     Scale: same inverted-index discipline as the dedup family — work
-    is posting-list-bounded, never pairwise.
+    is posting-list-bounded, never pairwise.  Runs over the long-tail
+    fixture corpus (_longtail_docs) so late documents still carry
+    genuinely novel grams — on the raw synthetic corpus the signal
+    collapses to zero after the shared vocabulary is exhausted.
     """
     from .operators.dedup import _shingle_rows
 
-    docs = _t(spark, sf_dir)["documents"]
+    docs = _longtail_docs(spark, sf_dir)
     grams = _shingle_rows(docs, "text", "doc_id", 5)
     fst = grams.groupBy("shingle").agg(F.min("id").alias("first_doc"))
     return (
@@ -18394,10 +18431,11 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_heaps_curve",
-    """
-    WITH d AS (
+    f"""
+    WITH {_LONGTAIL},
+    d AS (
       SELECT doc_id, text, NTILE(10) OVER (ORDER BY doc_id) AS decile
-      FROM documents),
+      FROM lt),
     toks AS (
       SELECT doc_id, decile, UNNEST(LIST_FILTER(
         STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')) AS w
@@ -18439,12 +18477,16 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix rank (never a single-task NTILE window over corpus rows);
     the word MIN-agg is the inverted-index discipline; the only window
     over data-proportional input is avoided — cumulative sums run on
-    the 10-row decile table.
+    the 10-row decile table.  Runs over the long-tail fixture corpus
+    (_longtail_docs): the raw synthetic vocabulary is ~31 tokens, so
+    the curve it was built to draw saturated at decile 1; the Zipf-ish
+    suffix ladder keeps vocab_cum strictly growing through all ten
+    checkpoints.
     """
     from .functions.text import tokenize_ws
     from .operators.prefix import global_ntile
 
-    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    docs = _longtail_docs(spark, sf_dir)
     d = global_ntile(docs, [F.asc("doc_id")], 10, "decile").localCheckpoint(
         eager=True
     )  # token explode + first-doc decile join share it
