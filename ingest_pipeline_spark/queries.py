@@ -16930,6 +16930,63 @@ def similarity_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_pq_index_upsert",
+    """
+    WITH cb AS (
+      SELECT j, c, ps,
+             ROUND((CAST('0x' || SUBSTR(MD5('pqdet:' || j || ':' || c || ':' || ps), 1, 8)
+                         AS BIGINT) / 4294967296.0) * 2 - 1, 6) AS cb_val
+      FROM UNNEST(GENERATE_SERIES(0, 7)) tj(j),
+           UNNEST(GENERATE_SERIES(0, 15)) tc(c),
+           UNNEST(GENERATE_SERIES(0, 7)) tp(ps)),
+    x AS (
+      SELECT vec_id AS id,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             CAST((i - 1) // 8 AS INT) AS j, CAST((i - 1) % 8 AS INT) AS ps
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    enc AS (
+      SELECT id, j, c,
+             SUM(CAST(ROUND((val - cb_val) * (val - cb_val), 12)
+                      AS DECIMAL(28,12))) AS dist2
+      FROM x JOIN cb USING (j, ps) GROUP BY id, j, c),
+    codes AS (
+      SELECT id, j, c AS code FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM enc) WHERE rn = 1)
+    SELECT id AS vec_id, CAST(j AS INT) AS j, CAST(code AS INT) AS code,
+           CASE WHEN id % 10 = 7 AND id >= 100 THEN 'delta' ELSE 'base'
+                END AS origin
+    FROM codes
+    """,
+)
+def similarity_pq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ code-table maintenance (r8 verdict ask #6,
+    closing the IVF/PQ asymmetry: similarity_index_upsert froze the
+    IVF quantizer, but the PQ codebook path still re-encoded per
+    call): delta vectors (vec_id % 10 == 7, id >= 100 — the nightly
+    crawl shard) are encoded against the FROZEN codebook and appended
+    to the code table; base codes are never recomputed.  The oracle
+    regenerates the md5-derived codebook and every code assignment
+    from scratch — one hash certifies both halves of
+    encode(base) UNION encode(delta) == encode(base UNION delta)
+    (the rebuild-equivalence theorem, proven with the learned-KMeans
+    codebook variant too in tests/test_index_upsert.py).  Scale:
+    per-upsert work is |delta| x m x n_codes rows against a 1024-row
+    broadcast codebook; exact decimal distances, min-struct argmin
+    hash agg (operators/similarity.py:pq_index_upsert / pq_assign).
+    """
+    from .operators.similarity import pq_index_upsert
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    is_delta = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 100)
+    return pq_index_upsert(
+        emb.filter(~is_delta), emb.filter(is_delta), m=8, n_codes=16
+    )
+
+
 _MAX_SPANS_SQL = _REGISTRY["dedup_max_spans"][1]
 
 

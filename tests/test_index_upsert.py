@@ -99,3 +99,101 @@ def test_tie_breaks_deterministic(spark):
     )
     (row,) = ivf_assign(v, anchors).collect()
     assert row.cell == 2
+
+
+# --------------------------------------------------------------------------
+# PQ code-table upsert (operators/similarity.py pq_assign /
+# pq_index_upsert / pq_codebook_rows) — the same frozen-artifact theorem
+# applied to the product-quantization path (r8 verdict ask #6).
+# --------------------------------------------------------------------------
+
+
+def test_pq_upsert_equals_rebuild_under_frozen_codebook(spark):
+    from ingest_pipeline_spark.operators.similarity import (
+        pq_assign,
+        pq_codebook_det,
+        pq_index_upsert,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_delta = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 100)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+
+    up = {
+        (r.vec_id, r.j, r.code)
+        for r in pq_index_upsert(base, delta, m=8, n_codes=16).collect()
+    }
+    dim = len(emb.select("embedding").first()[0])
+    cb = pq_codebook_det(spark, 8, 16, dim // 8)
+    rebuilt = {
+        (r.vec_id, r.j, r.code)
+        for r in pq_assign(emb, cb, 8, dim // 8).collect()
+    }
+    assert up == rebuilt and len(up) == emb.count() * 8
+
+
+def test_pq_upsert_equals_rebuild_with_learned_codebooks(spark):
+    """The SAME theorem for the KMeans path: fit pq_index ONCE on the
+    base corpus, persist its codebooks (pq_codebook_rows), and prove
+    delta-encode + append == full re-encode of base+delta against the
+    frozen artifact — the maintenance loop a real deployment runs."""
+    from ingest_pipeline_spark.operators.similarity import (
+        pq_assign,
+        pq_codebook_rows,
+        pq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_delta = (F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 100)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+
+    _, codebooks = pq_index(base, m=8, n_codes=4)  # the persisted artifact
+    frozen = pq_codebook_rows(spark, codebooks)
+    dim = len(emb.select("embedding").first()[0])
+    up = {
+        (r.vec_id, r.j, r.code)
+        for df in (
+            pq_assign(base, frozen, 8, dim // 8),
+            pq_assign(delta, frozen, 8, dim // 8),
+        )
+        for r in df.collect()
+    }
+    rebuilt = {
+        (r.vec_id, r.j, r.code)
+        for r in pq_assign(emb, frozen, 8, dim // 8).collect()
+    }
+    assert up == rebuilt and len(up) == emb.count() * 8
+
+
+def test_pq_delta_encode_touches_only_delta(spark):
+    """pq_assign over the delta frame costs |delta| x m x n_codes —
+    base never appears in the encode (the incremental-cost contract)."""
+    from ingest_pipeline_spark.operators.similarity import (
+        pq_assign,
+        pq_codebook_det,
+    )
+
+    delta = spark.createDataFrame(
+        [(9001, [0.1] * 64), (9002, [-0.2] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebook_det(spark, 8, 16, 8)
+    out = pq_assign(delta, cb, 8, 8).collect()
+    assert {r.vec_id for r in out} == {9001, 9002}
+    assert len(out) == 2 * 8  # one code per (vector, subspace)
+    assert all(0 <= r.code < 16 for r in out)
+
+
+def test_pq_assign_tie_breaks_on_code(spark):
+    # two centroids equidistant from the subvector: lowest code wins
+    cb = spark.createDataFrame(
+        [(0, 3, 0, 1.0), (0, 1, 0, -1.0)],
+        "j int, c int, ps int, cb_val double",
+    )
+    from ingest_pipeline_spark.operators.similarity import pq_assign
+
+    v = spark.createDataFrame(
+        [(1, [0.0])], "vec_id long, embedding array<double>"
+    )
+    (row,) = pq_assign(v, cb, 1, 1).collect()
+    assert row.code == 1
