@@ -18954,3 +18954,956 @@ def corpus_pack_boundary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("n_seqs").cast("double"), 6
         ).alias("docs_per_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 widening: line-level dedup, drift monitoring, multiple testing,
+# rank statistics, budget allocation, weighted sampling, cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_line_dedup",
+    f"""
+    WITH {_AUG},
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '') AS tk
+      FROM aug),
+    lines AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+             ARRAY_TO_STRING(tk[i*8+1 : i*8+8], ' ') AS line,
+             CAST(LEN(tk[i*8+1 : i*8+8]) AS BIGINT) AS line_tokens
+      FROM toks,
+           UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(tk) / 8.0) AS BIGINT) - 1)) t(i)
+      WHERE LEN(tk) > 0),
+    fst AS (
+      SELECT line, MIN(doc_id * 1000000 + line_idx) AS first_key
+      FROM lines GROUP BY line),
+    marked AS (
+      SELECT l.doc_id, l.line_tokens,
+             (l.doc_id * 1000000 + l.line_idx <> f.first_key) AS dup
+      FROM lines l JOIN fst f USING (line))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_lines_removed,
+           CAST(COALESCE(SUM(line_tokens) FILTER (WHERE dup), 0) AS BIGINT)
+             AS tokens_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup — the C4/RefinedWeb curation step that
+    removes REPEATED LINES (navigation bars, cookie banners, licence
+    boilerplate) rather than whole documents: the corpus is cut into
+    fixed 8-token pseudo-lines (the synthetic docs carry no newlines;
+    on real data the splitter is \\n), every line occurring in more
+    than one place keeps only its first occurrence (min (doc_id,
+    line_idx)), and the report counts per-doc lines and tokens a
+    line-cut pass would remove.  The augmented corpus guarantees
+    cross-doc repeats (dup docs share every line).  Shape: one
+    row-local line projection (transform over ~n/8 chunk indexes — no
+    shuffle), a MIN agg on the line content key (first-occurrence
+    inverted index, same discipline as corpus_ngram_novelty), an
+    equi-join back, one doc-keyed agg.  Never pairwise; posting lists
+    bound all work.  All-integer output.
+    """
+    from .functions.text import tokenize_ws
+
+    toks = _aug_docs(spark, sf_dir).select(
+        "doc_id", tokenize_ws(F.col("text")).alias("tk")
+    )
+    n = F.size("tk")
+    lines = toks.filter(n > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(F.col("tk"), i * 8 + 1, 8), " "
+                    ).alias("line"),
+                    F.size(F.slice(F.col("tk"), i * 8 + 1, 8))
+                    .cast("bigint")
+                    .alias("line_tokens"),
+                ),
+            )
+        ).alias("line_idx", "lv"),
+    ).select(
+        "doc_id",
+        F.col("line_idx").cast("bigint").alias("line_idx"),
+        F.col("lv.line").alias("line"),
+        F.col("lv.line_tokens").alias("line_tokens"),
+    )
+    key = F.col("doc_id") * 1000000 + F.col("line_idx")
+    fst = (
+        lines.select("line", key.alias("k"))
+        .groupBy("line")
+        .agg(F.min("k").alias("first_key"))
+    )
+    marked = lines.join(fst, "line").select(
+        "doc_id",
+        "line_tokens",
+        (key != F.col("first_key")).alias("dup"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("dup"), 1)).cast("bigint").alias("n_lines_removed"),
+        F.coalesce(
+            F.sum(F.when(F.col("dup"), F.col("line_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tokens_removed"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n
+      FROM t GROUP BY event_type)
+    SELECT t.event_type AS from_type, t.next_type AS to_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (event_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each user, events ordered by (ts, event_id) pair each
+    event with its successor; the (from, to) counts and row-normalized
+    transition probabilities are the behavioural fingerprint a
+    sequence-model or anomaly-detection pipeline consumes (and the
+    stationary input to PageRank-style session models).  Shape: ONE
+    keyed window per user (lead), a (from, to) hash agg, a tiny
+    row-total join — at 100 TB the window partitions by user_id, so no
+    global ordering; counts are exact integers and the only double is
+    a ratio of identical integers rounded 6 dp.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6)
+        .alias("p"),
+    )
+
+
+@register(
+    "events_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS d
+      FROM daily),
+    c AS (
+      SELECT day, x,
+             SUM(x * (SELECT d FROM tot) - (SELECT t FROM tot))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily),
+    s AS (
+      SELECT day, x, cum,
+             cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS cusum_scaled
+      FROM c)
+    SELECT day, x AS n_errors, CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           cusum_scaled > 2 * (SELECT t FROM tot) AS alarm
+    FROM s
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor over the daily error-event rate — the
+    standard sequential change-point detector a data-quality pipeline
+    runs on ingestion telemetry.  The textbook recursion
+    S_t = max(0, S_{t-1} + x_t - mean) is NOT window-expressible, but
+    its closed form is: S_t = C_t - min_{i<=t} C_i with C the running
+    sum of deviations — two prefix windows.  Everything stays INTEGER
+    by scaling: deviations are (x_t*D - T) where T/D is the corpus
+    mean, so cusum_scaled = D * S_t exactly, and the alarm threshold
+    (2 days' worth of average mass, i.e. S_t > 2*mean) is the integer
+    comparison cusum_scaled > 2*T.  Scale: the windows order the DAILY
+    series — rows = distinct days (fixed ~2-year date domain, the
+    orders_runs_test class), never event-proportional; the daily
+    reduce is a keyed hash agg over the raw stream.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.sum("x").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("d"),
+    )
+    base = daily.join(F.broadcast(tot))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = base.select(
+        "day", "x", "t",
+        F.sum(F.col("x") * F.col("d") - F.col("t")).over(w).alias("cum"),
+    )
+    s = c.select(
+        "day", "x", "t",
+        (F.col("cum") - F.min("cum").over(w)).alias("cusum_scaled"),
+    )
+    return s.select(
+        "day",
+        F.col("x").alias("n_errors"),
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        (F.col("cusum_scaled") > 2 * F.col("t")).alias("alarm"),
+    )
+
+
+@register(
+    "stats_benjamini_hochberg",
+    """
+    WITH raw AS (
+      SELECT source, lang,
+             CAST('0x' || SUBSTR(MD5('bh:' || source || ':' || lang), 1, 8)
+                  AS BIGINT) AS u0
+      FROM (SELECT DISTINCT source, lang FROM documents)),
+    cells AS (
+      SELECT source, lang,
+             CASE WHEN u0 % 4 = 0 THEN u0 // 65536 ELSE u0 END AS u
+      FROM raw),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cells),
+    ranked AS (
+      SELECT source, lang, u,
+             ROW_NUMBER() OVER (ORDER BY u, source, lang) AS k
+      FROM cells),
+    flagged AS (
+      SELECT r.source, r.lang, r.u, r.k,
+             (r.u * (SELECT m FROM m) * 10 <= r.k * 4294967296) AS under
+      FROM ranked r),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN under THEN k END), 0) AS kmax
+      FROM flagged)
+    SELECT source, lang,
+           ROUND(u / 4294967296.0, 6) AS p,
+           CAST(k AS BIGINT) AS k,
+           k <= (SELECT kmax FROM kmax) AS rejected
+    FROM flagged
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across a battery of per-slice
+    tests — the multiple-testing correction any pipeline running drift
+    / quality tests per (source, lang) slice needs before paging
+    anyone (at 100 TB there are thousands of slices, so uncorrected
+    p < 0.05 alerts fire daily by chance).  Per-slice p-values are
+    md5-derived uniforms (deterministic stand-ins for the slice
+    tests), ranked ascending; the BH step-up rule rejects ranks
+    <= kmax where kmax = max k with p_(k) <= k*q/m at q = 0.10.  EVERY
+    decision is exact integer arithmetic: p <= k*q/m cross-multiplies
+    to u*m*10 <= k*2^32, so no float boundary can straddle engines
+    (the mirrored-constant discipline).  Shape: the test battery is a
+    distinct (source, lang) agg — a bounded domain (|sources| x
+    |langs|), so the rank window is domain-bounded, never
+    data-proportional; kmax is a broadcast 1-row scalar.
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    raw = (
+        _t(spark, sf_dir)["documents"]
+        .select("source", "lang")
+        .distinct()
+        .select(
+            "source",
+            "lang",
+            hex_prefix_to_long(
+                F.md5(F.concat_ws(":", F.lit("bh"), "source", "lang")), 1, 8
+            ).alias("u0"),
+        )
+    )
+    # a deterministic quarter of the slices carries a simulated true
+    # effect (p shrunk 2^16-fold) so the step-up rule visibly fires —
+    # all-uniform p at q=0.10 rejects nothing and the gauge is inert
+    cells = raw.select(
+        "source",
+        "lang",
+        F.when(F.col("u0") % 4 == 0, F.expr("u0 div 65536"))
+        .otherwise(F.col("u0"))
+        .alias("u"),
+    )
+    m = cells.agg(F.count("*").cast("bigint").alias("m"))
+    ranked = cells.join(F.broadcast(m)).withColumn(
+        "k",
+        F.row_number().over(Window.orderBy("u", "source", "lang")),
+    )
+    flagged = ranked.select(
+        "source", "lang", "u", "k",
+        (F.col("u") * F.col("m") * 10 <= F.col("k") * F.lit(4294967296))
+        .alias("under"),
+    )
+    kmax = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("under"), F.col("k"))), F.lit(0)
+        ).alias("kmax")
+    )
+    return flagged.join(F.broadcast(kmax)).select(
+        "source",
+        "lang",
+        F.round(F.col("u") / F.lit(4294967296.0), 6).alias("p"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.col("k") <= F.col("kmax")).alias("rejected"),
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    """
+    WITH pts AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+             ROUND(CAST(value AS DOUBLE), 2) AS v
+      FROM events WHERE event_type IN ('click', 'error')),
+    byval AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(grp) AS BIGINT) AS n1v
+      FROM pts GROUP BY v),
+    pre AS (
+      SELECT v, cnt, n1v,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM byval),
+    agg AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(cnt - n1v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * cum_less + cnt + 1)) AS BIGINT) AS r1_2,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DECIMAL(38,0))
+               AS tie3
+      FROM pre)
+    SELECT n1, n2,
+           (r1_2 - CAST(n1 * (n1 + 1) AS BIGINT)) / 2.0 AS u1,
+           ROUND(((r1_2 - CAST(n1 * (n1 + 1) AS BIGINT)) / 2.0
+                  - n1 * n2 / 2.0)
+                 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test: do 'click' and 'error' events draw
+    their values from the same distribution?  The nonparametric
+    two-sample test a metrics pipeline prefers over the t-test when
+    value distributions are skewed.  Rank sums stay EXACT: ranks are
+    computed per DISTINCT 2-dp value (a bounded domain — the
+    stats_kendall_tau distinct-cell discipline), average tie ranks
+    live on the half grid via the doubled integer 2*cum_less + cnt + 1,
+    and R1/U1 leave integer space only at the final .5-grid division.
+    The tie-corrected z uses SQRT of identical integer-derived doubles
+    (IEEE-exact parity); the cube term sums as DECIMAL(38)/HUGEINT so
+    accumulation order can't reorder float error.  Shape: one value
+    hash-agg over the stream, one prefix window over the distinct-value
+    rows (domain-bounded), a 1-row reduce.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    pts = ev.filter(F.col("event_type").isin("click", "error")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+        F.round(F.col("value").cast("double"), 2).alias("v"),
+    )
+    byval = pts.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("grp").cast("bigint").alias("n1v"),
+    )
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = byval.select(
+        "v", "cnt", "n1v",
+        F.coalesce(F.sum("cnt").over(wp), F.lit(0)).alias("cum_less"),
+    )
+    agg = pre.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).cast("bigint").alias("r1_2"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1_2") - (n1 * (n1 + 1)).cast("bigint")) / F.lit(2.0)
+    n = n1 + n2
+    sigma = F.sqrt(
+        n1.cast("double") * n2.cast("double") / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1 * n2 / F.lit(2.0)) / sigma, 6).alias("z"),
+    )
+
+
+@register(
+    "corpus_token_budget_allocation",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) DESC, source)
+               AS rnk
+      FROM per_src),
+    budget AS (
+      SELECT CAST(SUM(n_tokens) * 3 // 5 AS BIGINT) AS b FROM per_src),
+    cum AS (
+      SELECT source, n_docs, n_tokens, rnk,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM q)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, n_docs, n_tokens,
+           CAST(GREATEST(LEAST(n_tokens,
+                               (SELECT b FROM budget) - prev), 0) AS BIGINT)
+             AS allocated
+    FROM cum
+    """,
+)
+def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-token budget allocation across sources — the
+    knapsack a data-mixture team actually runs: rank sources by mean
+    tokens/doc (the quality proxy here; any score plugs in), fill a
+    fixed budget (60% of corpus tokens) in rank order, and give the
+    marginal source the remainder — fully relational via a prefix sum
+    over the RANKED SOURCE rows (|sources| rows, a domain bound, so
+    the ordering window is never data-proportional; the corpus-scale
+    work is one per-source token agg).  allocated = clamp(b - prev,
+    0, n_tokens) keeps everything integer; the ranking ratio
+    n_tokens/n_docs is only an ORDER key with a source tiebreak, never
+    an output value.
+    """
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir)["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    q = per_src.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(
+                    F.col("n_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                ),
+                F.asc("source"),
+            )
+        ),
+    )
+    budget = per_src.agg(
+        F.expr("sum(n_tokens) * 3 div 5").cast("bigint").alias("b")
+    )
+    wp = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
+    cum = q.select(
+        "source", "n_docs", "n_tokens", "rnk",
+        F.coalesce(F.sum("n_tokens").over(wp), F.lit(0)).alias("prev"),
+    )
+    return cum.join(F.broadcast(budget)).select(
+        "source",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "n_docs",
+        "n_tokens",
+        F.greatest(
+            F.least(F.col("n_tokens"), F.col("b") - F.col("prev")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("allocated"),
+    )
+
+
+@register(
+    "sample_importance_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(-LN((CAST('0x' || SUBSTR(MD5('iw:' || doc_id), 1, 8)
+                             AS BIGINT) + 1) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 6) AS key
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, source, n_chars, key,
+             ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS rk
+      FROM keyed)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys — how a curation pipeline draws a
+    quality-weighted eval slice reproducibly on a cluster: each doc
+    gets key = -ln(u)/w (u the md5-uniform in (0,1], w = n_chars);
+    the k smallest keys ARE a weighted sample without replacement, and
+    no RNG state crosses partitions (the _hyperplane no-RNG trick).
+    LN parity holds on identical integer-derived doubles (the tfidf /
+    entropy rule); keys round 6 dp BEFORE ranking with a doc_id
+    tiebreak (determinism rule).  Shape: one projection + global top-k
+    (TakeOrderedAndProject — the limit pushes below the rank, never a
+    single-task global sort).
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    u = (
+        hex_prefix_to_long(
+            F.md5(F.concat_ws(":", F.lit("iw"), F.col("doc_id"))), 1, 8
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(-F.log(u) / F.col("n_chars").cast("double"), 6).alias("key"),
+    )
+    ranked = keyed.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.asc("key"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rk") <= 50).select(
+        "doc_id", "source", "n_chars", "key",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+@register(
+    "orders_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    act AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             DATE_TRUNC('month', o.o_orderdate) AS m
+      FROM orders o JOIN firsts f USING (o_custkey)),
+    off AS (
+      SELECT cohort,
+             (EXTRACT(YEAR FROM m) - EXTRACT(YEAR FROM cohort)) * 12
+             + (EXTRACT(MONTH FROM m) - EXTRACT(MONTH FROM cohort))
+               AS month_offset,
+             o_custkey
+      FROM act)
+    SELECT CAST(cohort AS DATE) AS cohort_month,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+    FROM off WHERE month_offset <= 11
+    GROUP BY cohort, month_offset
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted as active in each of their first 12 months — the
+    engagement triangle every growth/analytics stack computes.  Shape:
+    a per-customer MIN agg (cohort), an equi-join back, a distinct
+    (customer, month) reduce, then a (cohort, offset) count — three
+    keyed hash shuffles, no windows, all integers; month arithmetic is
+    (year*12 + month) integer math (DATE_TRUNC parity is already
+    pinned by the forecast/seasonal family).
+    """
+    o = _t(spark, sf_dir)["orders"]
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    act = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .distinct()
+    )
+    off = act.select(
+        "cohort",
+        (
+            (F.year("m") - F.year("cohort")) * 12
+            + (F.month("m") - F.month("cohort"))
+        ).alias("month_offset"),
+        "o_custkey",
+    )
+    return (
+        off.filter(F.col("month_offset") <= 11)
+        .groupBy(
+            F.to_date("cohort").alias("cohort_month"),
+            F.col("month_offset").cast("bigint").alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    """
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             ROUND(CAST(l_extendedprice AS DOUBLE), 2) AS y
+      FROM lineitem),
+    bx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY x),
+    rx AS (
+      SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS rx2
+      FROM bx),
+    by_ AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY y),
+    ry AS (
+      SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS ry2
+      FROM by_),
+    r AS (
+      SELECT rx2, ry2 FROM pts JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rx2 AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(ry2 AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS DECIMAL(38,0)) AS sxy
+      FROM r)
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS rho
+    FROM s
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order quantity and extended
+    price, with CORRECT tie handling: Pearson on average ranks (the
+    6*sum(d^2) shortcut is only valid tie-free; quantity has ~50
+    distinct values, so ties dominate).  Average ranks stay exact on
+    the doubled-integer grid (2*cum_less + cnt + 1); rank moments sum
+    as DECIMAL(38)/HUGEINT so accumulation order can't move float
+    error; the final rho combines identical integer-derived doubles
+    (SQRT parity) and rounds 6 dp.  Shape: two distinct-value hash
+    aggs; the quantity prefix runs over ~50 domain rows, the PRICE
+    prefix is data-proportional in distinct values, so Spark runs it
+    through the two-phase range-partitioned prefix scan
+    (operators/prefix.running_sum) — never a single-task global
+    window; join ranks back on the value keys, one 1-row reduce.
+    """
+    from .operators.prefix import running_sum
+
+    li = _t(spark, sf_dir)["lineitem"]
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice").cast("double"), 2).alias("y"),
+    )
+    bx = pts.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    # ~50 distinct quantities: domain-bounded plain window
+    wq = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    rx = bx.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wq), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("rx2"),
+    )
+    by = pts.groupBy("y").agg(F.count("*").cast("bigint").alias("cnt"))
+    ry = running_sum(by, [F.asc("y")], "cnt", "cum_incl").select(
+        "y",
+        (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "ry2"
+        ),
+    )
+    r = pts.join(F.broadcast(rx), "x").join(ry, "y").select("rx2", "ry2")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec(F.col("rx2")).alias("sx"),
+        dec(F.col("ry2")).alias("sy"),
+        dec(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        dec(F.col("ry2") * F.col("ry2")).alias("syy"),
+        dec(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        "n",
+        F.round(
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (d("n") * d("sxx") - d("sx") * d("sx"))
+                * (d("n") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+      SELECT l_partkey FROM items GROUP BY l_partkey HAVING COUNT(*) >= 3),
+    fi AS (SELECT i.* FROM items i JOIN freq USING (l_partkey)),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM fi a JOIN fi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    adj AS (
+      SELECT pa AS node, pb AS nb FROM e
+      UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY node),
+    small AS (
+      SELECT a.node, a.nb FROM adj a JOIN deg x ON x.node = a.nb
+      WHERE x.d <= 200),
+    cn AS (
+      SELECT a.node AS pa, b.node AS pb, CAST(COUNT(*) AS BIGINT) AS common
+      FROM small a JOIN small b ON a.nb = b.nb AND a.node < b.node
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT cn.pa, cn.pb, cn.common, da.d AS deg_a, db.d AS deg_b
+      FROM cn
+      JOIN deg da ON da.node = cn.pa
+      JOIN deg db ON db.node = cn.pb
+      LEFT JOIN e ON e.pa = cn.pa AND e.pb = cn.pb
+      WHERE e.pa IS NULL),
+    scored AS (
+      SELECT pa, pb, common, deg_a, deg_b,
+             ROUND(CAST(common AS DOUBLE)
+                   / CAST(deg_a + deg_b - common AS DOUBLE), 6) AS jaccard
+      FROM cand)
+    SELECT pa, pb, common, deg_a, deg_b, jaccard
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY jaccard DESC, pa ASC, pb ASC) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction on the part co-purchase graph:
+    for part pairs NOT yet co-purchased (>= 3 orders), score
+    |N(a) n N(b)| / |N(a) u N(b)| and return the top 20 — the
+    classic "customers also bought" candidate generator.  Shape:
+    candidate pairs meet ONLY through a shared neighbor (inverted
+    index on the neighbor node — the dedup posting-list discipline);
+    hub neighbors with degree > 200 are excluded from pair GENERATION
+    (a documented df-cap: a hub's pair fan-out is degree^2; its
+    DEGREES still count in the union term), existing edges drop by
+    anti join, global top-20 is rank-limited (WindowGroupLimit).
+    Counts integer; jaccard = ratio of identical integers rounded 6 dp
+    BEFORE ranking with pair tiebreaks.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e = copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
+    e = e.select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
+    ).localCheckpoint(eager=True)  # adj, anti join share it
+    adj = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionByName(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    small = adj.join(
+        deg.select(F.col("node").alias("nb"), "d").filter(F.col("d") <= 200),
+        "nb",
+    ).select("node", "nb")
+    a = small.select(F.col("node").alias("pa"), "nb")
+    b = small.select(F.col("node").alias("pb"), "nb")
+    cn = (
+        a.join(b, "nb")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    cand = (
+        cn.join(e, ["pa", "pb"], "left_anti")
+        .join(deg.select(F.col("node").alias("pa"), F.col("d").alias("deg_a")), "pa")
+        .join(deg.select(F.col("node").alias("pb"), F.col("d").alias("deg_b")), "pb")
+    )
+    scored = cand.select(
+        "pa", "pb", "common", "deg_a", "deg_b",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("pa"), F.asc("pb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pa", "pb", "common", "deg_a", "deg_b", "jaccard")
+    )
+
+
+@register(
+    "embedding_pq_distortion_by_cell",
+    """
+    WITH cb AS (
+      SELECT j, c, ps,
+             ROUND((CAST('0x' || SUBSTR(MD5('pqdet:' || j || ':' || c || ':' || ps), 1, 8)
+                         AS BIGINT) / 4294967296.0) * 2 - 1, 6) AS cb_val
+      FROM UNNEST(GENERATE_SERIES(0, 7)) tj(j),
+           UNNEST(GENERATE_SERIES(0, 15)) tc(c),
+           UNNEST(GENERATE_SERIES(0, 7)) tp(ps)),
+    x AS (
+      SELECT vec_id AS id,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val,
+             CAST((i - 1) // 8 AS INT) AS j, CAST((i - 1) % 8 AS INT) AS ps
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    enc AS (
+      SELECT id, j, c,
+             SUM(CAST(ROUND((val - cb_val) * (val - cb_val), 12)
+                      AS DECIMAL(28,12))) AS dist2
+      FROM x JOIN cb USING (j, ps) GROUP BY id, j, c),
+    codes AS (
+      SELECT id, j, dist2 AS best2 FROM (
+        SELECT id, j, dist2,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM enc) WHERE rn = 1),
+    sse AS (
+      SELECT id, SUM(best2) AS sse FROM codes GROUP BY id),
+    anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id AS id, a.anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(
+                 LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+                   i -> ROUND(CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(a.a_vec[i] AS DOUBLE), 12)))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+                      i -> ROUND(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE), 12))))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.a_vec)),
+                      i -> ROUND(CAST(a.a_vec[i] AS DOUBLE)
+                                 * CAST(a.a_vec[i] AS DOUBLE), 12))))), 6) DESC,
+                 a.anchor_id ASC) AS rn
+      FROM embeddings e, anchors a),
+    cells AS (SELECT id, anchor_id AS cell FROM assign WHERE rn = 1)
+    SELECT c.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(s.sse) AS DOUBLE), 6) AS total_sse,
+           ROUND(CAST(SUM(s.sse) AS DOUBLE) / COUNT(*), 6) AS mean_sse
+    FROM cells c JOIN sse s USING (id)
+    GROUP BY c.cell
+    """,
+)
+def embedding_pq_distortion_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction distortion broken down BY IVF CELL — the
+    operating audit that tells an ANN maintainer WHICH region of the
+    index quantizes badly (a global distortion number hides a bad
+    cell; recall losses are always local).  Per vector, the PQ SSE is
+    the sum over subspaces of the winning centroid's exact decimal
+    squared distance (the pq_assign argmin, keeping dist2 instead of
+    the code); vectors group by their frozen-anchor IVF cell
+    (ivf_assign); per cell: count, total and mean SSE.  Composes the
+    two frozen-index primitives end to end — a drift in either
+    assignment breaks the hash.  Scale: encode is |corpus| x m x
+    n_codes vs a broadcast codebook; cell assign is |corpus| x
+    n_cells vs a broadcast anchor row set; one keyed agg.
+    """
+    from .operators.similarity import ivf_assign, pq_codebook_det
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    dim = 64
+    d_sub = dim // 8
+    cb = pq_codebook_det(spark, 8, 16, d_sub)
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "id",
+        F.round(F.col("val"), 6).alias("val"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    )
+    enc = (
+        x.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("id", "j", "c")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("val") - F.col("cb_val"))
+                    * (F.col("val") - F.col("cb_val")),
+                    12,
+                ).cast("decimal(28,12)")
+            ).alias("dist2")
+        )
+    )
+    best = (
+        enc.groupBy("id", "j")
+        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
+        .select("id", F.col("mn.dist2").alias("best2"))
+    )
+    sse = best.groupBy("id").agg(F.sum("best2").alias("sse"))
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_vec"),
+        )
+    )
+    cells = ivf_assign(emb, anchors).select(
+        F.col("vec_id").alias("id"), "cell"
+    )
+    return (
+        cells.join(sse, "id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("sse").cast("double"), 6).alias("total_sse"),
+            F.round(
+                F.sum("sse").cast("double") / F.count("*"), 6
+            ).alias("mean_sse"),
+        )
+    )
