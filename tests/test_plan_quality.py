@@ -230,6 +230,8 @@ BNLJ_BY_DESIGN = {
     "stats_benjamini_hochberg",  # broadcast 1-row m + 1-row kmax scalars
     "corpus_token_budget_allocation",  # broadcast 1-row budget scalar
     "events_cusum_drift",       # broadcast 1-row total/day-count scalars
+    "embedding_pq_distortion_by_cell",  # broadcast 8-row anchor set
+                                # (ivf_assign) for the per-cell breakdown
 }
 
 
