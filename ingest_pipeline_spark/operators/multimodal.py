@@ -1100,6 +1100,50 @@ def audio_autocorr_features(
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
 
 
+def audio_zero_crossing_features(assets: DataFrame) -> DataFrame:
+    """Zero-crossing statistics over REAL-decoded WAV media: per clip,
+    n_samples, the count of sign changes between consecutive samples
+    (sign = s >= 0, so silence counts as nonnegative — one fixed
+    convention both engines share), and the longest constant-sign run.
+    ZCR is the classic cheap voiced/unvoiced + noisiness gauge a
+    speech-curation pass uses next to autocorrelation.  All integers;
+    sample ORDER is pinned (like the autocorr lag products).  Same
+    mapInPandas/error-row discipline as decode_audio_features.
+    """
+    out_schema = (
+        "asset_id long, n_samples long, n_zero_crossings long, "
+        "longest_run long, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [
+            "asset_id", "n_samples", "n_zero_crossings", "longest_run",
+            "decode_ok", "error",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _ch, _rate, _bits, sm = wav_decode(b)
+                    signs = [s >= 0 for s in sm]
+                    zc = sum(
+                        1
+                        for i in range(len(signs) - 1)
+                        if signs[i] != signs[i + 1]
+                    )
+                    longest = run = 0
+                    for i, sg in enumerate(signs):
+                        run = run + 1 if i > 0 and sg == signs[i - 1] else 1
+                        longest = max(longest, run)
+                    rows.append((aid, len(sm), zc, longest, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=names)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
 def tile_pixel_stats(assets: DataFrame, tile: int = 4) -> DataFrame:
     """REAL per-tile pixel statistics: decode each image (PNG or strip
     TIFF, magic dispatch) and reduce every non-overlapping tile x tile

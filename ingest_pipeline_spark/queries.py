@@ -19058,125 +19058,6 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_markov_transitions",
-    """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-      FROM events),
-    t AS (
-      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE next_type IS NOT NULL
-      GROUP BY event_type, next_type),
-    tot AS (
-      SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n
-      FROM t GROUP BY event_type)
-    SELECT t.event_type AS from_type, t.next_type AS to_type, t.n,
-           ROUND(CAST(t.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE), 6) AS p
-    FROM t JOIN tot USING (event_type)
-    """,
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    streams: for each user, events ordered by (ts, event_id) pair each
-    event with its successor; the (from, to) counts and row-normalized
-    transition probabilities are the behavioural fingerprint a
-    sequence-model or anomaly-detection pipeline consumes (and the
-    stationary input to PageRank-style session models).  Shape: ONE
-    keyed window per user (lead), a (from, to) hash agg, a tiny
-    row-total join — at 100 TB the window partitions by user_id, so no
-    global ordering; counts are exact integers and the only double is
-    a ratio of identical integers rounded 6 dp.
-    """
-    ev = _t(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    t = seq.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count("*").cast("bigint").alias("n"))
-    tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("row_n"))
-    return t.join(tot, "from_type").select(
-        "from_type",
-        "to_type",
-        "n",
-        F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6)
-        .alias("p"),
-    )
-
-
-@register(
-    "events_cusum_drift",
-    """
-    WITH daily AS (
-      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS x
-      FROM events WHERE event_type = 'error' GROUP BY 1),
-    tot AS (
-      SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS d
-      FROM daily),
-    c AS (
-      SELECT day, x,
-             SUM(x * (SELECT d FROM tot) - (SELECT t FROM tot))
-               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
-      FROM daily),
-    s AS (
-      SELECT day, x, cum,
-             cum - MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-               AS cusum_scaled
-      FROM c)
-    SELECT day, x AS n_errors, CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
-           cusum_scaled > 2 * (SELECT t FROM tot) AS alarm
-    FROM s
-    """,
-)
-def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM drift monitor over the daily error-event rate — the
-    standard sequential change-point detector a data-quality pipeline
-    runs on ingestion telemetry.  The textbook recursion
-    S_t = max(0, S_{t-1} + x_t - mean) is NOT window-expressible, but
-    its closed form is: S_t = C_t - min_{i<=t} C_i with C the running
-    sum of deviations — two prefix windows.  Everything stays INTEGER
-    by scaling: deviations are (x_t*D - T) where T/D is the corpus
-    mean, so cusum_scaled = D * S_t exactly, and the alarm threshold
-    (2 days' worth of average mass, i.e. S_t > 2*mean) is the integer
-    comparison cusum_scaled > 2*T.  Scale: the windows order the DAILY
-    series — rows = distinct days (fixed ~2-year date domain, the
-    orders_runs_test class), never event-proportional; the daily
-    reduce is a keyed hash agg over the raw stream.
-    """
-    ev = _t(spark, sf_dir)["events"]
-    daily = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
-        .agg(F.count("*").cast("bigint").alias("x"))
-    )
-    tot = daily.agg(
-        F.sum("x").cast("bigint").alias("t"),
-        F.count("*").cast("bigint").alias("d"),
-    )
-    base = daily.join(F.broadcast(tot))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = base.select(
-        "day", "x", "t",
-        F.sum(F.col("x") * F.col("d") - F.col("t")).over(w).alias("cum"),
-    )
-    s = c.select(
-        "day", "x", "t",
-        (F.col("cum") - F.min("cum").over(w)).alias("cusum_scaled"),
-    )
-    return s.select(
-        "day",
-        F.col("x").alias("n_errors"),
-        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
-        (F.col("cusum_scaled") > 2 * F.col("t")).alias("alarm"),
-    )
-
-
-@register(
     "stats_benjamini_hochberg",
     """
     WITH raw AS (
@@ -19272,103 +19153,6 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stats_mann_whitney",
-    """
-    WITH pts AS (
-      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
-             ROUND(CAST(value AS DOUBLE), 2) AS v
-      FROM events WHERE event_type IN ('click', 'error')),
-    byval AS (
-      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
-             CAST(SUM(grp) AS BIGINT) AS n1v
-      FROM pts GROUP BY v),
-    pre AS (
-      SELECT v, cnt, n1v,
-             COALESCE(SUM(cnt) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_less
-      FROM byval),
-    agg AS (
-      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
-             CAST(SUM(cnt - n1v) AS BIGINT) AS n2,
-             CAST(SUM(n1v * (2 * cum_less + cnt + 1)) AS BIGINT) AS r1_2,
-             CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DECIMAL(38,0))
-               AS tie3
-      FROM pre)
-    SELECT n1, n2,
-           (r1_2 - CAST(n1 * (n1 + 1) AS BIGINT)) / 2.0 AS u1,
-           ROUND(((r1_2 - CAST(n1 * (n1 + 1) AS BIGINT)) / 2.0
-                  - n1 * n2 / 2.0)
-                 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-                        * (CAST(n1 + n2 + 1 AS DOUBLE)
-                           - CAST(tie3 AS DOUBLE)
-                             / (CAST(n1 + n2 AS DOUBLE)
-                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
-    FROM agg
-    """,
-)
-def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U rank test: do 'click' and 'error' events draw
-    their values from the same distribution?  The nonparametric
-    two-sample test a metrics pipeline prefers over the t-test when
-    value distributions are skewed.  Rank sums stay EXACT: ranks are
-    computed per DISTINCT 2-dp value (a bounded domain — the
-    stats_kendall_tau distinct-cell discipline), average tie ranks
-    live on the half grid via the doubled integer 2*cum_less + cnt + 1,
-    and R1/U1 leave integer space only at the final .5-grid division.
-    The tie-corrected z uses SQRT of identical integer-derived doubles
-    (IEEE-exact parity); the cube term sums as DECIMAL(38)/HUGEINT so
-    accumulation order can't reorder float error.  Shape: one value
-    hash-agg over the stream, one prefix window over the distinct-value
-    rows (domain-bounded), a 1-row reduce.
-    """
-    ev = _t(spark, sf_dir)["events"]
-    pts = ev.filter(F.col("event_type").isin("click", "error")).select(
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
-        F.round(F.col("value").cast("double"), 2).alias("v"),
-    )
-    byval = pts.groupBy("v").agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.sum("grp").cast("bigint").alias("n1v"),
-    )
-    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    pre = byval.select(
-        "v", "cnt", "n1v",
-        F.coalesce(F.sum("cnt").over(wp), F.lit(0)).alias("cum_less"),
-    )
-    agg = pre.agg(
-        F.sum("n1v").cast("bigint").alias("n1"),
-        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n2"),
-        F.sum(
-            F.col("n1v") * (2 * F.col("cum_less") + F.col("cnt") + 1)
-        ).cast("bigint").alias("r1_2"),
-        F.sum(
-            (
-                F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
-                - F.col("cnt")
-            ).cast("decimal(38,0)")
-        ).cast("decimal(38,0)").alias("tie3"),
-    )
-    n1, n2 = F.col("n1"), F.col("n2")
-    u1 = (F.col("r1_2") - (n1 * (n1 + 1)).cast("bigint")) / F.lit(2.0)
-    n = n1 + n2
-    sigma = F.sqrt(
-        n1.cast("double") * n2.cast("double") / F.lit(12.0)
-        * (
-            (n + 1).cast("double")
-            - F.col("tie3").cast("double")
-            / (n.cast("double") * (n - 1).cast("double"))
-        )
-    )
-    return agg.select(
-        "n1",
-        "n2",
-        u1.alias("u1"),
-        F.round((u1 - n1 * n2 / F.lit(2.0)) / sigma, 6).alias("z"),
-    )
-
-
-@register(
     "corpus_token_budget_allocation",
     """
     WITH per_src AS (
@@ -19446,337 +19230,6 @@ def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .cast("bigint")
         .alias("allocated"),
-    )
-
-
-@register(
-    "sample_importance_weighted",
-    """
-    WITH keyed AS (
-      SELECT doc_id, source, n_chars,
-             ROUND(-LN((CAST('0x' || SUBSTR(MD5('iw:' || doc_id), 1, 8)
-                             AS BIGINT) + 1) / 4294967296.0)
-                   / CAST(n_chars AS DOUBLE), 6) AS key
-      FROM documents WHERE n_chars > 0),
-    ranked AS (
-      SELECT doc_id, source, n_chars, key,
-             ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS rk
-      FROM keyed)
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key,
-           CAST(rk AS BIGINT) AS rk
-    FROM ranked WHERE rk <= 50
-    """,
-)
-def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
-    exponential keys — how a curation pipeline draws a
-    quality-weighted eval slice reproducibly on a cluster: each doc
-    gets key = -ln(u)/w (u the md5-uniform in (0,1], w = n_chars);
-    the k smallest keys ARE a weighted sample without replacement, and
-    no RNG state crosses partitions (the _hyperplane no-RNG trick).
-    LN parity holds on identical integer-derived doubles (the tfidf /
-    entropy rule); keys round 6 dp BEFORE ranking with a doc_id
-    tiebreak (determinism rule).  Shape: one projection + global top-k
-    (TakeOrderedAndProject — the limit pushes below the rank, never a
-    single-task global sort).
-    """
-    from .functions.scalars import hex_prefix_to_long
-
-    docs = _t(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
-    u = (
-        hex_prefix_to_long(
-            F.md5(F.concat_ws(":", F.lit("iw"), F.col("doc_id"))), 1, 8
-        )
-        + 1
-    ) / F.lit(4294967296.0)
-    keyed = docs.select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.round(-F.log(u) / F.col("n_chars").cast("double"), 6).alias("key"),
-    )
-    ranked = keyed.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.asc("key"), F.asc("doc_id"))),
-    )
-    return ranked.filter(F.col("rk") <= 50).select(
-        "doc_id", "source", "n_chars", "key",
-        F.col("rk").cast("bigint").alias("rk"),
-    )
-
-
-@register(
-    "orders_cohort_retention",
-    """
-    WITH firsts AS (
-      SELECT o_custkey,
-             MIN(DATE_TRUNC('month', o_orderdate)) AS cohort
-      FROM orders GROUP BY o_custkey),
-    act AS (
-      SELECT DISTINCT o.o_custkey, f.cohort,
-             DATE_TRUNC('month', o.o_orderdate) AS m
-      FROM orders o JOIN firsts f USING (o_custkey)),
-    off AS (
-      SELECT cohort,
-             (EXTRACT(YEAR FROM m) - EXTRACT(YEAR FROM cohort)) * 12
-             + (EXTRACT(MONTH FROM m) - EXTRACT(MONTH FROM cohort))
-               AS month_offset,
-             o_custkey
-      FROM act)
-    SELECT CAST(cohort AS DATE) AS cohort_month,
-           CAST(month_offset AS BIGINT) AS month_offset,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
-    FROM off WHERE month_offset <= 11
-    GROUP BY cohort, month_offset
-    """,
-)
-def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: customers grouped by first-order month,
-    counted as active in each of their first 12 months — the
-    engagement triangle every growth/analytics stack computes.  Shape:
-    a per-customer MIN agg (cohort), an equi-join back, a distinct
-    (customer, month) reduce, then a (cohort, offset) count — three
-    keyed hash shuffles, no windows, all integers; month arithmetic is
-    (year*12 + month) integer math (DATE_TRUNC parity is already
-    pinned by the forecast/seasonal family).
-    """
-    o = _t(spark, sf_dir)["orders"]
-    firsts = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
-    )
-    act = (
-        o.join(firsts, "o_custkey")
-        .select(
-            "o_custkey",
-            "cohort",
-            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-        )
-        .distinct()
-    )
-    off = act.select(
-        "cohort",
-        (
-            (F.year("m") - F.year("cohort")) * 12
-            + (F.month("m") - F.month("cohort"))
-        ).alias("month_offset"),
-        "o_custkey",
-    )
-    return (
-        off.filter(F.col("month_offset") <= 11)
-        .groupBy(
-            F.to_date("cohort").alias("cohort_month"),
-            F.col("month_offset").cast("bigint").alias("month_offset"),
-        )
-        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
-    )
-
-
-@register(
-    "stats_spearman_corr",
-    """
-    WITH pts AS (
-      SELECT CAST(l_quantity AS BIGINT) AS x,
-             ROUND(CAST(l_extendedprice AS DOUBLE), 2) AS y
-      FROM lineitem),
-    bx AS (
-      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY x),
-    rx AS (
-      SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS rx2
-      FROM bx),
-    by_ AS (
-      SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY y),
-    ry AS (
-      SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS ry2
-      FROM by_),
-    r AS (
-      SELECT rx2, ry2 FROM pts JOIN rx USING (x) JOIN ry USING (y)),
-    s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(rx2 AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(CAST(ry2 AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS DECIMAL(38,0)) AS syy,
-             CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS DECIMAL(38,0)) AS sxy
-      FROM r)
-    SELECT n,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-             AS rho
-    FROM s
-    """,
-)
-def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between order quantity and extended
-    price, with CORRECT tie handling: Pearson on average ranks (the
-    6*sum(d^2) shortcut is only valid tie-free; quantity has ~50
-    distinct values, so ties dominate).  Average ranks stay exact on
-    the doubled-integer grid (2*cum_less + cnt + 1); rank moments sum
-    as DECIMAL(38)/HUGEINT so accumulation order can't move float
-    error; the final rho combines identical integer-derived doubles
-    (SQRT parity) and rounds 6 dp.  Shape: two distinct-value hash
-    aggs; the quantity prefix runs over ~50 domain rows, the PRICE
-    prefix is data-proportional in distinct values, so Spark runs it
-    through the two-phase range-partitioned prefix scan
-    (operators/prefix.running_sum) — never a single-task global
-    window; join ranks back on the value keys, one 1-row reduce.
-    """
-    from .operators.prefix import running_sum
-
-    li = _t(spark, sf_dir)["lineitem"]
-    pts = li.select(
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.round(F.col("l_extendedprice").cast("double"), 2).alias("y"),
-    )
-    bx = pts.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
-    # ~50 distinct quantities: domain-bounded plain window
-    wq = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    rx = bx.select(
-        "x",
-        (
-            2 * F.coalesce(F.sum("cnt").over(wq), F.lit(0))
-            + F.col("cnt")
-            + 1
-        ).alias("rx2"),
-    )
-    by = pts.groupBy("y").agg(F.count("*").cast("bigint").alias("cnt"))
-    ry = running_sum(by, [F.asc("y")], "cnt", "cum_incl").select(
-        "y",
-        (2 * (F.col("cum_incl") - F.col("cnt")) + F.col("cnt") + 1).alias(
-            "ry2"
-        ),
-    )
-    r = pts.join(F.broadcast(rx), "x").join(ry, "y").select("rx2", "ry2")
-    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")  # noqa: E731
-    s = r.agg(
-        F.count("*").cast("bigint").alias("n"),
-        dec(F.col("rx2")).alias("sx"),
-        dec(F.col("ry2")).alias("sy"),
-        dec(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        dec(F.col("ry2") * F.col("ry2")).alias("syy"),
-        dec(F.col("rx2") * F.col("ry2")).alias("sxy"),
-    )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    return s.select(
-        "n",
-        F.round(
-            (d("n") * d("sxy") - d("sx") * d("sy"))
-            / F.sqrt(
-                (d("n") * d("sxx") - d("sx") * d("sx"))
-                * (d("n") * d("syy") - d("sy") * d("sy"))
-            ),
-            6,
-        ).alias("rho"),
-    )
-
-
-@register(
-    "graph_jaccard_link_prediction",
-    """
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    freq AS (
-      SELECT l_partkey FROM items GROUP BY l_partkey HAVING COUNT(*) >= 3),
-    fi AS (SELECT i.* FROM items i JOIN freq USING (l_partkey)),
-    e AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM fi a JOIN fi b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-    adj AS (
-      SELECT pa AS node, pb AS nb FROM e
-      UNION ALL SELECT pb, pa FROM e),
-    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-            FROM adj GROUP BY node),
-    small AS (
-      SELECT a.node, a.nb FROM adj a JOIN deg x ON x.node = a.nb
-      WHERE x.d <= 200),
-    cn AS (
-      SELECT a.node AS pa, b.node AS pb, CAST(COUNT(*) AS BIGINT) AS common
-      FROM small a JOIN small b ON a.nb = b.nb AND a.node < b.node
-      GROUP BY 1, 2),
-    cand AS (
-      SELECT cn.pa, cn.pb, cn.common, da.d AS deg_a, db.d AS deg_b
-      FROM cn
-      JOIN deg da ON da.node = cn.pa
-      JOIN deg db ON db.node = cn.pb
-      LEFT JOIN e ON e.pa = cn.pa AND e.pb = cn.pb
-      WHERE e.pa IS NULL),
-    scored AS (
-      SELECT pa, pb, common, deg_a, deg_b,
-             ROUND(CAST(common AS DOUBLE)
-                   / CAST(deg_a + deg_b - common AS DOUBLE), 6) AS jaccard
-      FROM cand)
-    SELECT pa, pb, common, deg_a, deg_b, jaccard
-    FROM (SELECT *, ROW_NUMBER() OVER (
-            ORDER BY jaccard DESC, pa ASC, pb ASC) AS rk
-          FROM scored)
-    WHERE rk <= 20
-    """,
-)
-def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighbor-Jaccard link prediction on the part co-purchase graph:
-    for part pairs NOT yet co-purchased (>= 3 orders), score
-    |N(a) n N(b)| / |N(a) u N(b)| and return the top 20 — the
-    classic "customers also bought" candidate generator.  Shape:
-    candidate pairs meet ONLY through a shared neighbor (inverted
-    index on the neighbor node — the dedup posting-list discipline);
-    hub neighbors with degree > 200 are excluded from pair GENERATION
-    (a documented df-cap: a hub's pair fan-out is degree^2; its
-    DEGREES still count in the union term), existing edges drop by
-    anti join, global top-20 is rank-limited (WindowGroupLimit).
-    Counts integer; jaccard = ratio of identical integers rounded 6 dp
-    BEFORE ranking with pair tiebreaks.
-    """
-    from .operators.baskets import copurchase_pairs
-
-    li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    e = copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
-    e = e.select(
-        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
-    ).localCheckpoint(eager=True)  # adj, anti join share it
-    adj = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionByName(
-        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
-    )
-    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
-    small = adj.join(
-        deg.select(F.col("node").alias("nb"), "d").filter(F.col("d") <= 200),
-        "nb",
-    ).select("node", "nb")
-    a = small.select(F.col("node").alias("pa"), "nb")
-    b = small.select(F.col("node").alias("pb"), "nb")
-    cn = (
-        a.join(b, "nb")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").cast("bigint").alias("common"))
-    )
-    cand = (
-        cn.join(e, ["pa", "pb"], "left_anti")
-        .join(deg.select(F.col("node").alias("pa"), F.col("d").alias("deg_a")), "pa")
-        .join(deg.select(F.col("node").alias("pb"), F.col("d").alias("deg_b")), "pb")
-    )
-    scored = cand.select(
-        "pa", "pb", "common", "deg_a", "deg_b",
-        F.round(
-            F.col("common").cast("double")
-            / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double"),
-            6,
-        ).alias("jaccard"),
-    )
-    w = Window.orderBy(F.desc("jaccard"), F.asc("pa"), F.asc("pb"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("pa", "pb", "common", "deg_a", "deg_b", "jaccard")
     )
 
 
@@ -19906,4 +19359,55 @@ def embedding_pq_distortion_by_cell(spark: SparkSession, sf_dir: str) -> DataFra
                 F.sum("sse").cast("double") / F.count("*"), 6
             ).alias("mean_sse"),
         )
+    )
+
+
+@register(
+    "multimodal_audio_zero_crossings",
+    """
+    WITH s AS (
+      SELECT vec_id, i,
+             (LEAST(32767, GREATEST(-32768, CAST(FLOOR(
+               CAST(embedding[i] AS DOUBLE) * CAST(32767.0 AS DOUBLE))
+               AS BIGINT))) >= 0) AS sg
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    w AS (
+      SELECT vec_id, i, sg,
+             LAG(sg) OVER (PARTITION BY vec_id ORDER BY i) AS prev
+      FROM s),
+    isl AS (
+      SELECT vec_id, i, sg,
+             SUM(CASE WHEN prev IS NULL OR sg <> prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY vec_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM w),
+    runs AS (
+      SELECT vec_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY vec_id, run_id)
+    SELECT vec_id AS asset_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_samples,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_zero_crossings,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY vec_id
+    """,
+)
+def multimodal_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate + longest constant-sign run over REAL-decoded
+    WAV clips — the cheap voiced/unvoiced + noisiness gauge next to
+    multimodal_audio_autocorr (which pins lag products; this pins SIGN
+    structure).  The codec is lossless and the features are integers,
+    so the oracle recomputes them straight from the arrays with a
+    per-clip gaps-and-islands pass (crossings = runs - 1) — one hash
+    proves decode + feature end to end.  Scale: mapInPandas row-local,
+    one pass; the oracle-side windows partition per clip.
+    """
+    from .operators.multimodal import (
+        audio_zero_crossing_features,
+        embeddings_to_wav,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = audio_zero_crossing_features(embeddings_to_wav(emb))
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "n_samples", "n_zero_crossings", "longest_run"
     )

@@ -93,13 +93,8 @@ REPRESENTATIVE = [
     "corpus_heaps_curve",
     # Boruvka: per-component min-struct argmin + contraction fixpoint
     "graph_mst_copurchase",
-    # r9 hazard classes: data-proportional prefix scan over distinct
-    # values feeding doubled-integer average ranks + DECIMAL(38) rank
-    # moments (offsets must compose across pid counts); CUSUM's
-    # running-sum-minus-running-min closed form over the daily series;
-    # first-occurrence keep-first line dedup (MIN over composite keys)
-    "stats_spearman_corr",
-    "events_cusum_drift",
+    # r9 hazard class: first-occurrence keep-first line dedup (MIN over
+    # composite keys must not depend on shuffle order)
     "corpus_line_dedup",
 ]
 

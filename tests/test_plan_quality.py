@@ -229,7 +229,6 @@ BNLJ_BY_DESIGN = {
     "dedup_span_coverage_audit",  # broadcast 1-row occurrence grand total
     "stats_benjamini_hochberg",  # broadcast 1-row m + 1-row kmax scalars
     "corpus_token_budget_allocation",  # broadcast 1-row budget scalar
-    "events_cusum_drift",       # broadcast 1-row total/day-count scalars
     "embedding_pq_distortion_by_cell",  # broadcast 8-row anchor set
                                 # (ivf_assign) for the per-cell breakdown
 }
@@ -252,10 +251,8 @@ GLOBAL_WINDOW_BY_DESIGN = {
     "stats_bootstrap_ci",  # day-rank over ~2.4k fixed date domain + rank over the 200 replicate means
     "corpus_mix_temperature",  # normalizer over the per-source weight rows (|sources|, a domain bound)
     "corpus_heaps_curve",  # cumulative pass over the 10 decile rows
-    "events_cusum_drift",  # daily series: rows = distinct days (fixed date domain)
     "stats_benjamini_hochberg",  # rank over |sources| x |langs| cells (domain bound)
     "corpus_token_budget_allocation",  # rank + prefix over |sources| rows
-    "stats_mann_whitney",  # prefix over distinct 2-dp values (bounded value domain)
 }
 
 
