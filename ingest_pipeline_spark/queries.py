@@ -50,6 +50,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a dict would overwrite silently — a re-registered name shadows
+        # an established (possibly driver-graded) query with no test
+        # failing (this bit round 9: a duplicate events_markov_transitions
+        # replaced the original until import-time guarding was added)
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY[name] = (fn, oracle)
         return fn
 
