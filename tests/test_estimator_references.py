@@ -1155,3 +1155,104 @@ def test_join_size_estimate_matches_reference(spark):
     }
     assert got == expected, (got, expected)
     assert all(e >= x for e, x, _ in expected.values())
+
+
+def test_benjamini_hochberg_matches_reference(spark):
+    """stats_benjamini_hochberg == a pure-Python BH step-up (guards the
+    u*m*10 <= k*2^32 cross-multiplication, the injected-effect rule,
+    and the kmax cutoff — constants an oracle mirror can't catch)."""
+    import hashlib
+
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "lang"])
+    cells = sorted({(s, g) for s, g in zip(*[c.to_pylist() for c in t.columns])})
+    rows = []
+    for s, g in cells:
+        u0 = int(hashlib.md5(f"bh:{s}:{g}".encode()).hexdigest()[:8], 16)
+        u = u0 // 65536 if u0 % 4 == 0 else u0
+        rows.append((s, g, u))
+    m = len(rows)
+    ranked = sorted(rows, key=lambda r: (r[2], r[0], r[1]))
+    kmax = 0
+    for k, (_s, _g, u) in enumerate(ranked, 1):
+        if u * m * 10 <= k * 2**32:
+            kmax = k
+    expected = {
+        (s, g): (float(_dec6(u / 4294967296.0)), k, k <= kmax)
+        for k, (s, g, u) in enumerate(ranked, 1)
+    }
+    got = {
+        (r.source, r.lang): (r.p, r.k, r.rejected)
+        for r in q.queries()["stats_benjamini_hochberg"](spark, SF).collect()
+    }
+    assert got == expected and any(v[2] for v in got.values())
+
+
+def test_line_dedup_matches_reference(spark):
+    """corpus_line_dedup == a pure-Python keep-first line dedup over
+    the same augmented corpus (guards the chunking, the composite
+    first-key, and the partial-last-line token accounting)."""
+    import re
+
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+    docs += [(d + 1000000, x) for d, x in docs if d % 10 == 0]
+    first: dict[str, int] = {}
+    lines_by_doc: dict[int, list[tuple[int, str, int]]] = {}
+    for d, text in docs:
+        toks = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+        if not toks:
+            continue
+        ls = []
+        for i in range(0, (len(toks) + 7) // 8):
+            chunk = toks[i * 8 : i * 8 + 8]
+            ls.append((i, " ".join(chunk), len(chunk)))
+        lines_by_doc[d] = ls
+        for i, line, _n in ls:
+            key = d * 1000000 + i
+            if line not in first or key < first[line]:
+                first[line] = key
+    expected = {}
+    for d, ls in lines_by_doc.items():
+        nl = len(ls)
+        rm = [(i, n) for i, line, n in ls if first[line] != d * 1000000 + i]
+        expected[d] = (nl, len(rm), sum(n for _i, n in rm))
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_removed, r.tokens_removed)
+        for r in q.queries()["corpus_line_dedup"](spark, SF).collect()
+    }
+    assert got == expected and sum(v[1] for v in got.values()) > 0
+
+
+def test_token_budget_allocation_matches_reference(spark):
+    """corpus_token_budget_allocation == a pure-Python greedy fill
+    (guards the 60% budget constant, the rank key, and the clamp)."""
+    import re
+
+    from ingest_pipeline_spark import queries as q
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    per: dict[str, list[int]] = {}
+    for s, text in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        toks = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+        per.setdefault(s, []).append(len(toks))
+    stats = {s: (len(v), sum(v)) for s, v in per.items()}
+    budget = sum(n for _d, n in stats.values()) * 3 // 5
+    ranked = sorted(
+        stats.items(), key=lambda kv: (-(kv[1][1] / kv[1][0]), kv[0])
+    )
+    expected, prev = {}, 0
+    for rk, (s, (nd, nt)) in enumerate(ranked, 1):
+        expected[s] = (rk, nd, nt, max(min(nt, budget - prev), 0))
+        prev += nt
+    got = {
+        r.source: (r.rnk, r.n_docs, r.n_tokens, r.allocated)
+        for r in q.queries()["corpus_token_budget_allocation"](
+            spark, SF
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[3] for v in got.values()) == budget  # budget exhausted
