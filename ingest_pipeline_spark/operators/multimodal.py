@@ -1194,6 +1194,54 @@ def tile_pixel_stats(assets: DataFrame, tile: int = 4) -> DataFrame:
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
 
 
+def image_dhash_features(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL-decoded pixels:
+    per image, bit (r, c) = pixel(r, c) > pixel(r, c+1), packed
+    row-major into one integer — the standard near-duplicate image
+    fingerprint (gradient signs survive brightness/contrast shifts
+    that break byte-exact dedup).  The classic recipe resizes to 9x8
+    first; the corpus images are already thumbnail-sized, so the hash
+    spans the full (w-1) x h grid (w=8, h=8 -> 56 bits).  PNG or strip
+    TIFF via magic dispatch; grayscale only; error-row degradation.
+    Emits (asset_id, width, height, n_bits, dhash).
+    """
+    out_schema = (
+        "asset_id long, width int, height int, n_bits int, dhash long, "
+        "decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "width", "height", "n_bits", "dhash",
+                "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    if b[:2] in (b"II", b"MM"):
+                        w, h, ch, _bd, px = tiff_decode(b)
+                    else:
+                        w, h, ch, _bd, px = png_decode(b)
+                    if ch != 1:
+                        raise ValueError(f"dhash needs grayscale, got {ch}ch")
+                    if w < 2:
+                        raise ValueError("dhash needs width >= 2")
+                    hv = 0
+                    for r in range(h):
+                        for c in range(w - 1):
+                            hv = (hv << 1) | (
+                                1 if px[r * w + c] > px[r * w + c + 1] else 0
+                            )
+                    rows.append((aid, w, h, (w - 1) * h, hv, True, None))
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, False, str(e)[:200])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Pure-stdlib Y4M (YUV4MPEG2) codec — REAL video decode.  Y4M is the
 # uncompressed interchange format every video toolchain speaks (mjpegtools,

@@ -19417,3 +19417,128 @@ def multimodal_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFra
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "n_samples", "n_zero_crossings", "longest_run"
     )
+
+
+@register(
+    "dedup_image_dhash",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 2000000,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+               i -> CASE WHEN i = 2
+                         THEN CAST(embedding[i] AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)
+                         ELSE CAST(embedding[i] AS DOUBLE) END)
+      FROM embeddings WHERE vec_id % 7 = 0),
+    px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM aug, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    bits AS (
+      SELECT a.vec_id, a.i0 // 8 AS r, a.i0 % 8 AS c,
+             CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON a.vec_id = b.vec_id AND b.i0 = a.i0 + 1 AND a.i0 % 8 < 7),
+    dh AS (
+      SELECT vec_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(55 - (r * 7 + c) AS INT)))
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY vec_id),
+    ch AS (
+      SELECT vec_id, dhash, k,
+             (dhash >> CAST(k * 14 AS INT)) & 16383 AS cv
+      FROM dh, UNNEST(GENERATE_SERIES(0, 3)) t(k)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb,
+             a.dhash AS ha, b.dhash AS hb
+      FROM ch a JOIN ch b
+        ON a.k = b.k AND a.cv = b.cv AND a.vec_id < b.vec_id),
+    ham AS (
+      SELECT ida, idb, BIT_COUNT(XOR(ha, hb)) AS hamming FROM cand)
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ham WHERE hamming <= 3 GROUP BY hamming
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: dHash (gradient-sign fingerprint) over
+    REAL-decoded PNG pixels, near-pairs by Hamming <= 3 — the standard
+    image near-duplicate primitive a multimodal curation pipeline runs
+    where byte-exact digests miss re-encoded/brightness-shifted copies
+    (the image analog of dedup_simhash).  The corpus is augmented with
+    exact copies (vec_id % 5) and single-component perturbed copies
+    (vec_id % 7, +0.5 on component 1 — moves at most the two
+    comparisons touching pixel (0,1), so a guaranteed Hamming <= 2
+    near-dup).  Shape: mapInPandas decode + hash (row-local); pairs
+    meet ONLY through a 14-bit pigeonhole chunk equi-join (4 chunks
+    guarantee recall at Hamming <= 3 — the simhash discipline), verify
+    = integer XOR bit_count; report pair counts per Hamming distance.
+    The oracle regenerates pixels, hash bits, chunks, and pairs
+    relationally from the arrays — one hash certifies decoder, bit
+    packing, banding, and verify end to end.
+    """
+    from .operators.multimodal import embeddings_to_png, image_dhash_features
+
+    emb = _t(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    perturbed = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v, i: F.when(i == 1, v + F.lit(0.5)).otherwise(v),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        exact.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    ).unionByName(perturbed)
+    feats = image_dhash_features(embeddings_to_png(aug)).filter(
+        F.col("decode_ok")
+    )
+    h = feats.select(F.col("asset_id").alias("id"), "dhash").localCheckpoint(
+        eager=True
+    )  # both sides of the chunk join read it
+    ch = h.select(
+        "id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("dhash", k * 14).bitwiseAND(F.lit(16383))
+                    for k in range(4)
+                ]
+            )
+        ).alias("k", "cv"),
+    )
+    a = ch.select(
+        F.col("id").alias("ida"), F.col("dhash").alias("ha"), "k", "cv"
+    )
+    b = ch.select(
+        F.col("id").alias("idb"), F.col("dhash").alias("hb"), "k", "cv"
+    )
+    cand = (
+        a.join(b, ["k", "cv"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "ha", "hb")
+        .distinct()
+    )
+    ham = cand.select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    )
+    return (
+        ham.filter(F.col("hamming") <= 3)
+        .groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
