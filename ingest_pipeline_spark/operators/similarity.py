@@ -834,7 +834,16 @@ def pq_index_upsert(
     spark = base.sparkSession
     first = base.select(vec_col).first()
     if first is None or first[0] is None:
-        raise ValueError("pq_index_upsert needs a non-empty base corpus")
+        # empty/NULL-leading base: empty code table with the declared
+        # schema (the _empty_topk discipline — the empty-input battery
+        # runs every registered query against zero-row tables)
+        return (
+            base.select(F.col(id_col).alias("vec_id"))
+            .limit(0)
+            .withColumn("j", F.lit(0))
+            .withColumn("code", F.lit(0))
+            .withColumn("origin", F.lit(""))
+        )
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
