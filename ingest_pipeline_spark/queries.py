@@ -19542,3 +19542,74 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("hamming").cast("int").alias("hamming"))
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "similarity_index_delete_compact",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+    scored AS (
+      SELECT vec_id, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {{cos}} DESC, anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (
+      SELECT vec_id, anchor_id AS cell FROM scored WHERE rn = 1),
+    marked AS (
+      SELECT cell, (vec_id % 9 = 4) AS dead FROM cells)
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE dead) AS BIGINT) AS n_tombstones,
+           CAST(COUNT(*) FILTER (WHERE NOT dead) AS BIGINT) AS n_live,
+           ROUND(CAST(COUNT(*) FILTER (WHERE dead) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS tombstone_frac,
+           10 * COUNT(*) FILTER (WHERE dead) >= COUNT(*) AS compact_flag
+    FROM marked GROUP BY cell
+    """.replace("{cos}", _COS6.format(a="v", b="a_vec")),
+)
+def similarity_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of ANN index maintenance (upsert is
+    similarity_pq_index_upsert / similarity_index_upsert): deletions
+    in an IVF index are TOMBSTONES — the posting list keeps the row
+    until a compaction rewrites the cell — so the operating decision
+    is per-cell: how much of each posting list is dead, and which
+    cells have crossed the rewrite threshold (>= 10% here —
+    posting-list rewrites are cheap, so compact early; the % 9 delete
+    shard averages ~11%, so cells naturally split across the trigger).
+    Deleted ids are the deterministic vec_id % 9 == 4 shard (the
+    GDPR-erasure batch of compliance_delete_cascade, applied to the
+    vector index).  Shape:
+    one frozen-anchor assignment (broadcast 8-row anchor set) + one
+    cell-keyed agg; integer counts, one identical-integer ratio
+    rounded 6 dp, and the compaction decision cross-multiplied to
+    exact integers (10*dead >= total), never a float threshold.
+    """
+    from .operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_vec"),
+        )
+    )
+    cells = ivf_assign(emb, anchors)
+    marked = cells.select(
+        "cell", (F.col("vec_id") % 9 == 4).alias("dead")
+    )
+    dead1 = F.when(F.col("dead"), 1)
+    return marked.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(dead1).cast("bigint").alias("n_tombstones"),
+        (F.count("*") - F.count(dead1)).cast("bigint").alias("n_live"),
+        F.round(
+            F.count(dead1).cast("double") / F.count("*").cast("double"), 6
+        ).alias("tombstone_frac"),
+        (10 * F.count(dead1) >= F.count("*")).alias("compact_flag"),
+    )
