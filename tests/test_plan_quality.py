@@ -231,6 +231,8 @@ BNLJ_BY_DESIGN = {
     "corpus_token_budget_allocation",  # broadcast 1-row budget scalar
     "embedding_pq_distortion_by_cell",  # broadcast 8-row anchor set
                                 # (ivf_assign) for the per-cell breakdown
+    "similarity_index_delete_compact",  # broadcast 8-row anchor set
+                                # (ivf_assign) for the tombstone census
 }
 
 
