@@ -19613,3 +19613,99 @@ def similarity_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("tombstone_frac"),
         (10 * F.count(dead1) >= F.count("*")).alias("compact_flag"),
     )
+
+
+@register(
+    "events_late_arrival_audit",
+    """
+    WITH arr AS (
+      SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             + CAST('0x' || SUBSTR(MD5('late:' || event_id), 1, 8) AS BIGINT)
+               % 601 AS ak
+      FROM events),
+    hw AS (
+      SELECT event_id, es,
+             MAX(es) OVER (ORDER BY ak, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_water
+      FROM arr),
+    lt AS (
+      SELECT GREATEST(CAST(0 AS BIGINT),
+                      COALESCE(high_water - es, CAST(0 AS BIGINT)))
+               AS lateness_s
+      FROM hw)
+    SELECT CAST(d AS BIGINT) AS watermark_delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE lateness_s > 0) AS BIGINT) AS n_late,
+           CAST(COUNT(*) FILTER (WHERE lateness_s > d) AS BIGINT) AS n_dropped,
+           ROUND(CAST(COUNT(*) FILTER (WHERE lateness_s > d) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS drop_frac,
+           CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s
+    FROM lt, UNNEST([60, 300, 900]) t(d)
+    GROUP BY d
+    """,
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning chart: how many events would a streaming job
+    DROP at watermark delays of 1/5/15 minutes?  Lateness of each
+    event = the stream's high-water mark (max event time over all
+    EARLIER arrivals) minus its own event time; an event is dropped
+    when its lateness exceeds the configured delay.  The synthetic
+    events are written in perfect time order, so arrival is simulated
+    with a deterministic md5 delivery jitter of up to 10 minutes
+    (arrival key = event time + md5(event_id) % 601, mirrored in the
+    oracle) — the out-of-orderness a real transport exhibits.  This is the number every watermark choice
+    in streaming/events.py trades against state size — measured from
+    the data instead of guessed.  Shape: the high-water mark is a
+    GLOBAL running max over arrival order, so Spark runs it through
+    the two-phase range-partitioned prefix scan
+    (operators/prefix.running_max_exclusive — never a single-task
+    window); the three delay gauges explode row-locally and reduce in
+    one keyed agg.  FLOOR(EPOCH) <-> unix_timestamp parity; all
+    integers except the 6-dp identical-integer drop fraction.
+    """
+    from .operators.prefix import running_max_exclusive
+
+    from .functions.scalars import hex_prefix_to_long
+
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_id", F.unix_timestamp("ts").cast("bigint").alias("es")
+    )
+    ev = ev.withColumn(
+        "ak",
+        F.col("es")
+        + hex_prefix_to_long(
+            F.md5(F.concat_ws(":", F.lit("late"), F.col("event_id"))), 1, 8
+        )
+        % 601,
+    )
+    hw = running_max_exclusive(
+        ev, [F.asc("ak"), F.asc("event_id")], "es", "high_water"
+    )
+    lt = hw.select(
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(
+                F.col("high_water") - F.col("es"), F.lit(0).cast("bigint")
+            ),
+        ).alias("lateness_s")
+    )
+    g = lt.select(
+        "lateness_s",
+        F.explode(F.array(F.lit(60), F.lit(300), F.lit(900))).alias("d"),
+    )
+    return g.groupBy(F.col("d").cast("bigint").alias("watermark_delay_s")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count(F.when(F.col("lateness_s") > 0, 1))
+        .cast("bigint")
+        .alias("n_late"),
+        F.count(F.when(F.col("lateness_s") > F.col("d"), 1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round(
+            F.count(F.when(F.col("lateness_s") > F.col("d"), 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("drop_frac"),
+        F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
+    )

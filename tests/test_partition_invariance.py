@@ -93,9 +93,12 @@ REPRESENTATIVE = [
     "corpus_heaps_curve",
     # Boruvka: per-component min-struct argmin + contraction fixpoint
     "graph_mst_copurchase",
-    # r9 hazard class: first-occurrence keep-first line dedup (MIN over
-    # composite keys must not depend on shuffle order)
+    # r9 hazard classes: first-occurrence keep-first line dedup (MIN over
+    # composite keys must not depend on shuffle order); global prefix
+    # running max over a jittered arrival order (offsets compose across
+    # pid counts, ties on the arrival key broken by event_id)
     "corpus_line_dedup",
+    "events_late_arrival_audit",
 ]
 
 
