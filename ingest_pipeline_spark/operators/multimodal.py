@@ -1343,6 +1343,53 @@ def embeddings_to_y4m(
     )
 
 
+def video_shot_cuts(assets: DataFrame, threshold: int = 1400) -> DataFrame:
+    """Shot-boundary detection over REAL-decoded Y4M clips: per clip,
+    the sum of absolute luma differences (SAD) between each frame and
+    its predecessor — the classic hard-cut detector a video-curation
+    pipeline runs before sampling keyframes (a cut is a frame whose
+    SAD crosses the threshold).  All integers, frame ORDER pinned
+    (frame stats alone are order-free across frames).  Emits
+    (asset_id, n_frames, max_sad, n_cuts, first_cut — frame index of
+    the first cut, -1 when the clip has none).
+    """
+    out_schema = (
+        "asset_id long, n_frames int, max_sad long, n_cuts int, "
+        "first_cut int, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "n_frames", "max_sad", "n_cuts", "first_cut",
+                "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _w, _h, _rate, frames = y4m_decode(b)
+                    sads = [
+                        sum(
+                            abs(a - c)
+                            for a, c in zip(frames[k - 1], frames[k])
+                        )
+                        for k in range(1, len(frames))
+                    ]
+                    cuts = [
+                        k + 1 for k, sad in enumerate(sads) if sad >= threshold
+                    ]
+                    rows.append(
+                        (aid, len(frames), max(sads) if sads else 0,
+                         len(cuts), cuts[0] if cuts else -1, True, None)
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (aid, None, None, None, None, False, str(e)[:200])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
 def video_frame_stats(assets: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL per-frame video statistics: decode each Y4M clip and reduce
     every ``every_n``-th frame to exact integer luma stats —

@@ -19709,3 +19709,54 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drop_frac"),
         F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
     )
+
+
+@register(
+    "multimodal_video_shot_cuts",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    f AS (
+      SELECT vec_id, CAST(i0 // 16 AS INT) AS fi, CAST(i0 % 16 AS INT) AS pos, p
+      FROM px),
+    sad AS (
+      SELECT a.vec_id, a.fi,
+             CAST(SUM(ABS(a.p - b.p)) AS BIGINT) AS sad
+      FROM f a JOIN f b
+        ON a.vec_id = b.vec_id AND b.fi = a.fi - 1 AND a.pos = b.pos
+      WHERE a.fi >= 1
+      GROUP BY a.vec_id, a.fi)
+    SELECT vec_id AS asset_id,
+           CAST(4 AS INT) AS n_frames,
+           CAST(MAX(sad) AS BIGINT) AS max_sad,
+           CAST(COUNT(*) FILTER (WHERE sad >= 320) AS INT) AS n_cuts,
+           CAST(COALESCE(MIN(fi) FILTER (WHERE sad >= 320), -1) AS INT)
+             AS first_cut
+    FROM sad GROUP BY vec_id
+    """,
+)
+def multimodal_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cut (shot boundary) detection over real-decoded video: per
+    clip, the frame-to-frame sum of absolute luma differences, cuts
+    where SAD >= 1400 (16 pixels x ~87 mean |diff| — splits the
+    synthetic clips into cut / no-cut populations), count and first
+    cut index.  multimodal_video_frame_stats pins frame content and
+    stride; this pins INTER-frame structure — a transposed or
+    reordered frame list changes every SAD.  Integer end to end; the
+    oracle recomputes SADs from the arrays by a self-join on
+    (clip, pixel position) at frame distance 1.  Scale: mapInPandas
+    row-local; the oracle-side join is per-clip, position-keyed.
+    """
+    from .operators.multimodal import embeddings_to_y4m, video_shot_cuts
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = video_shot_cuts(
+        embeddings_to_y4m(emb, width=4, height=4), threshold=320
+    )
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "n_frames", "max_sad", "n_cuts", "first_cut"
+    )
