@@ -19760,3 +19760,69 @@ def multimodal_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "n_frames", "max_sad", "n_cuts", "first_cut"
     )
+
+
+@register(
+    "sessionize_gap_sweep",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+             LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    d AS (
+      SELECT user_id, (prev IS NULL) AS first_evt,
+             COALESCE(es - prev, CAST(0 AS BIGINT)) AS delta
+      FROM e)
+    SELECT CAST(g AS BIGINT) AS gap_s,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE first_evt OR delta > g) AS BIGINT)
+             AS n_sessions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(COUNT(*) FILTER (WHERE first_evt OR delta > g)
+                        AS DOUBLE), 6) AS events_per_session
+    FROM d, UNNEST([600, 1800, 3600]) t(g)
+    GROUP BY g
+    """,
+)
+def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap operating sweep: session counts and mean session
+    size at inactivity gaps of 10/30/60 minutes — the tuning chart
+    behind sessionize_users' fixed 30-minute gap (the recall-probe /
+    shingle-size sweep pattern applied to sessionization: pick the
+    knob FROM a measured curve, not folklore).  A session starts at a
+    user's first event or after a gap > G, so n_sessions =
+    count(first events) + count(deltas > G) — computed from ONE
+    user-partitioned lag pass shared by all three gauges (deltas
+    explode row-locally; no per-gap window).  Epoch-integer deltas
+    (FLOOR(EPOCH) <-> unix_timestamp parity); the only double is
+    events/session, a ratio of identical integers rounded 6 dp.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts").cast("bigint")
+    e = ev.select(
+        "user_id", es.alias("es"), F.lag(es).over(w).alias("prev")
+    )
+    d = e.select(
+        "user_id",
+        F.col("prev").isNull().alias("first_evt"),
+        F.coalesce(F.col("es") - F.col("prev"), F.lit(0).cast("bigint")).alias(
+            "delta"
+        ),
+        F.explode(
+            F.array(F.lit(600), F.lit(1800), F.lit(3600))
+        ).alias("g"),
+    )
+    starts = F.count(
+        F.when(F.col("first_evt") | (F.col("delta") > F.col("g")), 1)
+    )
+    return d.groupBy(F.col("g").cast("bigint").alias("gap_s")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+        starts.cast("bigint").alias("n_sessions"),
+        F.round(
+            F.count("*").cast("double") / starts.cast("double"), 6
+        ).alias("events_per_session"),
+    )
