@@ -304,3 +304,44 @@ def test_corrupt_media_degrades_to_error_rows(spark):
     out = {r.asset_id: r.decode_ok for r in
            decode_image_features(rows).collect()}
     assert out == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_lzw_decoder_fuzz_never_crashes():
+    """Random byte strings fed to _lzw_decode must either decode to
+    bytes or raise ValueError — never IndexError/KeyError/hang (the
+    one-bad-file failure class, applied to the bit-level decoder)."""
+    import random
+
+    from ingest_pipeline_spark.operators.multimodal import _lzw_decode
+
+    rng = random.Random(42)
+    for trial in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        try:
+            out = _lzw_decode(blob)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+def test_new_extractors_degrade_on_corrupt_media(spark):
+    """image_dhash_features / audio_zero_crossing_features /
+    video_shot_cuts: one bad file yields an error row, never a failed
+    distributed scan (the xlsx-reader ADVICE class, applied to every
+    round-9 extractor)."""
+    from ingest_pipeline_spark.operators.multimodal import (
+        audio_zero_crossing_features,
+        image_dhash_features,
+        video_shot_cuts,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"II*\x00garbage")), (2, bytearray(b"\x89PNG\r\n")),
+         (3, bytearray(b"RIFFxxxx")), (4, bytearray(b"YUV4MPEG2 bogus")),
+         (5, None), (6, bytearray(b""))],
+        "asset_id long, media binary",
+    )
+    for fn in (image_dhash_features, audio_zero_crossing_features,
+               video_shot_cuts):
+        out = {r.asset_id: r.decode_ok for r in fn(bad).collect()}
+        assert out == {i: False for i in range(1, 7)}, fn.__name__
