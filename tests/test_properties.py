@@ -398,3 +398,19 @@ def test_cdc_apply_matches_python_fold(spark, base, changes):
         r.key: r.v for r in cdc_apply(base_df, ch_df, ["key"], ["seq"]).collect()
     }
     assert got == state
+
+
+@given(
+    st.binary(max_size=4000),
+)
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip_property(data):
+    """TIFF-variant LZW: decode(encode(x)) == x for ARBITRARY bytes —
+    hypothesis shrinks any width-boundary / KwKwK / reset-path
+    counterexample to a minimal failing string."""
+    from ingest_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
