@@ -304,3 +304,22 @@ def test_no_query_plans_cartesian_or_slow_udf(spark, sf_dir):
         if marks:
             offenders[name] = marks
     assert not offenders, f"scale-hostile plan nodes: {offenders}"
+
+
+def test_late_arrival_audit_uses_prefix_scan(spark, sf_dir):
+    """The high-water mark must run through the two-phase prefix scan:
+    every empty-partition window in the plan is the __prefix_pid
+    offsets pass, never a data-proportional global running max."""
+    plan = _plan(queries()["events_late_arrival_audit"](spark, sf_dir))
+    gw = _global_windows(plan)
+    assert gw and all("__prefix_pid" in g for g in gw), gw
+
+
+def test_line_dedup_line_projection_is_shuffle_free(spark, sf_dir):
+    """corpus_line_dedup's pseudo-line expansion is row-local: exactly
+    two hash exchanges (first-occurrence MIN agg + doc regroup) plus
+    the join, no exchange before the generator."""
+    plan = _plan(queries()["corpus_line_dedup"](spark, sf_dir))
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen, "line explode missing"
+    assert "BatchEvalPython" not in plan
