@@ -99,6 +99,10 @@ REPRESENTATIVE = [
     # pid counts, ties on the arrival key broken by event_id)
     "corpus_line_dedup",
     "events_late_arrival_audit",
+    # decimal dist2 min-struct argmin must not depend on partial-agg
+    # merge order; pigeonhole chunk join + distinct pair dedup
+    "similarity_pq_index_upsert",
+    "dedup_image_dhash",
 ]
 
 
