@@ -19826,3 +19826,27 @@ def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double") / starts.cast("double"), 6
         ).alias("events_per_session"),
     )
+
+
+@register("corpus_pack_ffd", None)
+def corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-free packing plan (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): Best-Fit-Decreasing bin
+    packing of whole documents into seq_len=128 sequences, reported
+    against the concat-and-chunk baseline — bins needed, padding waste
+    the packing pays, and the sequence-count overhead vs the splitting
+    packer (corpus_pack_sequences / corpus_pack_boundary_sweep measure
+    the other side: how many docs concat-chunk straddles).  BFD's
+    greedy-with-multiset-state loop is not SQL-expressible (the
+    Boruvka / BPE-learn class), so this is a rows-only driver entry;
+    exactness rests on the pure-Python per-doc reference equality and
+    invariant units in tests/test_packing.py.  Scale: token counts /
+    oversize chunking / histogram are distributed aggregation; the
+    solve runs over the <= seq_len-row length histogram on the driver
+    (operators/packing.py — bounded optimizer input, the k-center
+    collect discipline).
+    """
+    from .operators.packing import pack_ffd_plan
+
+    docs = _t(spark, sf_dir)["documents"]
+    return pack_ffd_plan(docs, "text", seq_len=128)

@@ -27,6 +27,9 @@ def test_registry_and_oracles_consistent():
         # trainer equality unit instead (tests/test_bpe.py)
         "graph_mst_copurchase",  # Boruvka rounds: not SQL-expressible;
         # exact Kruskal equality unit instead (tests/test_mst.py)
+        "corpus_pack_ffd",  # Best-Fit-Decreasing bin packing: greedy
+        # multiset-state loop, not SQL-expressible; naive-BFD equality
+        # + invariant units instead (tests/test_packing.py)
     }
     # no duplicate registrations silently overwrote each other
     assert len(qs) >= 104
@@ -59,6 +62,7 @@ def test_driver_first_block_is_registered_and_sized():
     assert "graph_kcore_parts" not in first50
     assert "text_bpe_learn_merges" not in first50
     assert "graph_mst_copurchase" not in first50
+    assert "corpus_pack_ffd" not in first50
 
 
 def test_bench_headline_entries_registered():
