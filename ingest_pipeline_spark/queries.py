@@ -77,7 +77,8 @@ def register(name: str, oracle: str | None):
 # (text_token_fingerprint, validation_battery) don't fit the 50 slots and
 # roll to the round-10 window.  Permanently OUT of the window: the
 # rows-only-by-design entries (similarity_pq_topk, source_listing,
-# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase) — each
+# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
+# corpus_pack_ffd) — each
 # would burn a slot as an eternal `no_oracle`.  List EXACTLY 50 names
 # (sized by test_driver_contract).
 _DRIVER_FIRST = [
