@@ -304,3 +304,46 @@ def test_apply_compression_matches_pure_python_reference(spark):
         .collect()
     }
     assert got == want
+
+
+def test_accept_batch_branch_matrix():
+    """Direct unit for every _accept_batch stop rule — the alias-stop
+    branch guards a rare structure (a pair whose concatenation aliases
+    an existing vocab symbol built by a different factorization) that
+    250 random corpora never produce naturally (instrumented: 0 hits),
+    so it is pinned here synthetically."""
+    from ingest_pipeline_spark.operators.bpe import _accept_batch
+
+    rows = [
+        {"a": "a", "b": "b", "cnt": 100},
+        {"a": "c", "b": "d", "cnt": 90},
+        {"a": "e", "b": "f", "cnt": 80},
+        {"a": "g", "b": "h", "cnt": 70},
+    ]
+    # plain disjoint prefix: all accepted (boundary 0 past the list end)
+    assert _accept_batch(rows, 4, 2, {}) == [
+        ("a", "b", 100), ("c", "d", 90), ("e", "f", 80), ("g", "h", 70)]
+    # conflict stop: row 3 reuses 'a' -> truncate there, boundary=80
+    conflict = rows[:2] + [{"a": "a", "b": "x", "cnt": 80}] + rows[3:]
+    assert _accept_batch(conflict, 4, 2, {}) == [
+        ("a", "b", 100), ("c", "d", 90)]
+    # strict boundary: accepted count EQUAL to the first excluded row's
+    # count pops (a created pair could tie it)
+    tied = rows[:2] + [{"a": "a", "b": "x", "cnt": 90}]
+    assert _accept_batch(tied, 4, 2, {}) == [("a", "b", 100)]
+    # alias stop: 'cd' already a vocab symbol -> nothing after row 2
+    assert _accept_batch(rows, 4, 2, {"cd": True}) == [
+        ("a", "b", 100), ("c", "d", 90)]
+    # alias pair itself pops when the next row ties its count
+    tied_alias = [rows[0], {"a": "c", "b": "d", "cnt": 90},
+                  {"a": "e", "b": "f", "cnt": 90}]
+    assert _accept_batch(tied_alias, 4, 2, {"cd": True}) == [("a", "b", 100)]
+    # budget stop
+    assert _accept_batch(rows, 2, 2, {}) == [("a", "b", 100), ("c", "d", 90)]
+    # min_count stop
+    low = rows[:2] + [{"a": "e", "b": "f", "cnt": 1}]
+    assert _accept_batch(low, 4, 2, {}) == [("a", "b", 100), ("c", "d", 90)]
+    # concat collision with an accepted pair's merged symbol
+    concat = [{"a": "ab", "b": "c", "cnt": 50}, {"a": "x", "b": "ab", "cnt": 40}]
+    got = _accept_batch([rows[0]] + concat, 4, 2, {})
+    assert got == [("a", "b", 100)]  # both later pairs touch 'ab'
