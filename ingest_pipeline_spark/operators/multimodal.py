@@ -1226,6 +1226,15 @@ def image_dhash_features(assets: DataFrame) -> DataFrame:
                         raise ValueError(f"dhash needs grayscale, got {ch}ch")
                     if w < 2:
                         raise ValueError("dhash needs width >= 2")
+                    if (w - 1) * h > 63:
+                        # int64 guard (r9 ADVICE): a 9x8 grayscale image
+                        # packs 64 bits and overflows the Arrow long —
+                        # degrade to an error row instead of failing the
+                        # whole distributed scan on one oversized image.
+                        raise ValueError(
+                            f"dhash needs (w-1)*h <= 63 bits, got "
+                            f"{(w - 1) * h}"
+                        )
                     hv = 0
                     for r in range(h):
                         for c in range(w - 1):

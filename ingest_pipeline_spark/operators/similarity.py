@@ -834,15 +834,27 @@ def pq_index_upsert(
     spark = base.sparkSession
     first = base.select(vec_col).first()
     if first is None or first[0] is None:
-        # empty/NULL-leading base: empty code table with the declared
-        # schema (the _empty_topk discipline — the empty-input battery
-        # runs every registered query against zero-row tables)
-        return (
-            base.select(F.col(id_col).alias("vec_id"))
-            .limit(0)
-            .withColumn("j", F.lit(0))
-            .withColumn("code", F.lit(0))
-            .withColumn("origin", F.lit(""))
+        # empty/NULL-leading base.  pq_codebook_det is corpus-independent,
+        # so a non-empty delta can still be encoded (r9 ADVICE: the old
+        # short-circuit silently dropped the delta, violating the
+        # documented rebuild-equivalence encode(empty UNION delta) ==
+        # encode(delta)).  Only when BOTH inputs are empty do we return
+        # the empty typed frame (the empty-input battery requires it).
+        dfirst = delta.select(vec_col).first()
+        if dfirst is None or dfirst[0] is None:
+            return (
+                base.select(F.col(id_col).alias("vec_id"))
+                .limit(0)
+                .withColumn("j", F.lit(0))
+                .withColumn("code", F.lit(0))
+                .withColumn("origin", F.lit(""))
+            )
+        dim = len(dfirst[0])
+        if dim % m != 0:
+            raise ValueError(f"vector dim {dim} not divisible by m={m}")
+        cb = pq_codebook_det(spark, m, n_codes, dim // m)
+        return pq_assign(delta, cb, m, dim // m, vec_col, id_col).withColumn(
+            "origin", F.lit("delta")
         )
     dim = len(first[0])
     if dim % m != 0:

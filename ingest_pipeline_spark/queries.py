@@ -68,72 +68,72 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-9 window (r8-verdict ask #1): the 24 oracle-backed round-8
+# Round-10 window (r9-verdict ask #1): the 12 oracle-backed round-9
 # registrations that have never held a driver slot (judge-verified green
-# at sf0.01 at r8 HEAD), plus 26 re-samples of the STALEST greens — the
-# queries whose newest driver row still dates to r1-r3, before the table
-# cache (r5), prefix-scan rewires (r6), and session-conf changes; their
-# old rows certify code that no longer exists.  Two r3-era greens
-# (text_token_fingerprint, validation_battery) don't fit the 50 slots and
-# roll to the round-10 window.  Permanently OUT of the window: the
+# at sf0.01 at r9 HEAD), plus 38 re-samples of the STALEST greens — the
+# two r3 leftovers that missed the r9 window, all 31 oracle-backed
+# queries whose newest driver row dates to r4, and the 5 oldest r5 rows
+# (alphabetical); old rows certify code paths predating the table cache
+# (r5) and prefix-scan rewires (r6).  Permanently OUT of the window: the
 # rows-only-by-design entries (similarity_pq_topk, source_listing,
 # graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
-# corpus_pack_ffd) — each
-# would burn a slot as an eternal `no_oracle`.  List EXACTLY 50 names
-# (sized by test_driver_contract).
+# corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
+# List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled round-8 registrations (oracle-backed)
-    "multimodal_tiff_roundtrip",
-    "dedup_max_spans",
-    "text_bpe_apply_compression",
-    "similarity_index_upsert",
-    "corpus_span_dedup_cut",
-    "embedding_int8_quant_audit",
-    "multimodal_audio_autocorr",
-    "multimodal_tile_stats",
-    "stats_theil_sen",
-    "quality_rater_kappa",
-    "corpus_ngram_novelty",
-    "embedding_hubness_audit",
-    "similarity_recall_probe_curve",
-    "stats_permutation_test",
-    "corpus_source_scorecard",
-    "events_trending_topk",
-    "dedup_minhash_calibration",
-    "dedup_semantic_threshold_sweep",
-    "multimodal_video_frame_stats",
-    "corpus_heaps_curve",
-    "multimodal_modality_router",
-    "sample_kcenter_coreset",
-    "dedup_shingle_size_sweep",
-    "corpus_pack_boundary_sweep",
-    # stalest re-samples (newest driver row r1-r3; infra rewired since)
-    "agg_rollup_orders",
-    "agg_value_counts",
-    "coercion_functions",
-    "conditional_rewrite",
-    "cross_file_consistency",
-    "dedup_fingerprint_docs",
-    "graph_bfs_ancestors",
-    "hash_functions",
-    "join_anti_customers",
-    "join_broadcast_region",
-    "join_contains_keywords",
-    "join_left_coalesce",
-    "join_semi_customers",
-    "json_extract_props",
-    "map_fallback_lang",
-    "multimodal_stub_features",
-    "pivot_event_value",
-    "q10_returned_revenue",
-    "q4_order_priority",
-    "regex_extract_classify",
-    "report_customer_survey",
-    "report_log_mining",
-    "setop_except_intersect",
-    "slice_id_expansion",
-    "string_functions",
-    "text_langid_confusion",
+    # never driver-sampled round-9 registrations (oracle-backed)
+    "dedup_span_coverage_audit",
+    "similarity_pq_index_upsert",
+    "corpus_line_dedup",
+    "stats_benjamini_hochberg",
+    "corpus_token_budget_allocation",
+    "embedding_pq_distortion_by_cell",
+    "multimodal_audio_zero_crossings",
+    "dedup_image_dhash",
+    "similarity_index_delete_compact",
+    "events_late_arrival_audit",
+    "multimodal_video_shot_cuts",
+    "sessionize_gap_sweep",
+    # stalest re-samples: r3 leftovers from the r9 rotation
+    "text_token_fingerprint",
+    "validation_battery",
+    # stalest re-samples: every oracle-backed query last graded r4
+    "agg_distinct_sets",
+    "array_set_ops",
+    "collection_type_inference",
+    "corpus_pack_sequences",
+    "date_functions",
+    "decontaminate_overlap",
+    "dedup_corpus_clean",
+    "dedup_substring_windows",
+    "filter_membership_floor",
+    "incremental_rollup_orders",
+    "messaging_payloads",
+    "provenance_concat",
+    "q17_small_quantity_revenue",
+    "quality_percentiles",
+    "reorganize_plan",
+    "report_usage_monthly",
+    "request_intake_routing",
+    "rules_join_routing",
+    "sample_hash_deterministic",
+    "schema_validate_json_fallback",
+    "session_durations",
+    "similarity_lsh_buckets",
+    "sketch_kmv_distinct",
+    "stream_session_counts",
+    "terminal_status_batch",
+    "text_list_parsing",
+    "text_repetition_scores",
+    "unpivot_lineitem_measures",
+    "upload_integrity",
+    "window_analytics",
+    "workflow_map_routing",
+    # stalest re-samples: the 5 oldest r5-graded rows
+    "agg_cube_orders",
+    "agg_salted_hot_keys",
+    "asof_join_events",
+    "corpus_drift_report",
+    "corpus_mix_rebalance",
 ]
 
 
@@ -18985,11 +18985,11 @@ def corpus_pack_boundary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(tk) / 8.0) AS BIGINT) - 1)) t(i)
       WHERE LEN(tk) > 0),
     fst AS (
-      SELECT line, MIN(doc_id * 1000000 + line_idx) AS first_key
+      SELECT line, MIN(ROW(doc_id, line_idx)) AS first_key
       FROM lines GROUP BY line),
     marked AS (
       SELECT l.doc_id, l.line_tokens,
-             (l.doc_id * 1000000 + l.line_idx <> f.first_key) AS dup
+             (ROW(l.doc_id, l.line_idx) <> f.first_key) AS dup
       FROM lines l JOIN fst f USING (line))
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -19042,7 +19042,11 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lv.line").alias("line"),
         F.col("lv.line_tokens").alias("line_tokens"),
     )
-    key = F.col("doc_id") * 1000000 + F.col("line_idx")
+    # First-occurrence key is a lexicographic struct MIN, not an
+    # arithmetic composite (r9 ADVICE: doc_id*1e6+line_idx mis-orders /
+    # collides for docs with >= 1M pseudo-lines, ~8M tokens — possible
+    # at 100 TB; the struct MIN has no such bound).
+    key = F.struct("doc_id", "line_idx")
     fst = (
         lines.select("line", key.alias("k"))
         .groupBy("line")
@@ -19743,8 +19747,10 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-cut (shot boundary) detection over real-decoded video: per
     clip, the frame-to-frame sum of absolute luma differences, cuts
-    where SAD >= 1400 (16 pixels x ~87 mean |diff| — splits the
-    synthetic clips into cut / no-cut populations), count and first
+    where SAD >= 320 — chosen INSIDE the corpus' measured 114-431 SAD
+    range so it splits the synthetic clips into cut / no-cut
+    populations (the operator's 1400 default targets full-size 16-px
+    frames; these 4x4 clips need the lower bar), count and first
     cut index.  multimodal_video_frame_stats pins frame content and
     stride; this pins INTER-frame structure — a transposed or
     reordered frame list changes every SAD.  Integer end to end; the

@@ -44,18 +44,20 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the round-8 registrations that had
-    # never been driver-sampled must be inside round 9's window (plus a
-    # stale-re-sample spot check), and the permanently-rows-only entries
-    # must NOT burn slots (each would sit as an eternal `no_oracle` row)
+    # the driver grades the first 50: the round-9 registrations that had
+    # never been driver-sampled must be inside round 10's window (plus
+    # stale-re-sample spot checks across the r3/r4/r5 bands), and the
+    # permanently-rows-only entries must NOT burn slots (each would sit
+    # as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("multimodal_tiff_roundtrip", "dedup_max_spans",
-                 "text_bpe_apply_compression", "similarity_index_upsert",
-                 "corpus_span_dedup_cut", "stats_theil_sen",
-                 "similarity_recall_probe_curve", "sample_kcenter_coreset",
-                 "corpus_pack_boundary_sweep",
-                 "agg_rollup_orders", "join_broadcast_region",
-                 "q4_order_priority", "report_log_mining"):
+    for must in ("dedup_span_coverage_audit", "similarity_pq_index_upsert",
+                 "corpus_line_dedup", "stats_benjamini_hochberg",
+                 "dedup_image_dhash", "similarity_index_delete_compact",
+                 "events_late_arrival_audit", "multimodal_video_shot_cuts",
+                 "sessionize_gap_sweep",
+                 "text_token_fingerprint", "validation_battery",
+                 "agg_distinct_sets", "workflow_map_routing",
+                 "agg_cube_orders", "corpus_mix_rebalance"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "similarity_pq_topk" not in first50
     assert "source_listing" not in first50

@@ -1191,8 +1191,8 @@ def test_benjamini_hochberg_matches_reference(spark):
 
 def test_line_dedup_matches_reference(spark):
     """corpus_line_dedup == a pure-Python keep-first line dedup over
-    the same augmented corpus (guards the chunking, the composite
-    first-key, and the partial-last-line token accounting)."""
+    the same augmented corpus (guards the chunking, the struct
+    first-key ordering, and the partial-last-line token accounting)."""
     import re
 
     from ingest_pipeline_spark import queries as q
@@ -1212,13 +1212,13 @@ def test_line_dedup_matches_reference(spark):
             ls.append((i, " ".join(chunk), len(chunk)))
         lines_by_doc[d] = ls
         for i, line, _n in ls:
-            key = d * 1000000 + i
+            key = (d, i)  # lexicographic tuple, mirrors the struct MIN
             if line not in first or key < first[line]:
                 first[line] = key
     expected = {}
     for d, ls in lines_by_doc.items():
         nl = len(ls)
-        rm = [(i, n) for i, line, n in ls if first[line] != d * 1000000 + i]
+        rm = [(i, n) for i, line, n in ls if first[line] != (d, i)]
         expected[d] = (nl, len(rm), sum(n for _i, n in rm))
     got = {
         r.doc_id: (r.n_lines, r.n_lines_removed, r.tokens_removed)

@@ -197,3 +197,36 @@ def test_pq_assign_tie_breaks_on_code(spark):
     )
     (row,) = pq_assign(v, cb, 1, 1).collect()
     assert row.code == 1
+
+
+def test_pq_upsert_empty_base_encodes_delta(spark):
+    """Empty-base + non-empty delta must NOT short-circuit to an empty
+    code table (r9 ADVICE: the old path silently dropped the delta).
+    pq_codebook_det is corpus-independent, so the rebuild-equivalence
+    invariant extends to an empty base: upsert(empty, delta) ==
+    encode(delta), all rows origin='delta'.  Both-empty still returns
+    the empty typed frame (the empty-input battery relies on it)."""
+    from ingest_pipeline_spark.operators.similarity import (
+        pq_assign,
+        pq_codebook_det,
+        pq_index_upsert,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    empty = emb.limit(0)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+
+    up = pq_index_upsert(empty, delta, m=8, n_codes=16)
+    assert up.select("origin").distinct().collect() == [("delta",)]
+    dim = len(delta.select("embedding").first()[0])
+    cb = pq_codebook_det(spark, 8, 16, dim // 8)
+    expect = {
+        (r.vec_id, r.j, r.code)
+        for r in pq_assign(delta, cb, 8, dim // 8).collect()
+    }
+    got = {(r.vec_id, r.j, r.code) for r in up.collect()}
+    assert got == expect and len(got) == delta.count() * 8
+
+    both = pq_index_upsert(empty, empty, m=8, n_codes=16)
+    assert both.count() == 0
+    assert both.columns == ["vec_id", "j", "code", "origin"]

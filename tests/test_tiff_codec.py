@@ -345,3 +345,29 @@ def test_new_extractors_degrade_on_corrupt_media(spark):
                video_shot_cuts):
         out = {r.asset_id: r.decode_ok for r in fn(bad).collect()}
         assert out == {i: False for i in range(1, 7)}, fn.__name__
+
+
+def test_dhash_oversized_image_degrades_to_error_row(spark):
+    """A 9x8 grayscale image packs (9-1)*8 = 64 difference bits — one
+    past what an int64 dhash can hold.  The r9 ADVICE hazard: without
+    the size guard the overflow surfaces at Arrow conversion as a
+    non-ValueError that fails the whole distributed scan on one image.
+    It must instead degrade to an error row, exactly like corrupt
+    bytes; an 8x8 image (56 bits) beside it must still hash."""
+    from ingest_pipeline_spark.operators.multimodal import (
+        image_dhash_features,
+        png_encode,
+    )
+
+    ok = png_encode(8, 8, 1, bytes((r * 8 + c) % 251 for r in range(8)
+                                   for c in range(8)))
+    big = png_encode(9, 8, 1, bytes((r * 9 + c) % 251 for r in range(8)
+                                    for c in range(9)))
+    assets = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(big))],
+        "asset_id long, media binary",
+    )
+    rows = {r.asset_id: r for r in image_dhash_features(assets).collect()}
+    assert rows[1].decode_ok and rows[1].n_bits == 56
+    assert rows[1].dhash is not None
+    assert not rows[2].decode_ok and "63 bits" in rows[2].error
