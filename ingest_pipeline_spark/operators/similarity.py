@@ -1475,3 +1475,203 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picks, "rank int, vec_id long, max_sim_to_prior double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic integer Lloyd's PQ — the LEARNED-codebook scale path with a
+# full DuckDB oracle (r9 verdict ask #4: similarity_pq_topk's only evidence
+# was recall floors).  All arithmetic is exact int64 over 1e-6-quantized
+# ("micro") vector components: init centroids are the md5 grid, each Lloyd
+# round assigns by integer squared distance (min-of-struct hash agg) and
+# recomputes centroids as half-up integer means — so the codebook, the
+# codes, and the ADC scan are bit-reproducible in any engine and under any
+# partitioning, while still being genuinely DATA-LEARNED (unlike
+# pq_codebook_det's corpus-independent grid).  MLlib KMeans (pq_index /
+# pq_topk) stays as the float path, covered by recall/determinism units.
+# ---------------------------------------------------------------------------
+
+
+def _x_micro(
+    df: DataFrame, vec_col: str, id_col: str, d_sub: int
+) -> DataFrame:
+    """Explode vectors to integer micro-units: (id, pos, j, ps, v) with
+    v = round(round(val, 6) * 1e6) as int64.  The inner 6-dp round is
+    the det path's established cross-engine quantization; the outer
+    round only snaps the float product to the integer it already sits
+    within 1e-9 of, so no half-boundary can straddle engines."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "id",
+        "pos",
+        F.round(F.round(F.col("val"), 6) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("v"),
+        (F.col("pos") / d_sub).cast("int").alias("j"),
+        (F.col("pos") % d_sub).cast("int").alias("ps"),
+    )
+
+
+def _lloyd_grid_micro(
+    spark, m: int, n_codes: int, d_sub: int, tag: str
+) -> "list[tuple[int, int, int, int]]":
+    """Init codebook rows [(j, c, ps, cbv_micro)] — pq_codebook_det's
+    md5 grid in micro-units, computed BY Spark so the 6-dp rounding
+    semantics are byte-identical to every other det operator."""
+    cb = pq_codebook_det(spark, m, n_codes, d_sub, tag=tag)
+    rows = cb.select(
+        "j",
+        "c",
+        "ps",
+        F.round(F.col("cb_val") * F.lit(1000000.0), 0).cast("long").alias("cbv"),
+    ).collect()  # bounded: m * n_codes * d_sub rows (8*16*8 = 1024)
+    return [(r.j, r.c, r.ps, r.cbv) for r in rows]
+
+
+def _half_up_mean(s: int, n: int) -> int:
+    """Half-up integer mean, sign-symmetric: round(s/n) with .5 away
+    from zero — mirrors the oracle's CASE/integer-division formula."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * (-s) + n) // (2 * n))
+
+
+def pq_codebook_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    tag: str = "pqlloyd",
+) -> DataFrame:
+    """Learn a PQ codebook by ``iters`` exact integer Lloyd rounds.
+
+    Per round: one distributed job assigns every (vector, subspace) to
+    its nearest centroid by int64 squared micro-distance and reduces
+    per-(j, c, ps) component sums + counts; the <= m*n_codes*d_sub-row
+    (1024 here) census is collected and merged driver-side into the
+    next codebook (bounded-collect convention — the corpus itself is
+    never collected), empty clusters keeping their previous centroid.
+    The exploded corpus is localCheckpointed ONCE and reused by all
+    rounds (the iterative-operator discipline).  Returns the learned
+    (j, c, ps, cbv) frame, int64 micro-units.
+    """
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_codebook_lloyd needs a non-empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    x = _x_micro(df, vec_col, id_col, d_sub).localCheckpoint(eager=True)
+    cb = _lloyd_grid_micro(spark, m, n_codes, d_sub, tag)
+    for _t in range(iters):
+        cb_df = spark.createDataFrame(cb, "j int, c int, ps int, cbv long")
+        diff = F.col("v") - F.col("cbv")
+        asg = (
+            x.join(F.broadcast(cb_df), ["j", "ps"])
+            .groupBy("id", "j", "c")
+            .agg(F.sum(diff * diff).alias("dist2"))
+            .groupBy("id", "j")
+            .agg(F.min(F.struct("dist2", "c")).alias("mn"))
+            .select("id", "j", F.col("mn.c").alias("code"))
+        )
+        census = {
+            (r.j, r.code, r.ps): (r.s, r.n)
+            for r in (
+                asg.join(x, ["id", "j"])
+                .groupBy("j", "code", "ps")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+        }
+        cb = [
+            (j, c, ps, _half_up_mean(*census[(j, c, ps)])
+             if (j, c, ps) in census else cbv)
+            for (j, c, ps, cbv) in cb
+        ]
+    return spark.createDataFrame(cb, "j int, c int, ps int, cbv long")
+
+
+def pq_topk_lloyd(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    refine: int = 2,
+) -> DataFrame:
+    """PQ ANN with the Lloyd-LEARNED integer codebook: encode -> ADC
+    lookup-table scan -> exact integer refine, the same three stages
+    as pq_topk_det but with int64 micro arithmetic end to end, so the
+    whole pipeline (codebook learning included) hash-matches the
+    DuckDB oracle.  Scale: the corpus meets only the broadcast 1024-row
+    codebook (encode) and the broadcast queries x codebook LUT (ADC);
+    it is shuffled once, on the (query, doc) agg key."""
+    spark = corpus.sparkSession
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        return _empty_topk(queries, id_col)
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    cb = pq_codebook_lloyd(corpus, vec_col, id_col, m, n_codes, iters)
+    x = _x_micro(corpus, vec_col, id_col, d_sub)
+    diff = F.col("v") - F.col("cbv")
+    codes = (
+        x.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("id", "j", "c")
+        .agg(F.sum(diff * diff).alias("dist2"))
+        .groupBy("id", "j")
+        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
+        .select("id", "j", F.col("mn.c").alias("code"))
+    )
+    qx = _x_micro(queries, vec_col, id_col, d_sub).withColumnsRenamed(
+        {"id": "query_id", "v": "qv"}
+    )
+    lut = (
+        qx.join(F.broadcast(cb), ["j", "ps"])
+        .groupBy("query_id", "j", "c")
+        .agg(F.sum(F.col("qv") * F.col("cbv")).alias("pdot"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["j"] == lut["j"]) & (codes["code"] == lut["c"]),
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("pdot").alias("approx_dot"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("id")
+    )
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= refine * k)
+        .select("query_id", "id")
+    )
+    ex = (
+        cand.join(x.select("id", "pos", "v"), "id")
+        .join(F.broadcast(qx.select("query_id", "pos", "qv")), ["query_id", "pos"])
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_i"), F.asc("id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.col("dot_i").cast("double") / F.lit(1000000000000.0)).alias("dot"),
+            "rank",
+        )
+    )

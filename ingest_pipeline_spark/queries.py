@@ -75,9 +75,12 @@ def register(name: str, oracle: str | None):
 # queries whose newest driver row dates to r4, and the 5 oldest r5 rows
 # (alphabetical); old rows certify code paths predating the table cache
 # (r5) and prefix-scan rewires (r6).  Permanently OUT of the window: the
-# rows-only-by-design entries (similarity_pq_topk, source_listing,
-# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
-# corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
+# rows-only-by-design entries (source_listing, graph_kcore_parts,
+# text_bpe_learn_merges, graph_mst_copurchase, corpus_pack_ffd) — each
+# would burn a slot as an eternal `no_oracle`.  similarity_pq_topk
+# turned oracle-backed in r10 (integer Lloyd codebook) and joins the
+# r11 window as a never-sampled entry; this round's composition is
+# fixed by the r9 verdict ask.
 # List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
     # never driver-sampled round-9 registrations (oracle-backed)
@@ -2172,20 +2175,119 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_pq_topk", None)
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (scale path #3): ADC compressed-domain
-    scan + exact re-rank of the top candidates.
-
-    Non-SQL-expressible (KMeans codebooks) → rows-only driver check;
-    recall vs the exact inner-product ranking, re-rank exactness, and
-    seed determinism are asserted in tests/test_storage_ivf.py.
+def _pq_lloyd_oracle(iters: int = 3, k: int = 3, refine: int = 2) -> str:
+    """Unrolled DuckDB oracle for the integer Lloyd PQ pipeline: the
+    same grid init, ``iters`` assign/update rounds (half-up integer
+    means, empty clusters keep the old centroid), encode, ADC scan and
+    exact refine — every value int64-exact, so no float boundary can
+    straddle engines (the graph_lpa MATERIALIZED-unroll discipline)."""
+    sql = """
+    WITH x AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+             CAST((i - 1) // 8 AS INT) AS j, CAST((i - 1) % 8 AS INT) AS ps,
+             CAST(ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+                        * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS v
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    cb0 AS (
+      SELECT j, c, ps,
+             CAST(ROUND(ROUND(
+               (CAST('0x' || SUBSTR(MD5('pqlloyd:' || j || ':' || c || ':' || ps), 1, 8)
+                     AS BIGINT) / 4294967296.0) * 2 - 1, 6)
+               * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS cbv
+      FROM UNNEST(GENERATE_SERIES(0, 7)) tj(j),
+           UNNEST(GENERATE_SERIES(0, 15)) tc(c),
+           UNNEST(GENERATE_SERIES(0, 7)) tp(ps))"""
+    for t in range(iters):
+        sql += f""",
+    enc{t} AS (
+      SELECT id, j, c, SUM((v - cbv) * (v - cbv)) AS dist2
+      FROM x JOIN cb{t} USING (j, ps) GROUP BY id, j, c),
+    asg{t} AS (
+      SELECT id, j, c AS code FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM enc{t}) WHERE rn = 1),
+    upd{t} AS (
+      SELECT a.j, a.code AS c, x.ps,
+             CAST(SUM(x.v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM asg{t} a JOIN x ON x.id = a.id AND x.j = a.j
+      GROUP BY a.j, a.code, x.ps),
+    cb{t + 1} AS (
+      SELECT cb.j, cb.c, cb.ps,
+             CAST(COALESCE(
+               CASE WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+                    ELSE -((2 * (-u.s) + u.n) // (2 * u.n)) END,
+               cb.cbv) AS BIGINT) AS cbv
+      FROM cb{t} cb LEFT JOIN upd{t} u USING (j, c, ps))"""
+    sql += f""",
+    encF AS (
+      SELECT id, j, c, SUM((v - cbv) * (v - cbv)) AS dist2
+      FROM x JOIN cb{iters} USING (j, ps) GROUP BY id, j, c),
+    codes AS (
+      SELECT id, j, c AS code FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j
+                                  ORDER BY dist2 ASC, c ASC) AS rn
+        FROM encF) WHERE rn = 1),
+    qx AS (SELECT id AS query_id, pos, j, ps, v AS qv FROM x WHERE id < 5),
+    lut AS (
+      SELECT query_id, j, c, CAST(SUM(qv * cbv) AS BIGINT) AS pdot
+      FROM qx JOIN cb{iters} USING (j, ps) GROUP BY query_id, j, c),
+    adc AS (
+      SELECT l.query_id, co.id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+      FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.c
+      WHERE co.id <> l.query_id
+      GROUP BY l.query_id, co.id),
+    cand AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dot DESC, id ASC) AS rn
+        FROM adc) WHERE rn <= {refine * k}),
+    ex AS (
+      SELECT cd.query_id, cd.id, CAST(SUM(q.qv * v.v) AS BIGINT) AS dot_i
+      FROM cand cd
+      JOIN x v ON v.id = cd.id
+      JOIN qx q ON q.query_id = cd.query_id AND q.pos = v.pos
+      GROUP BY cd.query_id, cd.id)
+    SELECT query_id, id AS neighbor_id,
+           CAST(dot_i AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS dot,
+           rank
+    FROM (SELECT query_id, id, dot_i,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot_i DESC, id ASC) AS rank
+          FROM ex)
+    WHERE rank <= {k}
     """
-    from .operators.similarity import pq_topk
+    return sql
+
+
+@register("similarity_pq_topk", _pq_lloyd_oracle(iters=3, k=3, refine=2))
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with a LEARNED codebook (scale path
+    #3): 3 exact integer Lloyd rounds from the md5 grid init, then the
+    classic encode → ADC lookup-table scan → exact re-rank.
+
+    Until r10 this query rode MLlib KMeans codebooks and was rows-only
+    (its sole evidence recall floors — the r9 verdict's ask #4); the
+    integer Lloyd trainer (operators/similarity.py pq_codebook_lloyd)
+    keeps the learned-codebook character while making every stage —
+    training included — hash-match the unrolled DuckDB oracle.  The
+    float MLlib path (pq_index / pq_topk) remains as an operator under
+    recall/determinism/upsert units (tests/test_storage_ivf.py,
+    tests/test_index_upsert.py).  A pure-Python integer Lloyd
+    reference (tests/test_estimator_references.py) pins the trainer
+    against a third implementation.  Scale: per round, the corpus
+    meets only the broadcast 1024-row codebook and reduces to a
+    <=1024-row census (bounded driver merge); the ADC scan shuffles
+    the corpus once, on the (query, doc) agg key.
+    """
+    from .operators.similarity import pq_topk_lloyd
 
     emb = _t(spark, sf_dir)["embeddings"]
     probe = emb.filter(F.col("vec_id") < 5)
-    return pq_topk(emb, probe, k=3)
+    return pq_topk_lloyd(emb, probe, k=3, m=8, n_codes=16, iters=3, refine=2)
 
 
 @register(

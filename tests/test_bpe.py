@@ -347,3 +347,44 @@ def test_accept_batch_branch_matrix():
     concat = [{"a": "ab", "b": "c", "cnt": 50}, {"a": "x", "b": "ab", "cnt": 40}]
     got = _accept_batch([rows[0]] + concat, 4, 2, {})
     assert got == [("a", "b", 100)]  # both later pairs touch 'ab'
+
+
+def test_delta_census_equals_full_on_real_corpus(spark):
+    """census_mode='delta' (standing census + per-round ±deltas over
+    only the contains-affected histogram rows) must produce a merge
+    table BIT-IDENTICAL to census_mode='full' (whole-vocabulary
+    recount each round) — the exactness claim behind the r10
+    delta-maintenance rewire.  Run on the real sf0.001 corpus plus the
+    adversarial interference family, batched and sequential."""
+    from ingest_pipeline_spark.operators.bpe import word_histogram
+    from ingest_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = word_histogram(docs).localCheckpoint(eager=True)
+    for cap in (16, 1):
+        stats_d: dict = {}
+        full = learn_bpe_merges(
+            spark, words, 24, batch_cap=cap, census_mode="full"
+        ).collect()
+        delta = learn_bpe_merges(
+            spark, words, 24, batch_cap=cap, census_mode="delta",
+            stats=stats_d,
+        ).collect()
+        assert [tuple(r) for r in delta] == [tuple(r) for r in full], cap
+        assert stats_d["census_mode"] == "delta"
+        assert stats_d.get("affected_rows", 0) > 0
+
+    freqs = {
+        "the": 50, "then": 30, "theme": 20, "than": 15,
+        "aaa": 40, "aaaa": 10, "banana": 25, "band": 12,
+    }
+    words2 = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    full2 = learn_bpe_merges(
+        spark, words2, 16, census_mode="full"
+    ).collect()
+    delta2 = learn_bpe_merges(
+        spark, words2, 16, census_mode="delta"
+    ).collect()
+    assert [tuple(r) for r in delta2] == [tuple(r) for r in full2]

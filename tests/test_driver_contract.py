@@ -21,7 +21,6 @@ def test_registry_and_oracles_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "source_listing",
-        "similarity_pq_topk",
         "graph_kcore_parts",  # iterative peeling: not SQL-expressible
         "text_bpe_learn_merges",  # iterative merge loop: reference-
         # trainer equality unit instead (tests/test_bpe.py)
@@ -59,6 +58,9 @@ def test_driver_first_block_is_registered_and_sized():
                  "agg_distinct_sets", "workflow_map_routing",
                  "agg_cube_orders", "corpus_mix_rebalance"):
         assert must in first50, f"{must} fell out of the driver's window"
+    # similarity_pq_topk turned oracle-backed in r10 (integer Lloyd
+    # codebook) — it joins the r11 window as a never-sampled entry; this
+    # round's 50 slots are fixed by the r9 verdict's composition ask.
     assert "similarity_pq_topk" not in first50
     assert "source_listing" not in first50
     assert "graph_kcore_parts" not in first50

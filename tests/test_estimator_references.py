@@ -1256,3 +1256,102 @@ def test_token_budget_allocation_matches_reference(spark):
     }
     assert got == expected
     assert sum(v[3] for v in got.values()) == budget  # budget exhausted
+
+
+def test_pq_lloyd_codebook_and_topk_match_reference(spark):
+    """pq_codebook_lloyd / pq_topk_lloyd == a pure-Python integer
+    Lloyd's + ADC pipeline over the same parquet (the r9 verdict ask:
+    the learned-PQ registry entry must not rest on recall floors
+    alone).  Guards the micro quantization, the md5 grid init, the
+    (dist2, c) argmin tiebreak, the half-up integer mean, the
+    empty-cluster keep rule, ADC self-exclusion, and both rank
+    tiebreaks — EXACT equality end to end, no tolerances."""
+    import hashlib
+
+    from ingest_pipeline_spark.operators.similarity import (
+        pq_codebook_lloyd,
+        pq_topk_lloyd,
+    )
+    from ingest_pipeline_spark.tables import load_table
+
+    M, NC, DSUB, ITERS, K, REFINE = 8, 16, 8, 3, 3, 2
+
+    def micro(v: float) -> int:
+        return int(_dec6(v) * 10**6)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [micro(v) for v in e]
+        for i, e in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+    }
+
+    def grid_val(j: int, c: int, ps: int) -> int:
+        u = int(hashlib.md5(f"pqlloyd:{j}:{c}:{ps}".encode()).hexdigest()[:8], 16)
+        return micro((u / 4294967296.0) * 2 - 1)
+
+    cb = {(j, c, ps): grid_val(j, c, ps)
+          for j in range(M) for c in range(NC) for ps in range(DSUB)}
+
+    def hu_mean(s: int, n: int) -> int:
+        return (2 * s + n) // (2 * n) if s >= 0 else -((2 * -s + n) // (2 * n))
+
+    def assign(cbk):
+        out = {}
+        for vid, v in vecs.items():
+            for j in range(M):
+                sub = v[j * DSUB:(j + 1) * DSUB]
+                out[(vid, j)] = min(
+                    range(NC),
+                    key=lambda c: (
+                        sum((sub[ps] - cbk[(j, c, ps)]) ** 2
+                            for ps in range(DSUB)),
+                        c,
+                    ),
+                )
+        return out
+
+    for _ in range(ITERS):
+        asg = assign(cb)
+        sums: dict[tuple, list] = {}
+        for (vid, j), c in asg.items():
+            for ps in range(DSUB):
+                k2 = (j, c, ps)
+                s, n = sums.get(k2, (0, 0))
+                sums[k2] = (s + vecs[vid][j * DSUB + ps], n + 1)
+        cb = {k2: (hu_mean(*sums[k2]) if k2 in sums else old)
+              for k2, old in cb.items()}
+
+    emb = load_table(spark, SF, "embeddings")
+    got_cb = {
+        (r.j, r.c, r.ps): r.cbv
+        for r in pq_codebook_lloyd(emb, m=M, n_codes=NC, iters=ITERS).collect()
+    }
+    assert got_cb == cb
+
+    # full pipeline: encode, ADC (self excluded), refine — exact ranks
+    codes = assign(cb)
+    expected = {}
+    for q_id in [i for i in vecs if i < 5]:
+        qv = vecs[q_id]
+        lut = {
+            (j, c): sum(qv[j * DSUB + ps] * cb[(j, c, ps)]
+                        for ps in range(DSUB))
+            for j in range(M) for c in range(NC)
+        }
+        adc = {
+            vid: sum(lut[(j, codes[(vid, j)])] for j in range(M))
+            for vid in vecs if vid != q_id
+        }
+        cand = sorted(adc, key=lambda i: (-adc[i], i))[: REFINE * K]
+        exact = {i: sum(a * b for a, b in zip(qv, vecs[i])) for i in cand}
+        for rank, nid in enumerate(
+            sorted(exact, key=lambda i: (-exact[i], i))[:K], start=1
+        ):
+            expected[(q_id, nid)] = (exact[nid] / 1000000000000.0, rank)
+    probe = emb.filter("vec_id < 5")
+    got = {
+        (r.query_id, r.neighbor_id): (r.dot, r.rank)
+        for r in pq_topk_lloyd(emb, probe, k=K, iters=ITERS,
+                               refine=REFINE).collect()
+    }
+    assert got == expected and len(got) == 5 * K
