@@ -1355,3 +1355,49 @@ def test_pq_lloyd_codebook_and_topk_match_reference(spark):
                                refine=REFINE).collect()
     }
     assert got == expected and len(got) == 5 * K
+
+
+def test_matryoshka_agreement_matches_reference(spark):
+    """embedding_matryoshka_agreement == a pure-Python Decimal
+    prefix-dot pipeline (guards the band boundaries 8/16/32/64 — which
+    the oracle mirrors — the self-exclusion, the (dot DESC, id ASC)
+    tiebreak, and the /3 overlap normalization)."""
+    from ingest_pipeline_spark import queries as q
+
+    def dec12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [float(_dec6(v)) for v in e]
+        for i, e in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+    }
+    probes = [i for i in vecs if i < 20]
+    expected = {}
+    for dim in (8, 16, 32, 64):
+        agree, overlap = 0, 0
+        for qid in probes:
+            def top3(d):
+                dots = {
+                    i: sum((dec12(vecs[qid][p] * vecs[i][p])
+                            for p in range(d)), Decimal(0))
+                    for i in vecs if i != qid
+                }
+                return sorted(dots, key=lambda i: (-dots[i], i))[:3]
+
+            full = top3(64)
+            pre = top3(dim)
+            agree += pre[0] == full[0]
+            overlap += len(set(pre) & set(full))
+        expected[dim] = (
+            len(probes),
+            agree,
+            float(_dec6(overlap / (3.0 * len(probes)))),
+        )
+    got = {
+        r.prefix_dim: (r.n_queries, r.n_top1_agree, r.avg_top3_overlap)
+        for r in q.queries()["embedding_matryoshka_agreement"](
+            spark, SF
+        ).collect()
+    }
+    assert got == expected
