@@ -261,3 +261,54 @@ def test_jpeg_flows_through_image_extractors(spark):
     dh = {r.asset_id: r for r in image_dhash_features(assets).collect()}
     assert dh[3].decode_ok and dh[3].n_bits == 56
     assert not dh[2].decode_ok
+
+
+def test_fuzz_mutated_streams_raise_only_valueerror():
+    """Error-class containment (the ADVICE failure class): any byte
+    mutation of a valid JPEG must either decode or raise ValueError —
+    never an IndexError/struct.error/KeyError that would escape the
+    extractors' error-row discipline and fail a distributed scan."""
+    import random
+
+    rng = random.Random(42)
+    w, h, img = _tile_image(3, 2, lambda tx, ty: (91 * tx + 17 * ty) % 256)
+    base = bytearray(jpeg_encode(w, h, 1, img, restart_interval=2))
+    for _ in range(400):
+        blob = bytearray(base)
+        for _m in range(rng.randrange(1, 4)):
+            op = rng.randrange(3)
+            if op == 0 and len(blob) > 4:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+            elif op == 1 and len(blob) > 8:
+                del blob[rng.randrange(len(blob)) :]
+            else:
+                blob.insert(rng.randrange(len(blob) + 1), rng.randrange(256))
+        try:
+            res = jpeg_decode(bytes(blob))
+            assert isinstance(res, tuple) and len(res) == 5
+        except ValueError:
+            pass
+
+
+def test_hypothesis_roundtrip_arbitrary_images():
+    """Property: every 8-bit grayscale image roundtrips within 1 level
+    at q=1, at every geometry hypothesis throws at it (partial blocks,
+    single pixels, wide/tall strips)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.binary(min_size=1600, max_size=1600),
+        st.integers(0, 5),
+    )
+    def roundtrip(w, h, raw, ri):
+        img = raw[: w * h]
+        blob = jpeg_encode(w, h, 1, img, restart_interval=ri)
+        gw, gh, ch, bd, out = jpeg_decode(blob)
+        assert (gw, gh, ch, bd) == (w, h, 1, 8)
+        assert max(abs(a - b) for a, b in zip(img, out)) <= 1
+
+    roundtrip()

@@ -103,6 +103,11 @@ REPRESENTATIVE = [
     # merge order; pigeonhole chunk join + distinct pair dedup
     "similarity_pq_index_upsert",
     "dedup_image_dhash",
+    # r10 hazard classes: integer Lloyd codebook (census collect/merge
+    # order must not leak into the learned centroids) and prefix-band
+    # decimal dots ranked under a per-(dim, query) window
+    "similarity_pq_topk",
+    "embedding_matryoshka_agreement",
 ]
 
 

@@ -145,7 +145,10 @@ def test_decode_image_features_mixed_media(spark):
     ok = rows[1]
     assert ok.decode_ok and (ok.width, ok.height, ok.channels) == (4, 2, 1)
     assert ok.px_sum == sum(px) and ok.px_min == min(px) and ok.px_max == max(px)
-    assert not rows[2].decode_ok and "not a PNG" in rows[2].error
+    # FFD8FF magic now routes to the real JPEG decoder (r10), so the
+    # junk degrades with a JPEG marker-walk error instead of falling
+    # through to PNG's "not a PNG"
+    assert not rows[2].decode_ok and "segment" in rows[2].error
     assert not rows[3].decode_ok
     assert not rows[4].decode_ok
     # plan: Arrow-batched MapInPandas, no driver-side loop
