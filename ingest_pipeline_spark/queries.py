@@ -20175,3 +20175,156 @@ def embedding_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("prefix_dim").cast("int").alias("prefix_dim"),
         "n_queries", "n_top1_agree", "avg_top3_overlap",
     )
+
+
+@register(
+    "corpus_dsir_selection",
+    """
+    WITH tk AS (
+      SELECT doc_id, source, lang,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    tb AS (
+      SELECT doc_id, source, lang,
+             CAST('0x' || SUBSTRING(MD5(tok), 1, 8) AS BIGINT) % 512 AS b
+      FROM tk),
+    db AS (SELECT doc_id, source, lang, b, CAST(COUNT(*) AS BIGINT) AS c_db
+           FROM tb GROUP BY 1, 2, 3, 4),
+    br AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM tb GROUP BY 1),
+    bt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t
+           FROM tb WHERE lang = 'en' GROUP BY 1),
+    scal AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                    (SELECT CAST(SUM(c_t) AS BIGINT) FROM bt) AS n_t
+             FROM br),
+    w AS (
+      SELECT br.b,
+             LN(CAST(COALESCE(bt.c_t, 0) + 1 AS DOUBLE)
+                / CAST(scal.n_t + 512 AS DOUBLE))
+           - LN(CAST(br.c_r + 1 AS DOUBLE)
+                / CAST(scal.n_r + 512 AS DOUBLE)) AS wgt
+      FROM br CROSS JOIN scal LEFT JOIN bt ON bt.b = br.b),
+    lw AS (
+      SELECT db.doc_id, db.source, db.lang,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(db.c_db AS DOUBLE) * w.wgt, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS lw6
+      FROM db JOIN w ON db.b = w.b GROUP BY 1, 2, 3),
+    sel AS (SELECT doc_id, source, lang, lw6 FROM lw
+            ORDER BY lw6 DESC, doc_id LIMIT 100),
+    per_s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM lw GROUP BY 1),
+    sel_s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected_en,
+             CAST(SUM(CAST(lw6 AS DECIMAL(18,6))) AS DOUBLE) AS sum_lw
+      FROM sel GROUP BY 1)
+    SELECT p.source, p.n_docs,
+           COALESCE(s.n_selected, 0) AS n_selected,
+           COALESCE(s.n_selected_en, 0) AS n_selected_en,
+           ROUND(COALESCE(s.sum_lw, 0.0), 6) AS sum_selected_logweight
+    FROM per_s p LEFT JOIN sel_s s ON s.source = p.source
+    """,
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance ratio of a hashed-unigram bag-of-words model
+    fit on the TARGET slice (lang='en' here) vs the RAW corpus, then
+    keep the top-100 — the cited recipe for steering a 100 TB crawl
+    toward a target domain without training a classifier.
+
+    Distributed shape: the two language models are ONE 512-row bucket
+    table (hashed features cap the model at 512 rows regardless of
+    vocabulary size) built from a shared exploded token relation
+    (localCheckpointed — three consumers); per-doc scores come from a
+    broadcast join of that table against per-(doc,bucket) counts, so
+    the corpus is shuffled once on (doc,bucket) and never again.
+    Selection is an ordered LIMIT (TakeOrderedAndProject — map-side
+    top-k, no global sort).  Engine parity: buckets are md5-derived,
+    each ln-ratio term is the identical IEEE expression both engines
+    (LN parity rule), per-doc contributions rounded 12 dp and
+    decimal-summed, scores rounded 6 dp BEFORE the top-k rank with a
+    doc_id tiebreak.  Pure-Python reference unit guards the mirrored
+    smoothing constants (tests/test_dsir_reference.py).
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    docs = _t(spark, sf_dir)["documents"]
+    tb = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.pmod(hex_prefix_to_long(F.md5(F.col("tok"))), F.lit(512)).alias("b"),
+        )
+        .localCheckpoint(eager=True)  # three aggregations share it
+    )
+    db = tb.groupBy("doc_id", "source", "lang", "b").agg(
+        F.count("*").cast("bigint").alias("c_db")
+    )
+    br = tb.groupBy("b").agg(F.count("*").cast("bigint").alias("c_r"))
+    bt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("c_t"))
+    )
+    scal = br.agg(F.sum("c_r").cast("bigint").alias("n_r")).crossJoin(
+        F.broadcast(bt.agg(F.sum("c_t").cast("bigint").alias("n_t")))
+    )
+    w = (
+        br.crossJoin(F.broadcast(scal))
+        .join(bt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_t") + 512).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + 512).cast("double")
+                )
+            ).alias("wgt"),
+        )
+    )
+    lw = (
+        db.join(F.broadcast(w), "b")
+        .withColumn(
+            "term",
+            F.round(F.col("c_db").cast("double") * F.col("wgt"), 12).cast(
+                "decimal(28,12)"
+            ),
+        )
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("lw6"))
+        .localCheckpoint(eager=True)  # census + selection share it
+    )
+    sel = lw.orderBy(F.desc("lw6"), F.asc("doc_id")).limit(100)
+    per_s = lw.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    sel_s = sel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected_en"),
+        F.sum(F.col("lw6").cast("decimal(18,6)")).cast("double").alias("sum_lw"),
+    )
+    return per_s.join(F.broadcast(sel_s), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce(F.col("n_selected_en"), F.lit(0))
+        .cast("bigint")
+        .alias("n_selected_en"),
+        F.round(F.coalesce(F.col("sum_lw"), F.lit(0.0)), 6).alias(
+            "sum_selected_logweight"
+        ),
+    )
