@@ -701,3 +701,77 @@ def span_coverage_audit(
             6,
         ).alias("occ_share"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-boundary rule — the rsync /
+    LBFS / FastCDC family): cut after any char position whose rolling
+    k-gram hash is ≡ 0 (mod divisor), giving variable-size chunks with
+    expected length ≈ divisor that REALIGN after insertions — a fixed
+    block grid shifts wholesale on a one-char prefix edit, a
+    content-defined grid re-synchronizes at the next boundary, which
+    is what makes chunk-level dedup work on near-identical documents.
+
+    Returns (id, start, end, chunk_len, digest) — 1-indexed inclusive
+    spans over the NORMALIZED text, digest = md5(chunk).  Distributed
+    shape: boundary detection is the shuffle-free rolling-hash
+    Generate + codegen arithmetic (functions/text.rolling_hashes'
+    plan); chunk assembly is ONE keyed window over the per-doc cut
+    offsets (rows ∝ cuts, never chars); chunk text is a codegen
+    substring at extraction.  Every step is engine-portable integer
+    arithmetic (md5 digests, base-257 mod 1e9+7 hashes).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import ROLLING_BASE, ROLLING_MOD, normalize_text
+
+    s = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), s.alias("__s"), F.length(s).alias("__n")
+    ).filter(F.col("__n") >= 1)
+    # two consumers (cut detection + chunk extraction) share the
+    # normalized relation; without this the regex pipeline re-runs
+    base = base.localCheckpoint(eager=True)
+
+    pos = base.filter(F.col("__n") >= k).select(
+        "id",
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("pos"),
+    )
+    terms = [
+        F.ascii(F.col("__s").substr(F.col("pos") + j, F.lit(1))).cast("long")
+        * F.lit(pow(ROLLING_BASE, j, ROLLING_MOD))
+        for j in range(k)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    rhash = F.pmod(total, F.lit(ROLLING_MOD))
+    cuts = pos.select(
+        "id", (F.col("pos") + (k - 1)).alias("cut")
+    ).filter(F.pmod(rhash, F.lit(divisor)) == 0)
+    # sentinel: every doc ends at its last char (may duplicate a hash
+    # cut at exactly n — distinct collapses it)
+    allc = cuts.unionByName(
+        base.select("id", F.col("__n").alias("cut"))
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("cut")
+    iv = allc.select(
+        "id",
+        (F.coalesce(F.lag("cut").over(w), F.lit(0)) + 1).alias("start"),
+        F.col("cut").alias("end"),
+    )
+    ln = F.col("end") - F.col("start") + 1
+    return iv.join(base, "id").select(
+        "id",
+        "start",
+        "end",
+        ln.alias("chunk_len"),
+        F.md5(F.col("__s").substr(F.col("start"), ln)).alias("digest"),
+    )

@@ -20328,3 +20328,122 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_selected_logweight"
         ),
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    """
+    WITH u AS (
+      SELECT doc_id AS id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, 'zq9 ' || text
+      FROM documents WHERE doc_id % 10 = 0),
+    norm AS (
+      SELECT id, source,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS s
+      FROM u),
+    base AS (SELECT id, source, s, LENGTH(s) AS n
+             FROM norm WHERE LENGTH(s) >= 1),
+    pos AS (
+      SELECT id, s, i
+      FROM base, UNNEST(GENERATE_SERIES(1, n - 7)) t(i)
+      WHERE n >= 8),
+    cuts AS (
+      SELECT id, i + 7 AS cut FROM pos
+      WHERE (( CAST(ORD(SUBSTR(s, i + 0, 1)) AS BIGINT) * 1
+             + CAST(ORD(SUBSTR(s, i + 1, 1)) AS BIGINT) * 257
+             + CAST(ORD(SUBSTR(s, i + 2, 1)) AS BIGINT) * 66049
+             + CAST(ORD(SUBSTR(s, i + 3, 1)) AS BIGINT) * 16974593
+             + CAST(ORD(SUBSTR(s, i + 4, 1)) AS BIGINT) * 362470373
+             + CAST(ORD(SUBSTR(s, i + 5, 1)) AS BIGINT) * 154885210
+             + CAST(ORD(SUBSTR(s, i + 6, 1)) AS BIGINT) * 805498697
+             + CAST(ORD(SUBSTR(s, i + 7, 1)) AS BIGINT) * 13163680)
+             % 1000000007) % 64 = 0),
+    allc AS (
+      SELECT DISTINCT id, cut FROM (
+        SELECT id, cut FROM cuts
+        UNION ALL SELECT id, n FROM base)),
+    iv AS (
+      SELECT id,
+             COALESCE(LAG(cut) OVER (PARTITION BY id ORDER BY cut), 0) + 1
+               AS start,
+             cut AS fin
+      FROM allc),
+    ch AS (
+      SELECT iv.id, base.source, iv.start,
+             CAST(iv.fin - iv.start + 1 AS BIGINT) AS chunk_len,
+             MD5(SUBSTR(base.s, iv.start, iv.fin - iv.start + 1)) AS digest
+      FROM iv JOIN base ON base.id = iv.id),
+    canon AS (
+      SELECT digest, MIN(ROW(id, start)) AS first_key
+      FROM ch GROUP BY digest),
+    marked AS (
+      SELECT ch.source, ch.chunk_len,
+             (ROW(ch.id, ch.start) <> c.first_key) AS dup
+      FROM ch JOIN canon c USING (digest))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS chunk_bytes,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dup_chunks,
+           CAST(COALESCE(SUM(chunk_len) FILTER (WHERE dup), 0) AS BIGINT)
+             AS dup_bytes,
+           ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chunk_len
+    FROM marked GROUP BY source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (rsync / LBFS / FastCDC family):
+    cut every document into variable-size chunks at Rabin rolling-hash
+    boundaries (hash ≡ 0 mod 64 over char-8-grams), dedup chunks by
+    md5 across the whole corpus, report per-source chunk census and
+    duplicate-byte savings.  The augmented corpus prepends a 4-char
+    token to every 10th doc — a FIXED block grid would shift wholesale
+    and share nothing with the original; the content-defined grid
+    re-synchronizes at the first boundary, so the copies' tail chunks
+    dedup against their originals (visible as dup_bytes ≫ the copies'
+    own prefix bytes).
+
+    Shape: boundary detection is the shuffle-free rolling-hash
+    Generate (operators/dedup.cdc_chunks); chunk assembly is one
+    keyed window over per-doc CUT OFFSETS (rows ∝ cuts ≈ chars/64,
+    never per char); first-occurrence attribution is the MIN-struct
+    inverted index (corpus_line_dedup's discipline) — no pairwise
+    join anywhere.  All-integer output except the final ratio.
+    """
+    from .operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir)["documents"]
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("zq9 "), F.col("text")).alias("text"),
+    )
+    u = docs.select("doc_id", "source", "text").unionByName(copies)
+    ch = cdc_chunks(u, "text", "doc_id", k=8, divisor=64)
+    src = u.select(F.col("doc_id").alias("id"), "source")
+    ch = ch.join(src, "id")
+    canon = ch.groupBy("digest").agg(
+        F.min(F.struct("id", "start")).alias("first_key")
+    )
+    marked = ch.join(canon, "digest").withColumn(
+        "dup",
+        (F.col("id") != F.col("first_key.id"))
+        | (F.col("start") != F.col("first_key.start")),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("chunk_bytes"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.coalesce(
+            F.sum(F.when(F.col("dup"), F.col("chunk_len"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dup_bytes"),
+        F.round(
+            F.sum("chunk_len").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_chunk_len"),
+    )
