@@ -2069,3 +2069,52 @@ def embeddings_to_jpeg(
     return emb.select(id_col, vec_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
+
+
+def image_downsample_area(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode each image (PNG/TIFF/JPEG magic
+    dispatch) and area-average every factor x factor block — the
+    standard anti-aliased downscale (PIL's Image.Resampling.BOX /
+    OpenCV INTER_AREA) a vision-training pipeline runs before patch
+    embedding.  Block means are EXACT half-up integer division
+    ``(sum + n//2) // n`` so results are engine-reproducible (no float
+    filtering); edge blocks clamp to image bounds and average their
+    actual pixel count.  Grayscale only (channels == 1); other media
+    degrade to error rows.  Emits (asset_id, out_w, out_h,
+    pixels array<int> row-major, decode_ok, error) — mapInPandas
+    row-local, one pass, no shuffle.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    out_schema = (
+        "asset_id long, out_w int, out_h int, pixels array<int>, "
+        "decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "out_w", "out_h", "pixels", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, ch, _bd, px = _image_decode_dispatch(b)
+                    if ch != 1:
+                        raise ValueError(f"downsample needs grayscale, got {ch}ch")
+                    ow = (w + factor - 1) // factor
+                    oh = (h + factor - 1) // factor
+                    out = []
+                    for by in range(oh):
+                        for bx in range(ow):
+                            vals = [
+                                px[y * w + x]
+                                for y in range(by * factor, min((by + 1) * factor, h))
+                                for x in range(bx * factor, min((bx + 1) * factor, w))
+                            ]
+                            out.append((sum(vals) + len(vals) // 2) // len(vals))
+                    rows.append((aid, ow, oh, out, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

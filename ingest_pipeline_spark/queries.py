@@ -20447,3 +20447,60 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").cast("double") / F.count("*").cast("double"), 6
         ).alias("avg_chunk_len"),
     )
+
+
+@register(
+    "multimodal_image_downsample",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    dp AS (
+      SELECT vec_id,
+             ((i0 // 8) // 2) * 4 + ((i0 % 8) // 2) AS idx,
+             CAST((SUM(p) + 2) // 4 AS INT) AS v
+      FROM px GROUP BY vec_id, ((i0 // 8) // 2) * 4 + ((i0 % 8) // 2))
+    SELECT vec_id AS asset_id,
+           CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS d_sum,
+           CAST(MIN(v) AS INT) AS d_min,
+           CAST(MAX(v) AS INT) AS d_max,
+           MD5(STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY idx)) AS digest
+    FROM dp GROUP BY vec_id
+    """,
+)
+def multimodal_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-average 2x downscale through the REAL codec path — the
+    resize step of a vision-data pipeline run against actual decoded
+    pixels, not metadata: each embedding renders as an 8x8 grayscale
+    TIFF (the id%3 corpus exercises Deflate+predictor, uncompressed
+    big-endian, and LZW strip branches), decodes back, and every 2x2
+    block reduces to its half-up integer mean.  The md5 of the
+    row-major downsampled pixel string pins EVERY output pixel and its
+    position — stronger than stats alone — and the oracle recomputes
+    the blocks from the arrays with pure index arithmetic
+    (i -> row/col -> block, (sum+2)//4).  Scale: mapInPandas
+    row-local decode+resize, one pass, no shuffle; 1 row per asset.
+    """
+    from .operators.multimodal import embeddings_to_tiff, image_downsample_area
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    ds = image_downsample_area(embeddings_to_tiff(emb, width=8), factor=2)
+    return ds.filter(F.col("decode_ok")).select(
+        "asset_id",
+        "out_w",
+        "out_h",
+        F.aggregate(
+            F.col("pixels"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("d_sum"),
+        F.array_min("pixels").alias("d_min"),
+        F.array_max("pixels").alias("d_max"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("pixels"), lambda x: x.cast("string")), ","
+            )
+        ).alias("digest"),
+    )
