@@ -20504,3 +20504,227 @@ def multimodal_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+
+
+@register(
+    "search_rocchio_expansion",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')
+               AS tk
+      FROM documents),
+    tf AS (
+      SELECT doc_id, x AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks, UNNEST(tk) t(x) GROUP BY doc_id, x),
+    dl AS (SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dlen FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS BIGINT) AS total_len
+      FROM dl),
+    q0(term) AS (VALUES ('data'), ('sample'), ('model')),
+    df0 AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf JOIN q0 USING (term) GROUP BY term),
+    s1 AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               LN(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                 / (CAST(tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE)
+                           * CAST(dlen AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))), 9)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+      FROM tf JOIN q0 USING (term) JOIN df0 USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    r1 AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank1
+      FROM s1),
+    fb AS (SELECT doc_id FROM r1 WHERE rank1 <= 5),
+    cand AS (
+      SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
+      FROM tf JOIN fb USING (doc_id)
+      WHERE tf.term NOT IN (SELECT term FROM q0)
+      GROUP BY tf.term),
+    cdf AS (
+      SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf JOIN cand USING (term) GROUP BY tf.term),
+    cscore AS (
+      SELECT cand.term,
+             ROUND(LN(CAST(1.0 AS DOUBLE)
+                      + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * CAST(fb_tf AS DOUBLE), 6) AS tscore
+      FROM cand JOIN cdf USING (term) CROSS JOIN stats),
+    fbterms AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY tscore DESC, term ASC) AS tr
+        FROM cscore) WHERE tr <= 3),
+    q2 AS (
+      SELECT term, CAST(1.0 AS DOUBLE) AS wgt FROM q0
+      UNION ALL
+      SELECT term, CAST(0.5 AS DOUBLE) AS wgt FROM fbterms),
+    df2 AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf JOIN q2 USING (term) GROUP BY term),
+    s2 AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               LN(CAST(1.0 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                 / (CAST(tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE)
+                           * CAST(dlen AS DOUBLE)
+                             / (CAST(total_len AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))
+               * wgt, 9)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS rocchio
+      FROM tf JOIN q2 USING (term) JOIN df2 USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    r2 AS (
+      SELECT doc_id, rocchio,
+             ROW_NUMBER() OVER (ORDER BY rocchio DESC, doc_id ASC) AS rank
+      FROM s2)
+    SELECT r2.doc_id, r2.rocchio, CAST(r2.rank AS BIGINT) AS rank,
+           CASE WHEN r1.rank1 IS NOT NULL AND r1.rank1 <= 10
+                THEN 1 ELSE 0 END AS in_first10
+    FROM r2 LEFT JOIN r1 ON r1.doc_id = r2.doc_id
+    WHERE r2.rank <= 10
+    """,
+)
+def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (the classic query-expansion
+    loop): BM25 pass 1 for {data, sample, model} -> top-5 feedback
+    docs -> the 3 highest idf-weighted-tf terms from those docs join
+    the query at Rocchio weight beta = 0.5 -> BM25 pass 2 re-ranks;
+    in_first10 marks which final top-10 docs the unexpanded query
+    already found (the expansion's net effect, hashed).
+
+    Shape: both passes are the search_bm25_topk plan — postings
+    survive only through a BROADCAST semi-join on the (bounded) term
+    list, df/stat aggs are tiny, contributions rounded 9 dp and
+    decimal-summed, scores rounded 6 dp before fully-tiebroken ranks.
+    The feedback vocabulary is bounded by 5 documents' terms; its df
+    lookup is one more broadcast semi-join against the postings.
+    Every stage is corpus-shuffle-once; no iteration beyond the two
+    fixed passes.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    ).localCheckpoint(eager=True)  # tf, dl, stats share it
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # both passes + feedback share it
+    )
+    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dlen"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dlen").alias("total_len"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (tf_d * F.lit(2.2)) / (
+        tf_d
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dlen").cast("double") / avgdl)
+    )
+
+    def bm25_pass(qdf, score_name, weighted):
+        tf_q = tf.join(F.broadcast(qdf), "term")
+        dfreq = tf_q.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        contrib = idf * sat
+        if weighted:
+            contrib = contrib * F.col("wgt")
+        return (
+            tf_q.join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(F.round(contrib, 9).cast("decimal(28,12)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias(score_name)
+            )
+        )
+
+    q0 = spark.createDataFrame([("data",), ("sample",), ("model",)], "term string")
+    s1 = bm25_pass(q0, "bm25", weighted=False)
+    # top-10 via ordered LIMIT (TakeOrderedAndProject — never a global
+    # window over the data-proportional scored relation); the 10-row
+    # list is all pass 2 needs (top-5 feedback + the in_first10 flag)
+    top10_1 = (
+        s1.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .localCheckpoint(eager=True)  # feedback set + in_first10 share it
+    )
+    fb = top10_1.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(5).select("doc_id")
+
+    cand = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(q0), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("fb_tf"))
+    )
+    cdf = tf.join(F.broadcast(cand), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tscore = F.round(idf * F.col("fb_tf").cast("double"), 6)
+    fbterms = (
+        cand.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", tscore.alias("tscore"))
+        .orderBy(F.desc("tscore"), F.asc("term"))
+        .limit(3)
+        .select("term")
+    )
+    q2 = q0.withColumn("wgt", F.lit(1.0)).unionByName(
+        fbterms.withColumn("wgt", F.lit(0.5))
+    )
+    s2 = bm25_pass(q2, "rocchio", weighted=True)
+    # ordered LIMIT first; the rank window runs over the bounded
+    # 10-row list only (the search_rrf_fusion discipline)
+    top10_2 = s2.orderBy(F.desc("rocchio"), F.asc("doc_id")).limit(10)
+    r2 = top10_2.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rocchio"), F.asc("doc_id")))
+        .cast("long"),
+    )
+    first = top10_1.select("doc_id", F.lit(1).alias("__hit"))
+    return r2.join(F.broadcast(first), "doc_id", "left").select(
+        "doc_id",
+        "rocchio",
+        "rank",
+        F.coalesce(F.col("__hit"), F.lit(0)).cast("int").alias("in_first10"),
+    )
