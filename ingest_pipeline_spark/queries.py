@@ -20728,3 +20728,176 @@ def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.coalesce(F.col("__hit"), F.lit(0)).cast("int").alias("in_first10"),
     )
+
+
+@register(
+    "embedding_jl_projection_audit",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+                        * 1000000.0, 0) AS BIGINT) AS v
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    mat AS (
+      SELECT i, j,
+             CASE WHEN CAST('0x' || SUBSTRING(MD5(
+                    'jl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                    1, 8) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM UNNEST(GENERATE_SERIES(0, 63)) t(i),
+           UNNEST(GENERATE_SERIES(0, 15)) u(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * v) AS BIGINT) AS yv
+      FROM px JOIN mat USING (i) GROUP BY vec_id, j),
+    dorig AS (
+      SELECT a.vec_id AS ida,
+             CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+      FROM px a JOIN px b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      GROUP BY a.vec_id),
+    dproj AS (
+      SELECT a.vec_id AS ida,
+             CAST(SUM((a.yv - b.yv) * (a.yv - b.yv)) AS BIGINT) AS p2
+      FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      GROUP BY a.vec_id),
+    ratio AS (
+      SELECT dorig.ida,
+             ROUND(CAST(p2 AS DOUBLE)
+                   / CAST(16 * d2 AS DOUBLE), 6) AS r
+      FROM dorig JOIN dproj USING (ida)
+      WHERE d2 > 0),
+    banded AS (
+      SELECT LEAST(7, GREATEST(0, CAST(FLOOR(r * 4.0) AS INT))) AS band, r
+      FROM ratio)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_ratio,
+           MIN(r) AS min_ratio,
+           MAX(r) AS max_ratio
+    FROM banded GROUP BY band
+    """,
+)
+def embedding_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit
+    (Achlioptas 2003 database-friendly ±1 projections): project the
+    64-dim embeddings to 16 dims through a deterministic md5-derived
+    sign matrix and measure, for every consecutive-id vector pair, the
+    ratio of projected to original squared distance (scaled by 1/16 —
+    E[ratio] = 1 under JL).  The banded distortion census is the
+    dimensionality-reduction tuning gauge that says whether 16
+    projected dims preserve neighborhoods before committing an ANN
+    index to them — complementing the PRE-TRAINED truncation gauge
+    (embedding_matryoshka_agreement) with a data-independent one.
+
+    Exactness: components are micro-quantized int64 (the parity-proven
+    double-round trick), the ±1 matrix makes projections EXACT INTEGER
+    sums, both distance sums are int64 — the only float op is one
+    division per pair, rounded 6 dp before banding.  Shape: the
+    projection is a 1024-row broadcast grid (explode, never a
+    data-proportional cross join); pair distances are equi-joins on
+    (vec_id+1, component); everything shuffles on bounded keys.
+    Reference unit: tests/test_jl_reference.py recomputes the audit
+    in pure Python (hashlib + ints).
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    px = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.round(F.round(F.col("val"), 6) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("v"),
+    )
+    px = px.localCheckpoint(eager=True)  # projection + orig distances share it
+    mat = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("i"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "",
+                                    F.lit("jl:"),
+                                    F.col("i").cast("string"),
+                                    F.lit(":"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(2),
+                )
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    y = (
+        px.join(F.broadcast(mat), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).cast("bigint").alias("yv"))
+    )
+    pa = px.select(F.col("vec_id").alias("ida"), "i", F.col("v").alias("va"))
+    pb = px.select((F.col("vec_id") - 1).alias("ida"), "i", F.col("v").alias("vb"))
+    dorig = (
+        pa.join(pb, ["ida", "i"])
+        .groupBy("ida")
+        .agg(
+            F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    ya = y.select(F.col("vec_id").alias("ida"), "j", F.col("yv").alias("ya"))
+    yb = y.select((F.col("vec_id") - 1).alias("ida"), "j", F.col("yv").alias("yb"))
+    dproj = (
+        ya.join(yb, ["ida", "j"])
+        .groupBy("ida")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("bigint")
+            .alias("p2")
+        )
+    )
+    ratio = (
+        dorig.join(dproj, "ida")
+        .filter(F.col("d2") > 0)
+        .select(
+            F.round(
+                F.col("p2").cast("double") / (F.lit(16) * F.col("d2")).cast("double"),
+                6,
+            ).alias("r")
+        )
+    )
+    banded = ratio.select(
+        F.least(
+            F.lit(7), F.greatest(F.lit(0), F.floor(F.col("r") * 4.0).cast("int"))
+        ).alias("band"),
+        "r",
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_ratio"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )
