@@ -2118,3 +2118,58 @@ def image_downsample_area(assets: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def audio_silence_features(
+    assets: DataFrame, window: int = 8, threshold: int = 60_000_000
+) -> DataFrame:
+    """REAL windowed silence detection: decode each WAV clip and mark
+    every ``window``-sample frame whose exact integer energy
+    ``sum(s^2)`` falls below ``threshold`` — the voice-activity /
+    trim-silence primitive an audio-training pipeline runs before
+    feature extraction (the energy companion to
+    audio_zero_crossing_features' sign structure).  The tail frame
+    keeps its actual sample count.  All-integer features, so the
+    lossless PCM16 codec makes the whole path oracle-checkable.
+    Emits (asset_id, n_windows, n_silent, longest_silent_run,
+    energy_sum, decode_ok, error) — mapInPandas row-local, one pass.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    out_schema = (
+        "asset_id long, n_windows int, n_silent int, "
+        "longest_silent_run int, energy_sum long, decode_ok boolean, "
+        "error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "n_windows", "n_silent", "longest_silent_run",
+                "energy_sum", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _rate, _ch, _bits, samples = wav_decode(b)
+                    if not samples:
+                        raise ValueError("empty clip")
+                    n_w = (len(samples) + window - 1) // window
+                    n_silent = longest = run = 0
+                    total = 0
+                    for wi in range(n_w):
+                        frame = samples[wi * window:(wi + 1) * window]
+                        e = sum(s * s for s in frame)
+                        total += e
+                        if e < threshold:
+                            n_silent += 1
+                            run += 1
+                            longest = max(longest, run)
+                        else:
+                            run = 0
+                    rows.append((aid, n_w, n_silent, longest, total, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, None, False,
+                                 str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

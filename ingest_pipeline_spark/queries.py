@@ -20901,3 +20901,60 @@ def embedding_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("r").alias("min_ratio"),
         F.max("r").alias("max_ratio"),
     )
+
+
+@register(
+    "multimodal_audio_silence_runs",
+    """
+    WITH s AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) // 8 AS w,
+             LEAST(32767, GREATEST(-32768, CAST(FLOOR(
+               CAST(embedding[i] AS DOUBLE) * CAST(32767.0 AS DOUBLE))
+               AS BIGINT))) AS smp
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    e AS (
+      SELECT vec_id, w, CAST(SUM(smp * smp) AS BIGINT) AS energy
+      FROM s GROUP BY vec_id, w),
+    sil AS (
+      SELECT vec_id, w,
+             w - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY w) AS grp
+      FROM e WHERE energy < 60000000),
+    runs AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM sil GROUP BY vec_id, grp),
+    longest AS (
+      SELECT vec_id, CAST(MAX(run_len) AS INT) AS longest_silent_run,
+             CAST(SUM(run_len) AS INT) AS n_silent
+      FROM runs GROUP BY vec_id)
+    SELECT e.vec_id AS asset_id,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           COALESCE(ANY_VALUE(longest.n_silent), 0) AS n_silent,
+           COALESCE(ANY_VALUE(longest.longest_silent_run), 0)
+             AS longest_silent_run,
+           CAST(SUM(e.energy) AS BIGINT) AS energy_sum
+    FROM e LEFT JOIN longest ON longest.vec_id = e.vec_id
+    GROUP BY e.vec_id
+    """,
+)
+def multimodal_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed silence detection over REAL-decoded WAV clips — the
+    voice-activity / trim-silence gauge (energy companion to the
+    zero-crossing sign gauge): each clip's 8-sample frames reduce to
+    exact integer energies, frames under the 60M threshold (≈10% of
+    the corpus' frames — both classes live) are silent, and the
+    gaps-and-islands pass reports the silent count and longest run
+    per clip.  The PCM16 codec is lossless and every feature is an
+    integer, so the oracle recomputes the whole path from the arrays
+    by index arithmetic — one hash proves decode + framing + energy +
+    run logic end to end.  Scale: mapInPandas row-local, one pass;
+    oracle windows partition per clip.
+    """
+    from .operators.multimodal import audio_silence_features, embeddings_to_wav
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = audio_silence_features(
+        embeddings_to_wav(emb), window=8, threshold=60_000_000
+    )
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "n_windows", "n_silent", "longest_silent_run", "energy_sum"
+    )
