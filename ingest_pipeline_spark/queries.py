@@ -20958,3 +20958,108 @@ def multimodal_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "n_windows", "n_silent", "longest_silent_run", "energy_sum"
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    """
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pairs WHERE support >= 3),
+    sym AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY src),
+    seeds AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 8),
+    reach(seed, node, dist) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT r.seed, s.dst, r.dist + 1
+      FROM reach r JOIN sym s ON s.src = r.node
+      WHERE r.dist < 3),
+    md AS (
+      SELECT seed, node, MIN(dist) AS dist
+      FROM reach GROUP BY seed, node)
+    SELECT seed,
+           CAST(COUNT(*) FILTER (WHERE dist = 1) AS BIGINT) AS n1,
+           CAST(COUNT(*) FILTER (WHERE dist = 2) AS BIGINT) AS n2,
+           CAST(COUNT(*) FILTER (WHERE dist = 3) AS BIGINT) AS n3,
+           CAST(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+                              WHEN 3 THEN 2 ELSE 0 END) AS BIGINT)
+             AS harmonic6
+    FROM md WHERE dist > 0 GROUP BY seed
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (the disconnect-safe closeness variant:
+    H(v) = Σ 1/d(u,v)) of the 8 highest-degree co-purchase hubs,
+    distances bounded at 3 hops — the centrality gauge beyond degree
+    (local) and PageRank (eigenvector family) that a curation pipeline
+    uses to pick canonical exemplars from duplicate/citation graphs.
+    1/d sums are reported as EXACT integers scaled by 6 (6/d ∈ {6,3,2}
+    at hop ≤ 3) — no float ever enters the output.
+
+    Shape: seeds come from an ordered LIMIT over the degree relation;
+    distances from the MULTI-ROOT fixpoint BFS (operators/graph.py
+    descendants_bfs — per-(root,node) visited anti-join makes first
+    arrival the min depth and bounds every round's frontier); the
+    oracle recomputes min-depth reachability with a recursive CTE.
+    Per-round work is frontier ⋈ edges equi-joins keyed on the node —
+    8 simultaneous sources cost one traversal, not eight.
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.graph import descendants_bfs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    sym = (
+        edges.select(F.col("u").alias("parent_uuid"), F.col("v").alias("child_uuid"))
+        .unionAll(
+            edges.select(
+                F.col("v").alias("parent_uuid"), F.col("u").alias("child_uuid")
+            )
+        )
+        .localCheckpoint(eager=True)  # degree + 3 BFS rounds share it
+    )
+    deg = sym.groupBy(F.col("parent_uuid").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    seeds = (
+        deg.orderBy(F.desc("d"), F.asc("node"))
+        .limit(8)
+        .select(F.col("node").alias("uuid"))
+    )
+    reach = descendants_bfs(sym, seeds, max_depth=3)
+    return (
+        reach.filter(F.col("depth") > 0)
+        .groupBy(F.col("root_uuid").alias("seed"))
+        .agg(
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("depth") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.col("depth") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n3"),
+            F.sum(
+                F.when(F.col("depth") == 1, 6)
+                .when(F.col("depth") == 2, 3)
+                .when(F.col("depth") == 3, 2)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("harmonic6"),
+        )
+    )
