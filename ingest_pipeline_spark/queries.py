@@ -21063,3 +21063,90 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("harmonic6"),
         )
     )
+
+
+@register(
+    "text_mojibake_audit",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END
+             || CASE WHEN doc_id % 8 = 0 THEN ' donâ€™t â€œquoteâ€' ELSE '' END
+             || CASE WHEN doc_id % 9 = 0 THEN ' x' || CHR(65533) ELSE '' END
+               AS text
+      FROM documents),
+    flagged AS (
+      SELECT source,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 'Ã©|Ã¼|Ã¯|Ã¤|Ã¶|â€™|â€œ|â€|Â«|Â»')) AS n_moji,
+             CASE WHEN CONTAINS(text, CHR(65533)) THEN 1 ELSE 0 END AS has_repl
+      FROM aug)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake_docs,
+           CAST(SUM(has_repl) AS BIGINT) AS n_replacement_docs,
+           CAST(SUM(n_moji) AS BIGINT) AS total_mojibake_hits,
+           CAST(SUM(CASE WHEN n_moji = 0 AND has_repl = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean_docs
+    FROM flagged GROUP BY source
+    """,
+)
+def text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption audit (the ftfy / mojibake-detection class
+    of web-crawl cleaning): count documents carrying UTF-8-read-as-
+    Latin-1 digraphs (Ã©, â€™, â€œ … — the signature of a
+    double-decoded crawl) and U+FFFD replacement characters (the
+    signature of a lossy decode), per source — the triage report that
+    decides which feeds need re-fetching with fixed charset handling.
+    The synthetic corpus is clean, so both corruption classes are
+    INJECTED by doc_id residue (the text_pii_scrub fixture
+    discipline), keeping every census column live.
+
+    Shape: one codegen regex projection + one keyed agg — a pure scan
+    at any scale (the regex never leaves the JVM).  Counts via
+    regexp_extract_all length (regexp_count is not portable to the
+    oracle); literal-alternation pattern, no metacharacters, so Java
+    and RE2 agree.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" cafÃ© naÃ¯ve")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.lit(" donâ€™t â€œquoteâ€"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" x�")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    pat = "Ã©|Ã¼|Ã¯|Ã¤|Ã¶|â€™|â€œ|â€|Â«|Â»"
+    flagged = aug.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias("n_moji"),
+        F.when(F.contains(F.col("text"), F.lit("�")), 1)
+        .otherwise(0)
+        .alias("has_repl"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_moji") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mojibake_docs"),
+        F.sum("has_repl").cast("bigint").alias("n_replacement_docs"),
+        F.sum("n_moji").cast("bigint").alias("total_mojibake_hits"),
+        F.sum(
+            F.when((F.col("n_moji") == 0) & (F.col("has_repl") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_clean_docs"),
+    )
