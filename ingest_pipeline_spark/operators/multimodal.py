@@ -2173,3 +2173,55 @@ def audio_silence_features(
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def image_sobel_features(assets: DataFrame, edge_threshold: int = 0) -> DataFrame:
+    """REAL spatial feature extraction: decode each image and run the
+    3x3 Sobel operator over the interior (valid-convolution) pixels —
+    the classic edge-energy / sharpness gauge a vision-curation
+    pipeline uses to drop blank or blurred assets before embedding.
+    gx/gy are exact integer convolutions (weights ±1/±2), per-pixel
+    gradient energy gx²+gy² is exact int64, so the whole path is
+    oracle-checkable through the lossless codecs.  Emits (asset_id,
+    n_interior, grad_energy, max_grad2, n_edge_px, decode_ok, error);
+    n_edge_px counts interior pixels with gx²+gy² > edge_threshold.
+    Images smaller than 3x3 have no interior and report zeros.
+    Grayscale only; corrupt media degrades to error rows.
+    """
+    out_schema = (
+        "asset_id long, n_interior int, grad_energy long, max_grad2 long, "
+        "n_edge_px int, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "n_interior", "grad_energy", "max_grad2",
+                "n_edge_px", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, ch, _bd, px = _image_decode_dispatch(b)
+                    if ch != 1:
+                        raise ValueError(f"sobel needs grayscale, got {ch}ch")
+                    n_int = energy = mx = n_edge = 0
+                    for r in range(1, h - 1):
+                        for c in range(1, w - 1):
+                            p = lambda dr, dc: px[(r + dr) * w + (c + dc)]
+                            gx = (p(-1, 1) + 2 * p(0, 1) + p(1, 1)
+                                  - p(-1, -1) - 2 * p(0, -1) - p(1, -1))
+                            gy = (p(1, -1) + 2 * p(1, 0) + p(1, 1)
+                                  - p(-1, -1) - 2 * p(-1, 0) - p(-1, 1))
+                            g2 = gx * gx + gy * gy
+                            n_int += 1
+                            energy += g2
+                            mx = max(mx, g2)
+                            if g2 > edge_threshold:
+                                n_edge += 1
+                    rows.append((aid, n_int, energy, mx, n_edge, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, None, False,
+                                 str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

@@ -21150,3 +21150,61 @@ def text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clean_docs"),
     )
+
+
+@register(
+    "multimodal_image_sobel_energy",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) // 8 AS r,
+             CAST(i - 1 AS BIGINT) % 8 AS c,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    g AS (
+      SELECT a.vec_id, a.r, a.c,
+             CAST(SUM(CASE b.c - a.c
+                      WHEN 1 THEN (CASE b.r - a.r WHEN 0 THEN 2 ELSE 1 END)
+                      WHEN -1 THEN -(CASE b.r - a.r WHEN 0 THEN 2 ELSE 1 END)
+                      ELSE 0 END * b.p) AS BIGINT) AS gx,
+             CAST(SUM(CASE b.r - a.r
+                      WHEN 1 THEN (CASE b.c - a.c WHEN 0 THEN 2 ELSE 1 END)
+                      WHEN -1 THEN -(CASE b.c - a.c WHEN 0 THEN 2 ELSE 1 END)
+                      ELSE 0 END * b.p) AS BIGINT) AS gy
+      FROM px a JOIN px b
+        ON a.vec_id = b.vec_id
+       AND ABS(b.r - a.r) <= 1 AND ABS(b.c - a.c) <= 1
+      WHERE a.r BETWEEN 1 AND 6 AND a.c BETWEEN 1 AND 6
+      GROUP BY 1, 2, 3),
+    e AS (SELECT vec_id, gx * gx + gy * gy AS g2 FROM g)
+    SELECT vec_id AS asset_id,
+           CAST(COUNT(*) AS INT) AS n_interior,
+           CAST(SUM(g2) AS BIGINT) AS grad_energy,
+           CAST(MAX(g2) AS BIGINT) AS max_grad2,
+           CAST(SUM(CASE WHEN g2 > 4000 THEN 1 ELSE 0 END) AS INT)
+             AS n_edge_px
+    FROM e GROUP BY vec_id
+    """,
+)
+def multimodal_image_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge energy through the REAL codec path — the
+    sharpness / blank-frame gauge of a vision-curation pipeline
+    (feature extraction proper, beyond the stats/resize steps): each
+    embedding renders as an 8x8 grayscale PNG, decodes back, and the
+    3x3 Sobel operator reduces every interior pixel to exact integer
+    gx²+gy² gradient energy; per-asset totals, max, and
+    over-threshold edge counts (4000 ≈ the corpus median — both
+    classes live) are all int64.  The oracle recomputes the
+    convolution relationally (9-neighbor self-join on the pixel grid,
+    CASE-weighted sums) — a hash match pins decoder pixel order AND
+    the kernel orientation.  Scale: mapInPandas row-local decode +
+    convolution, one pass, no shuffle; 1 row per asset.
+    """
+    from .operators.multimodal import embeddings_to_png, image_sobel_features
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = image_sobel_features(embeddings_to_png(emb, width=8), edge_threshold=4000)
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "n_interior", "grad_energy", "max_grad2", "n_edge_px"
+    )
