@@ -21208,3 +21208,159 @@ def multimodal_image_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "n_interior", "grad_energy", "max_grad2", "n_edge_px"
     )
+
+
+@register(
+    "stats_conformal_interval",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y_cents,
+             CAST(CAST('0x' || SUBSTRING(
+                 MD5('cp:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) AS DOUBLE) / 4294967296.0 AS unit
+      FROM orders),
+    split AS (
+      SELECT *, CASE WHEN unit < 0.5 THEN 'train'
+                     WHEN unit < 0.75 THEN 'cal'
+                     ELSE 'test' END AS part
+      FROM base),
+    tr AS (
+      SELECT grp, CAST(SUM(y_cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM split WHERE part = 'train' GROUP BY grp),
+    cal AS (
+      SELECT s.grp, s.o_orderkey,
+             ABS(s.y_cents * tr.n_train - tr.sum_cents) AS resid
+      FROM split s JOIN tr ON tr.grp = s.grp
+      WHERE s.part = 'cal'),
+    calr AS (
+      SELECT grp, resid,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY resid, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n_cal
+      FROM cal),
+    qhat AS (
+      SELECT grp, CAST(n_cal AS BIGINT) AS n_cal, resid AS q_num
+      FROM calr
+      WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+    tst AS (
+      SELECT s.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN
+                 ABS(s.y_cents * tr.n_train - tr.sum_cents) <= qhat.q_num
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM split s
+        JOIN tr ON tr.grp = s.grp
+        JOIN qhat ON qhat.grp = s.grp
+      WHERE s.part = 'test' GROUP BY s.grp)
+    SELECT tr.grp AS priority, tr.n_train, qhat.n_cal, tst.n_test,
+           qhat.q_num AS q_num_cents_scaled,
+           tr.n_train AS q_den,
+           tst.n_covered,
+           ROUND(CAST(tst.n_covered AS DOUBLE)
+                 / CAST(tst.n_test AS DOUBLE), 6) AS coverage
+    FROM tr JOIN qhat ON qhat.grp = tr.grp
+            JOIN tst ON tst.grp = tr.grp
+    """,
+)
+def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Papadopoulos et al. 2002 inductive
+    conformal; Vovk's Mondrian per-group variant): an md5-deterministic
+    50/25/25 train/calibration/test split, a per-priority mean-price
+    predictor fit on train, the 90% nonconformity quantile q-hat from
+    calibration residuals at EXACT position ceil(0.9·(n+1)), and the
+    honest empirical coverage of ŷ ± q-hat measured on the held-out
+    test split — the distribution-free uncertainty gauge modern data
+    pipelines attach to any point predictor.
+
+    Exactness: residuals are scaled to integers (|y·n_train −
+    Σ_train| in cents×n_train — comparable within each Mondrian
+    group), the quantile position is the integer formula
+    (9(n+1)+9)//10, q-hat is reported as an exact rational
+    (num, den=n_train) per the theil_sen discipline, and coverage
+    counting is an integer comparison; the only float op is the final
+    coverage ratio (one IEEE division, rounded 6 dp).  Shape: one
+    scan + keyed aggs; the calibration rank uses grouped_row_number
+    (operators/prefix.py — 5 heavy groups, never a 5-task window);
+    train stats and q-hat are 5-row broadcasts.
+    """
+    from .operators.prefix import grouped_row_number
+
+    o = _t(spark, sf_dir)["orders"]
+    from .functions.scalars import hex_prefix_to_long
+
+    unit = hex_prefix_to_long(
+        F.md5(F.concat_ws("", F.lit("cp:"), F.col("o_orderkey").cast("string")))
+    ) / F.lit(float(2**32))
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y_cents"),
+        F.when(unit < 0.5, "train")
+        .when(unit < 0.75, "cal")
+        .otherwise("test")
+        .alias("part"),
+    ).localCheckpoint(eager=True)  # train agg + cal + test share it
+    tr = (
+        base.filter(F.col("part") == "train")
+        .groupBy("grp")
+        .agg(
+            F.sum("y_cents").cast("bigint").alias("sum_cents"),
+            F.count("*").cast("bigint").alias("n_train"),
+        )
+    )
+    resid = F.abs(
+        F.col("y_cents") * F.col("n_train") - F.col("sum_cents")
+    ).alias("resid")
+    cal = (
+        base.filter(F.col("part") == "cal")
+        .join(F.broadcast(tr), "grp")
+        .select("grp", "o_orderkey", resid)
+    )
+    calr = grouped_row_number(
+        cal, ["grp"], [F.col("resid"), F.col("o_orderkey")], "rn", count_col="n_cal"
+    )
+    qhat = calr.filter(
+        F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10")
+    ).select("grp", F.col("n_cal").cast("bigint").alias("n_cal"),
+             F.col("resid").alias("q_num"))
+    tst = (
+        base.filter(F.col("part") == "test")
+        .join(F.broadcast(tr), "grp")
+        .join(F.broadcast(qhat), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y_cents") * F.col("n_train") - F.col("sum_cents")
+                    )
+                    <= F.col("q_num"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(qhat), "grp")
+        .join(F.broadcast(tst), "grp")
+        .select(
+            F.col("grp").alias("priority"),
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.col("q_num").alias("q_num_cents_scaled"),
+            F.col("n_train").alias("q_den"),
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
