@@ -108,6 +108,17 @@ REPRESENTATIVE = [
     # decimal dots ranked under a per-(dim, query) window
     "similarity_pq_topk",
     "embedding_matryoshka_agreement",
+    # late-r10 hazard classes: DSIR top-100 boundary over 6-dp scores
+    # (decimal term sums + tiebroken ordered limit), CDC chunk islands
+    # (per-doc lag window over cut offsets + MIN-struct first
+    # occurrence), two chained bounded top-k passes (pass-2 term list
+    # derives from pass-1's boundary), exact-integer JL distance bands,
+    # grouped prefix rank at the conformal quantile position
+    "corpus_dsir_selection",
+    "dedup_cdc_chunks",
+    "search_rocchio_expansion",
+    "embedding_jl_projection_audit",
+    "stats_conformal_interval",
 ]
 
 
