@@ -21364,3 +21364,188 @@ def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "similarity_margin_pairs",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    corpus AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+    assign AS (
+      SELECT id, vec, label, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY id
+               ORDER BY {_COS6.format(a="vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM corpus, anchors),
+    cells AS (SELECT id, vec, label, anchor_id AS cell
+              FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT a.id AS ida, b.id AS idb,
+             {_COS6.format(a="a.vec", b="b.vec")} AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell
+      WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+    ka AS (
+      SELECT ida,
+             CAST(SUM(CAST(ROUND(sim * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+               AS na,
+             CAST(COUNT(*) AS BIGINT) AS da
+      FROM (SELECT ida, sim,
+                   ROW_NUMBER() OVER (PARTITION BY ida
+                                      ORDER BY sim DESC, idb ASC) AS r
+            FROM pairs) WHERE r <= 4 GROUP BY ida),
+    kb AS (
+      SELECT idb,
+             CAST(SUM(CAST(ROUND(sim * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+               AS nb,
+             CAST(COUNT(*) AS BIGINT) AS db
+      FROM (SELECT idb, sim,
+                   ROW_NUMBER() OVER (PARTITION BY idb
+                                      ORDER BY sim DESC, ida ASC) AS r
+            FROM pairs) WHERE r <= 4 GROUP BY idb),
+    besta AS (
+      SELECT ida, idb AS best_b FROM (
+        SELECT ida, idb, ROW_NUMBER() OVER (PARTITION BY ida
+                         ORDER BY sim DESC, idb ASC) AS r FROM pairs)
+      WHERE r = 1),
+    bestb AS (
+      SELECT idb, ida AS best_a FROM (
+        SELECT idb, ida, ROW_NUMBER() OVER (PARTITION BY idb
+                         ORDER BY sim DESC, ida ASC) AS r FROM pairs)
+      WHERE r = 1),
+    scored AS (
+      SELECT p.ida, p.idb, p.sim,
+             ROUND(CAST(2 * CAST(ROUND(p.sim * 1000000.0, 0) AS BIGINT)
+                        * ka.da * kb.db AS DOUBLE)
+                   / CAST(ka.na * kb.db + kb.nb * ka.da AS DOUBLE), 6)
+               AS margin,
+             CASE WHEN besta.best_b = p.idb AND bestb.best_a = p.ida
+                  THEN 1 ELSE 0 END AS mutual
+      FROM pairs p
+        JOIN ka ON ka.ida = p.ida
+        JOIN kb ON kb.idb = p.idb
+        JOIN besta ON besta.ida = p.ida
+        JOIN bestb ON bestb.idb = p.idb
+      WHERE ka.na * kb.db + kb.nb * ka.da > 0)
+    SELECT ida, idb, sim, margin, mutual FROM scored
+    ORDER BY margin DESC, ida ASC, idb ASC LIMIT 20
+    """,
+)
+def similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER bitext-mining scorer): candidate cross-set pairs
+    (even-label vs odd-label vectors here; two languages in the real
+    use) score cos(x,y) divided by the average of both endpoints'
+    k-NN mean similarities (k=4, ratio margin) — the absolute-cosine
+    fix that kills hubness false positives; mutual marks reciprocal
+    top-1 pairs (the standard acceptance gate).  Top-20 by margin.
+
+    Shape: candidates meet ONLY through the deterministic 8-anchor
+    IVF cell equi-join (the SemDeDup quantizer) — never a cross-set
+    cross product; k-NN means, reciprocal bests, and the final
+    ordered LIMIT all run on the bounded intra-cell pair relation
+    with WindowGroupLimit-prunable keyed windows.  Sims rounded 6 dp
+    before every rank (tiebreak on ids); k-NN means are decimal sums
+    of 6-dp values; the margin division is one IEEE op both engines.
+    """
+    from .operators.similarity import _norm, dot_seq, ivf_assign
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec"))
+    )
+    cells = ivf_assign(emb, anchors).select("vec_id", "cell")
+    base = emb.join(cells, "vec_id").select(
+        F.col("vec_id").alias("id"),
+        "label",
+        "cell",
+        F.col("embedding").alias("vec"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    base = base.localCheckpoint(eager=True)  # both pair sides share it
+    a = base.filter(F.col("label") % 2 == 0).select(
+        F.col("id").alias("ida"), F.col("cell").alias("cella"),
+        F.col("vec").alias("veca"), F.col("nrm").alias("nrma"),
+    )
+    b = base.filter(F.col("label") % 2 == 1).select(
+        F.col("id").alias("idb"), F.col("cell").alias("cellb"),
+        F.col("vec").alias("vecb"), F.col("nrm").alias("nrmb"),
+    )
+    pairs = (
+        a.join(b, F.col("cella") == F.col("cellb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                dot_seq(F.col("veca"), F.col("vecb"))
+                / (F.col("nrma") * F.col("nrmb")),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # 5 consumers (ka/kb/besta/bestb/final)
+    )
+    wa = Window.partitionBy("ida").orderBy(F.desc("sim"), F.asc("idb"))
+    wb = Window.partitionBy("idb").orderBy(F.desc("sim"), F.asc("ida"))
+    # k-NN means kept as EXACT integer rationals (micro-sim sum, count):
+    # mean-of-4 quotients land on the 6-dp half grid, the rounding class
+    # the two engines resolve differently (CLAUDE.md product rule)
+    micro = F.round(F.col("sim") * 1000000.0, 0).cast("bigint")
+    ka = (
+        pairs.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= 4)
+        .groupBy("ida")
+        .agg(
+            F.sum(micro).cast("bigint").alias("na"),
+            F.count("*").cast("bigint").alias("da"),
+        )
+    )
+    kb = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= 4)
+        .groupBy("idb")
+        .agg(
+            F.sum(micro).cast("bigint").alias("nb"),
+            F.count("*").cast("bigint").alias("db"),
+        )
+    )
+    besta = (
+        pairs.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("ida", F.col("idb").alias("best_b"))
+    )
+    bestb = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("idb", F.col("ida").alias("best_a"))
+    )
+    scored = (
+        pairs.join(ka, "ida")
+        .join(kb, "idb")
+        .join(besta, "ida")
+        .join(bestb, "idb")
+        .filter(F.col("na") * F.col("db") + F.col("nb") * F.col("da") > 0)
+        .select(
+            "ida",
+            "idb",
+            "sim",
+            F.round(
+                (2 * micro * F.col("da") * F.col("db")).cast("double")
+                / (
+                    F.col("na") * F.col("db") + F.col("nb") * F.col("da")
+                ).cast("double"),
+                6,
+            ).alias("margin"),
+            F.when(
+                (F.col("best_b") == F.col("idb"))
+                & (F.col("best_a") == F.col("ida")),
+                1,
+            )
+            .otherwise(0)
+            .alias("mutual"),
+        )
+    )
+    return scored.orderBy(F.desc("margin"), F.asc("ida"), F.asc("idb")).limit(20)
