@@ -21549,3 +21549,76 @@ def similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("margin"), F.asc("ida"), F.asc("idb")).limit(20)
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+               AS bal_band
+      FROM customer),
+    cls AS (
+      SELECT segment, nation, in_debt,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_div
+      FROM q GROUP BY segment, nation, in_debt)
+    SELECT segment,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_below_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below_k,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_l_below_3
+    FROM cls GROUP BY segment
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) — the data-governance gate a pipeline runs before
+    releasing or training on user-linked records, complementing the
+    redaction (text_pii_scrub) and erasure (compliance_delete_cascade)
+    surfaces: treat (nation, segment, in-debt flag) as the
+    quasi-identifier, the $1k account-balance band as the sensitive
+    attribute, and report per segment how many equivalence classes /
+    rows fall below k=5 and how many classes carry fewer than 3
+    distinct sensitive values (homogeneity-attack exposure).
+
+    Shape: two keyed aggregations, all-integer output — a pure scan at
+    any scale; class sizes come from the same groupBy that a
+    generalization search would iterate on.
+    """
+    c = _t(spark, sf_dir)["customer"]
+    q = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("in_debt"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    cls = q.groupBy("segment", "nation", "in_debt").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct("bal_band").cast("bigint").alias("l_div"),
+    )
+    return cls.groupBy("segment").agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_k"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_below_k"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_l_below_3"),
+    )
