@@ -720,12 +720,16 @@ def cdc_chunks(
 
     Returns (id, start, end, chunk_len, digest) — 1-indexed inclusive
     spans over the NORMALIZED text, digest = md5(chunk).  Distributed
-    shape: boundary detection is the shuffle-free rolling-hash
-    Generate + codegen arithmetic (functions/text.rolling_hashes'
-    plan); chunk assembly is ONE keyed window over the per-doc cut
-    offsets (rows ∝ cuts, never chars); chunk text is a codegen
-    substring at extraction.  Every step is engine-portable integer
-    arithmetic (md5 digests, base-257 mod 1e9+7 hashes).
+    shape: boundary detection explodes CHARACTERS to narrow (id, pos,
+    code) rows and builds each window hash from k-1 LEADs over ONE
+    doc-keyed window — the positions-explode formulation duplicated
+    the full document string into every position row (~chars × doclen
+    bytes materialized; measured 13 s → 3 s at sf0.1); chunk assembly
+    is ONE keyed window over the per-doc cut offsets (rows ∝ cuts);
+    chunk text is a codegen substring at extraction (the string is
+    carried per CHUNK, not per position).  Every step is
+    engine-portable integer arithmetic (md5 digests, base-257 mod
+    1e9+7 hashes).
     """
     from pyspark.sql.window import Window
 
@@ -739,23 +743,26 @@ def cdc_chunks(
     # normalized relation; without this the regex pipeline re-runs
     base = base.localCheckpoint(eager=True)
 
-    pos = base.filter(F.col("__n") >= k).select(
+    chars = base.filter(F.col("__n") >= k).select(
         "id",
-        "__s",
-        F.explode(F.sequence(F.lit(1), F.col("__n") - (k - 1))).alias("pos"),
-    )
+        F.posexplode(F.split(F.col("__s"), "")).alias("pos0", "ch"),
+    ).select("id", "pos0", F.ascii("ch").cast("long").alias("code"))
+    wseq = Window.partitionBy("id").orderBy("pos0")
     terms = [
-        F.ascii(F.col("__s").substr(F.col("pos") + j, F.lit(1))).cast("long")
+        (F.col("code") if j == 0 else F.lead("code", j).over(wseq))
         * F.lit(pow(ROLLING_BASE, j, ROLLING_MOD))
         for j in range(k)
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    # the last k-1 positions have NULL leads → NULL hash → filtered
     rhash = F.pmod(total, F.lit(ROLLING_MOD))
-    cuts = pos.select(
-        "id", (F.col("pos") + (k - 1)).alias("cut")
-    ).filter(F.pmod(rhash, F.lit(divisor)) == 0)
+    cuts = (
+        chars.select("id", (F.col("pos0") + k).alias("cut"), rhash.alias("__h"))
+        .filter(F.col("__h").isNotNull() & (F.pmod(F.col("__h"), F.lit(divisor)) == 0))
+        .select("id", "cut")
+    )
     # sentinel: every doc ends at its last char (may duplicate a hash
     # cut at exactly n — distinct collapses it)
     allc = cuts.unionByName(
