@@ -119,6 +119,9 @@ REPRESENTATIVE = [
     "search_rocchio_expansion",
     "embedding_jl_projection_audit",
     "stats_conformal_interval",
+    # k-NN means as integer rationals + two keyed rank windows + a
+    # margin top-20 boundary — every piece must compose across splits
+    "similarity_margin_pairs",
 ]
 
 
