@@ -21622,3 +21622,79 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_classes_l_below_3"),
     )
+
+
+@register(
+    "text_readability_flesch",
+    """
+    WITH f AS (
+      SELECT source,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS w,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+'))
+                  AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT source, w, y, (w + 14) // 15 AS sent
+      FROM f WHERE w > 0),
+    sc AS (
+      SELECT source,
+             ROUND(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE)
+                     * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+      FROM s)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(flesch AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_flesch,
+           MIN(flesch) AS min_flesch,
+           MAX(flesch) AS max_flesch,
+           CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard_docs
+    FROM sc GROUP BY source
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability per source — the classic
+    sentence-length × syllable-density quality signal (Flesch 1948;
+    used by readability-based corpus filters alongside the Gopher
+    heuristics): 206.835 − 1.015·(words/sentence) − 84.6·(syllables/
+    word).  Syllables are the standard vowel-group heuristic
+    ([aeiouy]+ runs); the synthetic docs carry no punctuation, so
+    sentences are fixed 15-word pseudo-sentences (ceil(w/15) — the
+    corpus_line_dedup pseudo-unit trick; on real data the splitter is
+    [.!?]).  Per-row IEEE score identical both engines, rounded 6 dp;
+    per-source aggregation reports the DECIMAL-EXACT sum (never a
+    mean — a mean-of-6dp quotient can land on the half grid), min,
+    max, and the count under the 'very difficult' 30 cutoff.  One
+    regex projection + one keyed agg — a pure scan at any scale.
+    """
+    docs = _t(spark, sf_dir)["documents"]
+    w = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    y = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    f = docs.select("source", w.alias("w"), y.alias("y")).filter(F.col("w") > 0)
+    s = f.select("source", "w", "y", F.expr("(w + 14) div 15").alias("sent"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("sent").cast("double"))
+        - F.lit(84.6) * (F.col("y").cast("double") / F.col("w").cast("double")),
+        6,
+    )
+    sc = s.select("source", flesch.alias("flesch"))
+    return sc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("flesch").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_flesch"),
+        F.min("flesch").alias("min_flesch"),
+        F.max("flesch").alias("max_flesch"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard_docs"),
+    )
