@@ -2225,3 +2225,63 @@ def image_sobel_features(assets: DataFrame, edge_threshold: int = 0) -> DataFram
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def image_otsu_features(assets: DataFrame) -> DataFrame:
+    """REAL image binarization: decode each grayscale image and find
+    the Otsu threshold (Otsu 1979) — the argmax of between-class
+    variance over candidate thresholds — with EXACT integer
+    bookkeeping: for cut t, c0/m0 = count/sum of pixels ≤ t, and the
+    variance ranks by num² = (m0·c1 − m1·c0)² over den = c0·c1.  The
+    ranking comparison is the IEEE double num²/den (identical in
+    Spark, DuckDB, and CPython) with lowest-t tiebreak, so the oracle
+    can reproduce the argmax bit-for-bit; num²/den themselves are
+    reported as exact int64.  Constant images (no cut leaves both
+    classes non-empty) degrade to error rows, like corrupt media.
+    Emits (asset_id, otsu_t, bg_count, fg_count, num2, den,
+    decode_ok, error) — mapInPandas row-local, one pass.
+    """
+    out_schema = (
+        "asset_id long, otsu_t int, bg_count int, fg_count int, "
+        "num2 long, den long, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "otsu_t", "bg_count", "fg_count", "num2", "den",
+                "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, ch, _bd, px = _image_decode_dispatch(b)
+                    if ch != 1:
+                        raise ValueError(f"otsu needs grayscale, got {ch}ch")
+                    n, total = len(px), sum(px)
+                    if n < 2:
+                        raise ValueError("otsu needs >= 2 pixels")
+                    best = None  # (score, t, c0, c1, num2, den)
+                    c0 = m0 = 0
+                    for t in sorted(set(px)):
+                        cnt = px.count(t)
+                        c0 += cnt
+                        m0 += t * cnt
+                        c1 = n - c0
+                        if c1 == 0:
+                            break
+                        m1 = total - m0
+                        num2 = (m0 * c1 - m1 * c0) ** 2
+                        den = c0 * c1
+                        score = num2 / den  # IEEE double, engine-identical
+                        if best is None or score > best[0]:
+                            best = (score, t, c0, c1, num2, den)
+                    if best is None:
+                        raise ValueError("constant image has no otsu cut")
+                    _, t, c0, c1, num2, den = best
+                    rows.append((aid, t, c0, c1, num2, den, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, None, None, False,
+                                 str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

@@ -21698,3 +21698,72 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hard_docs"),
     )
+
+
+@register(
+    "multimodal_image_otsu",
+    """
+    WITH px AS (
+      SELECT vec_id,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    hist AS (
+      SELECT vec_id, p, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM px GROUP BY vec_id, p),
+    tot AS (
+      SELECT vec_id, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(p * cnt) AS BIGINT) AS total
+      FROM hist GROUP BY vec_id),
+    cum AS (
+      SELECT vec_id, p,
+             SUM(cnt) OVER (PARTITION BY vec_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS c0,
+             SUM(p * cnt) OVER (PARTITION BY vec_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS m0
+      FROM hist),
+    cand AS (
+      SELECT cum.vec_id, cum.p AS t,
+             CAST(cum.c0 AS BIGINT) AS c0,
+             CAST(tot.n - cum.c0 AS BIGINT) AS c1,
+             CAST((cum.m0 * (tot.n - cum.c0)
+                   - (tot.total - cum.m0) * cum.c0)
+                  * (cum.m0 * (tot.n - cum.c0)
+                     - (tot.total - cum.m0) * cum.c0) AS BIGINT) AS num2,
+             CAST(cum.c0 * (tot.n - cum.c0) AS BIGINT) AS den
+      FROM cum JOIN tot ON tot.vec_id = cum.vec_id
+      WHERE tot.n - cum.c0 > 0),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                        t ASC) AS rn
+      FROM cand)
+    SELECT vec_id AS asset_id, CAST(t AS INT) AS otsu_t,
+           CAST(c0 AS INT) AS bg_count, CAST(c1 AS INT) AS fg_count,
+           num2, den
+    FROM ranked WHERE rn = 1
+    """,
+)
+def multimodal_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu automatic binarization threshold (Otsu 1979) through the
+    REAL codec path — the segmentation/foreground-extraction primitive
+    of a vision pipeline (and the reference's imaging domain: tissue
+    vs background masks), computed per asset from actual decoded
+    pixels with EXACT integer between-class variance bookkeeping:
+    argmax over cuts of num² = (m0·c1 − m1·c0)² / den = c0·c1.  The
+    argmax comparison is the IEEE double num²/den — identical in
+    Spark's Python worker, DuckDB, and the oracle's rank window — with
+    lowest-t tiebreak, and num²/den land in the hashed output as exact
+    int64, so a hash match pins the decoder AND the whole threshold
+    search.  Scale: mapInPandas row-local (≤256-entry histogram per
+    asset); the oracle's windows partition per asset.
+    """
+    from .operators.multimodal import embeddings_to_tiff, image_otsu_features
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = image_otsu_features(embeddings_to_tiff(emb, width=8))
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "otsu_t", "bg_count", "fg_count", "num2", "den"
+    )
