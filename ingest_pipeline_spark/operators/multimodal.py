@@ -2285,3 +2285,60 @@ def image_otsu_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+def video_keyframes(assets: DataFrame, threshold: int = 1400) -> DataFrame:
+    """REAL keyframe selection: decode each Y4M clip, split it into
+    shots at hard cuts (SAD > threshold vs the previous frame — the
+    video_shot_cuts rule), and pick each shot's representative frame
+    as the one with MAXIMUM luma variance (sharpest/busiest frame,
+    the cheap no-model keyframe heuristic a VLM-training pipeline
+    uses to sample one frame per shot).  Variance ranks by the exact
+    integer numerator n·Σp² − (Σp)² (n is the fixed frame size);
+    ties take the earliest frame.  Emits one row per (asset, shot):
+    (asset_id, shot_id, start_frame, n_frames, keyframe_idx,
+    key_vnum, decode_ok, error) — mapInPandas row-local, one pass.
+    """
+    out_schema = (
+        "asset_id long, shot_id int, start_frame int, n_frames int, "
+        "keyframe_idx int, key_vnum long, decode_ok boolean, error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "shot_id", "start_frame", "n_frames",
+                "keyframe_idx", "key_vnum", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    _w, _h, _rate, frames = y4m_decode(b)
+                    if not frames:
+                        raise ValueError("empty clip")
+                    n = len(frames[0])
+                    # shot id per frame: cuts open a new shot
+                    shot_of = [0] * len(frames)
+                    sid = 0
+                    for k in range(1, len(frames)):
+                        sad = sum(abs(a - c) for a, c in zip(frames[k - 1], frames[k]))
+                        if sad > threshold:
+                            sid += 1
+                        shot_of[k] = sid
+                    # per shot: argmax integer variance numerator
+                    shots: dict[int, list] = {}
+                    for k, fr in enumerate(frames):
+                        s1, s2 = sum(fr), sum(v * v for v in fr)
+                        vnum = n * s2 - s1 * s1
+                        st = shots.setdefault(shot_of[k], [k, 0, -1, -1])
+                        st[1] += 1
+                        if vnum > st[3]:
+                            st[2], st[3] = k, vnum
+                    for sid in sorted(shots):
+                        start, cnt, kf, vnum = shots[sid]
+                        rows.append((aid, sid, start, cnt, kf, vnum, True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, None, None, False,
+                                 str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)

@@ -21767,3 +21767,82 @@ def multimodal_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("decode_ok")).select(
         "asset_id", "otsu_t", "bg_count", "fg_count", "num2", "den"
     )
+
+
+@register(
+    "multimodal_video_keyframes",
+    """
+    WITH px AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i0,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(embedding[i] AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 * CAST(127.5 AS DOUBLE)) AS INT))) AS p
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    f AS (
+      SELECT vec_id, CAST(i0 // 16 AS INT) AS fi,
+             CAST(i0 % 16 AS INT) AS pos, p
+      FROM px),
+    sad AS (
+      SELECT a.vec_id, a.fi,
+             CAST(SUM(ABS(a.p - b.p)) AS BIGINT) AS sad
+      FROM f a JOIN f b
+        ON a.vec_id = b.vec_id AND b.fi = a.fi - 1 AND b.pos = a.pos
+      GROUP BY a.vec_id, a.fi),
+    cutflag AS (
+      SELECT f2.vec_id, f2.fi,
+             CASE WHEN sad.sad > 320 THEN 1 ELSE 0 END AS is_cut
+      FROM (SELECT DISTINCT vec_id, fi FROM f) f2
+      LEFT JOIN sad ON sad.vec_id = f2.vec_id AND sad.fi = f2.fi),
+    shot AS (
+      SELECT vec_id, fi,
+             CAST(SUM(is_cut) OVER (PARTITION BY vec_id ORDER BY fi
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS shot_id
+      FROM cutflag),
+    var_ AS (
+      SELECT vec_id, fi,
+             CAST(16 * SUM(CAST(p AS BIGINT) * p)
+                  - SUM(CAST(p AS BIGINT)) * SUM(CAST(p AS BIGINT))
+                  AS BIGINT) AS vnum
+      FROM f GROUP BY vec_id, fi),
+    j AS (
+      SELECT shot.vec_id, shot.shot_id, shot.fi, var_.vnum
+      FROM shot JOIN var_ ON var_.vec_id = shot.vec_id
+                         AND var_.fi = shot.fi),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, shot_id
+                                   ORDER BY vnum DESC, fi ASC) AS rn
+      FROM j)
+    SELECT r.vec_id AS asset_id, r.shot_id,
+           CAST(g.start_frame AS INT) AS start_frame,
+           CAST(g.n_frames AS INT) AS n_frames,
+           CAST(r.fi AS INT) AS keyframe_idx,
+           r.vnum AS key_vnum
+    FROM ranked r
+    JOIN (SELECT vec_id, shot_id, MIN(fi) AS start_frame,
+                 COUNT(*) AS n_frames
+          FROM j GROUP BY vec_id, shot_id) g
+      ON g.vec_id = r.vec_id AND g.shot_id = r.shot_id
+    WHERE r.rn = 1
+    """,
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection over REAL Y4M decode — the
+    one-frame-per-shot sampler a video-curation / VLM-training
+    pipeline runs after shot detection: clips split at SAD > 320 hard
+    cuts (multimodal_video_shot_cuts' measured threshold), each shot
+    represented by its maximum-luma-variance frame (exact integer
+    numerator n·Σp² − (Σp)², earliest-frame tiebreak).  The oracle
+    rebuilds frames from the arrays (i → frame/pos), recomputes SAD
+    cuts, assigns shots with a per-clip cumulative window, and ranks
+    frames per shot — a hash match pins decoder frame order, the cut
+    rule, AND the per-shot argmax.  Scale: mapInPandas row-local;
+    oracle windows partition per clip; output rows = shots.
+    """
+    from .operators.multimodal import embeddings_to_y4m, video_keyframes
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    feats = video_keyframes(embeddings_to_y4m(emb), threshold=320)
+    return feats.filter(F.col("decode_ok")).select(
+        "asset_id", "shot_id", "start_frame", "n_frames",
+        "keyframe_idx", "key_vnum",
+    )
