@@ -164,6 +164,7 @@ BNLJ_BY_DESIGN = {
     "sketch_hll_set_algebra",   # broadcast 1-row exact-intersection count
     "pareto_revenue_concentration",  # broadcast 1-row total-revenue row
     "search_bm25_topk",         # broadcast 1-row corpus stats
+    "search_rocchio_expansion",  # broadcast 1-row corpus stats (both BM25 passes)
     "join_size_audit",          # broadcast 1-row hottest-key row
     "sessions_peak_concurrency",  # broadcast 1-row session count
     "text_pmi_collocations",    # broadcast 1-row unigram/bigram totals
