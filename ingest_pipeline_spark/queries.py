@@ -21846,3 +21846,125 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "shot_id", "start_frame", "n_frames",
         "keyframe_idx", "key_vnum",
     )
+
+
+@register(
+    "mdm_golden_record",
+    """
+    WITH members AS (
+      SELECT c_custkey AS id, c_custkey AS cluster, c_name AS name,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_custkey, NULL,
+             CAST(c_acctbal AS DECIMAL(18,2)) + CAST(50.00 AS DECIMAL(18,2)),
+             c_mktsegment
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, c_custkey, c_name,
+             CAST(c_acctbal AS DECIMAL(18,2)) - CAST(100.00 AS DECIMAL(18,2)),
+             'SHADOW'
+      FROM customer WHERE c_custkey % 20 = 0),
+    segv AS (
+      SELECT cluster, seg, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM members GROUP BY cluster, seg),
+    segwin AS (
+      SELECT cluster, MIN(ROW(-cnt, seg)) AS best FROM segv GROUP BY cluster),
+    agg AS (
+      SELECT cluster,
+             CAST(MIN(id) AS BIGINT) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(ROW(name IS NULL, id, name)) AS name_pick,
+             CAST(MAX(bal) AS DOUBLE) AS acctbal_resolved,
+             CAST(COUNT(DISTINCT name) AS BIGINT) AS d_name,
+             CAST(COUNT(DISTINCT bal) AS BIGINT) AS d_bal,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS d_seg
+      FROM members GROUP BY cluster)
+    SELECT agg.cluster, agg.canonical_id, agg.n_members,
+           agg.name_pick[3] AS name_resolved,
+           agg.acctbal_resolved,
+           segwin.best[2] AS segment_resolved,
+           CAST((CASE WHEN d_name > 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN d_bal > 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN d_seg > 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_conflict_fields
+    FROM agg JOIN segwin ON segwin.cluster = agg.cluster
+    """,
+)
+def mdm_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record resolution — the master-data-
+    management step after duplicate-cluster assembly
+    (dedup_cluster_components builds the clusters in production; here
+    the synthetic trios carry a known cluster key): each cluster of
+    conflicting records collapses to ONE canonical row under
+    field-level survivorship rules — earliest-id non-null wins for
+    name (MIN over (is-null, id) structs), greatest value wins for
+    the balance (exact DECIMAL max), majority vote with lexicographic
+    tiebreak wins for the segment (MIN over (-count, value) structs)
+    — plus a per-cluster conflict census.  The trio fixture exercises
+    every rule: a NULL name, three distinct balances, a SHADOW
+    segment outvoted 2:1.
+
+    Shape: one members scan → two keyed aggs (cluster;
+    cluster×segment) + a cluster equi-join — every survivorship rule
+    is an order-free MIN/MAX over structs, so any partitioning
+    bit-matches; no windows, no collects.
+    """
+    c = _t(spark, sf_dir)["customer"].filter(F.col("c_custkey") % 20 == 0)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    orig = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_custkey").alias("cluster"),
+        F.col("c_name").alias("name"),
+        bal.alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    copy1 = c.select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.col("c_custkey").alias("cluster"),
+        F.lit(None).cast("string").alias("name"),
+        (bal + F.lit(50.00).cast("decimal(18,2)")).cast("decimal(18,2)").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    copy2 = c.select(
+        (F.col("c_custkey") + 2000000).alias("id"),
+        F.col("c_custkey").alias("cluster"),
+        F.col("c_name").alias("name"),
+        (bal - F.lit(100.00).cast("decimal(18,2)")).cast("decimal(18,2)").alias("bal"),
+        F.lit("SHADOW").alias("seg"),
+    )
+    members = orig.unionByName(copy1).unionByName(copy2)
+    members = members.localCheckpoint(eager=True)  # two aggs share it
+    segwin = (
+        members.groupBy("cluster", "seg")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .groupBy("cluster")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("ncnt"), F.col("seg"))).alias("best"))
+    )
+    agg = members.groupBy("cluster").agg(
+        F.min("id").cast("bigint").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min(
+            F.struct(F.col("name").isNull().alias("isn"), F.col("id"), F.col("name"))
+        ).alias("name_pick"),
+        F.max("bal").cast("double").alias("acctbal_resolved"),
+        F.countDistinct("name").cast("bigint").alias("d_name"),
+        F.countDistinct("bal").cast("bigint").alias("d_bal"),
+        F.countDistinct("seg").cast("bigint").alias("d_seg"),
+    )
+    return agg.join(segwin, "cluster").select(
+        "cluster",
+        "canonical_id",
+        "n_members",
+        F.col("name_pick.name").alias("name_resolved"),
+        "acctbal_resolved",
+        F.col("best.seg").alias("segment_resolved"),
+        (
+            F.when(F.col("d_name") > 1, 1).otherwise(0)
+            + F.when(F.col("d_bal") > 1, 1).otherwise(0)
+            + F.when(F.col("d_seg") > 1, 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_conflict_fields"),
+    )
