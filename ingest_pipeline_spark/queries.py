@@ -81,6 +81,17 @@ def register(name: str, oracle: str | None):
 # turned oracle-backed in r10 (integer Lloyd codebook) and joins the
 # r11 window as a never-sampled entry; this round's composition is
 # fixed by the r9 verdict ask.
+# r11 rotation inputs: the never-driver-sampled oracle-backed r10
+# registrations — similarity_pq_topk, multimodal_jpeg_roundtrip,
+# embedding_matryoshka_agreement, and the 16 late-r10 additions
+# (corpus_dsir_selection, dedup_cdc_chunks, multimodal_image_downsample,
+# search_rocchio_expansion, embedding_jl_projection_audit,
+# multimodal_audio_silence_runs, graph_harmonic_centrality,
+# text_mojibake_audit, multimodal_image_sobel_energy,
+# stats_conformal_interval, similarity_margin_pairs,
+# privacy_k_anonymity_audit, text_readability_flesch,
+# multimodal_image_otsu, multimodal_video_keyframes, mdm_golden_record)
+# — plus the stalest remaining greens.
 # List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
     # never driver-sampled round-9 registrations (oracle-backed)

@@ -323,3 +323,32 @@ def test_line_dedup_line_projection_is_shuffle_free(spark, sf_dir):
     gen = [ln for ln in plan.splitlines() if "Generate" in ln]
     assert gen, "line explode missing"
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_bucket_models_broadcast(spark, sf_dir):
+    """corpus_dsir_selection's selection must be an ordered LIMIT
+    (TakeOrderedAndProject), never a global rank window, and the
+    per-source census join against the 100-row selection must
+    broadcast (the bucket-LM broadcast sits above the lw checkpoint
+    and is covered by the fleet-wide window/cartesian gate)."""
+    plan = _plan(queries()["corpus_dsir_selection"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan, "selection census not broadcast"
+    assert not _global_windows(plan)
+
+
+def test_cdc_boundary_stage_is_one_keyed_window(spark, sf_dir):
+    """dedup_cdc_chunks' rolling-hash boundary detection runs as
+    narrow char rows + LEADs under doc-keyed windows — never a
+    Python UDF, never an empty-partition window."""
+    plan = _plan(queries()["dedup_cdc_chunks"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert not _global_windows(plan), "CDC must not plan a global window"
+
+
+def test_rocchio_second_pass_reuses_checkpointed_postings(spark, sf_dir):
+    """search_rocchio_expansion's two BM25 passes must both read the
+    ONE checkpointed (doc, term) postings relation — the plan shows
+    scans of the checkpoint, not two full re-tokenizations."""
+    plan = _plan(queries()["search_rocchio_expansion"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "postings checkpoint missing"
