@@ -94,3 +94,34 @@ def test_cdc_realigns_after_prefix_insertion(spark):
     tail1 = [d for s, _, d in d1 if s > d1[0][1]]
     assert tail1, "doc 1 needs chunks after its first boundary"
     assert all(d in digests2 for d in tail1), (d1, d2)
+
+
+# hypothesis property: for ARBITRARY text (unicode incl. punctuation the
+# normalizer strips), the Spark chunker equals the pure-Python reference
+# and the grid tiles exactly — the LZW-roundtrip discipline applied to
+# the chunk geometry.
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_TEXT = st.text(
+    alphabet=st.sampled_from("abcXYZ012 .,!\t\n-_"), min_size=0, max_size=200
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+def test_cdc_property_matches_reference(spark, texts):
+    from ingest_pipeline_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append((r["start"], r["end"], r["digest"]))
+    for i, text in enumerate(texts):
+        assert sorted(got.get(i, [])) == _ref_chunks(text), (i, text)
