@@ -21979,3 +21979,105 @@ def mdm_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_conflict_fields"),
     )
+
+
+@register(
+    "events_sequence_regex",
+    """
+    WITH ordered AS (
+      SELECT user_id, SUBSTR(event_type, 1, 1) AS init, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             COALESCE(STRING_AGG(init, '' ORDER BY rn), '') AS seq
+      FROM ordered GROUP BY user_id),
+    m AS (
+      SELECT user_id,
+             LEN(REGEXP_EXTRACT_ALL(seq, 'sv*p')) AS m1,
+             LEN(REGEXP_EXTRACT_ALL(seq, 'ee+')) AS m2,
+             LEN(REGEXP_EXTRACT_ALL(seq, 'pc')) AS m3,
+             LEN(REGEXP_EXTRACT_ALL(seq, 's[^p]*p')) AS m4
+      FROM seqs)
+    SELECT 'signup_views_purchase' AS pattern,
+           CAST(SUM(CASE WHEN m1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_matched,
+           CAST(SUM(m1) AS BIGINT) AS n_total_matches
+    FROM m
+    UNION ALL
+    SELECT 'error_burst',
+           CAST(SUM(CASE WHEN m2 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(m2) AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'purchase_then_click',
+           CAST(SUM(CASE WHEN m3 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(m3) AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'signup_eventually_purchase',
+           CAST(SUM(CASE WHEN m4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(m4) AS BIGINT) FROM m
+    """,
+)
+def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (SQL MATCH_RECOGNIZE / funnel
+    regex, relationally): each user's full event history collapses to
+    an initials string under the deterministic (ts, event_id) order
+    (the events_top_paths sort_array discipline — collect_list alone
+    is partition-order-dependent), and behavioral patterns become
+    plain regexes over it — contiguous signup→view*→purchase, error
+    bursts (ee+), purchase-then-click adjacency, and
+    signup-eventually-purchase with no earlier purchase (s[^p]*p).
+    Counts are non-overlapping leftmost matches — identical semantics
+    in Java regex and RE2 for these backtracking-free patterns.
+
+    Shape: one keyed window for per-user order, one agg to build the
+    strings (rows = users, each bounded by its own history), then 4
+    regex columns in ONE codegen projection — no pattern×user join,
+    no Python.  At 100 TB the per-user string is the session-history
+    compaction a sequence store materializes anyway.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ordered = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("init"),
+        F.row_number().over(w).alias("rn"),
+    )
+    seqs = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("rn"), F.col("init")))),
+                lambda s: s["init"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    pats = [
+        ("signup_views_purchase", "sv*p"),
+        ("error_burst", "ee+"),
+        ("purchase_then_click", "pc"),
+        ("signup_eventually_purchase", "s[^p]*p"),
+    ]
+    m = seqs.select(
+        *[
+            F.size(F.expr(f"regexp_extract_all(seq, '{p}', 0)")).alias(f"m{i}")
+            for i, (_, p) in enumerate(pats)
+        ]
+    ).localCheckpoint(eager=True)  # 4 per-pattern aggregate branches share it
+    outs = []
+    for i, (name, _) in enumerate(pats):
+        outs.append(
+            m.agg(
+                F.sum(F.when(F.col(f"m{i}") > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_users_matched"),
+                F.sum(f"m{i}").cast("bigint").alias("n_total_matches"),
+            ).select(
+                F.lit(name).alias("pattern"), "n_users_matched", "n_total_matches"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
