@@ -22081,3 +22081,95 @@ def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "graph_rich_club",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pairs WHERE support >= 3),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node),
+    ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+    club AS (
+      SELECT ks.k, deg.node
+      FROM ks JOIN deg ON deg.d > ks.k),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+    ek AS (
+      SELECT cu.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM edges e
+        JOIN club cu ON cu.node = e.u
+        JOIN club cv ON cv.node = e.v AND cv.k = cu.k
+      GROUP BY cu.k)
+    SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           CASE WHEN nk.n_k >= 2
+                THEN ROUND(CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+                           / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE), 6)
+           END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragon 2004) of the
+    co-purchase graph: for each degree cutoff k, the edge density
+    φ(k) = 2·E_k / (N_k·(N_k−1)) among nodes of degree > k — do the
+    hubs trade with EACH OTHER (rich club) or only with the
+    periphery?  Completes the topology gauges beside assortativity
+    (correlation form), k-core (peeling form), and harmonic
+    centrality (distance form).  All counts exact BIGINT; the single
+    ratio is one IEEE division rounded 6 dp; degenerate clubs
+    (N_k < 2) report NULL φ.
+
+    Shape: degree relation → 3-row cutoff explode (broadcast) → two
+    node-keyed equi-joins of the edge list against club membership —
+    work ∝ edges × |ks|, never pairwise over nodes.
+    """
+    from .operators.baskets import copurchase_pairs
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    edges = edges.localCheckpoint(eager=True)  # degree + club joins share it
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,)], "k int")
+    club = deg.join(F.broadcast(ks), deg.d > F.col("k")).select("k", "node")
+    club = club.localCheckpoint(eager=True)  # nk + both edge joins share it
+    nk = club.groupBy("k").agg(F.count("*").cast("bigint").alias("n_k"))
+    cu = club.select(F.col("k"), F.col("node").alias("u"))
+    cv = club.select(F.col("k").alias("k2"), F.col("node").alias("v2"))
+    ek = (
+        edges.join(cu, "u")
+        .join(cv, (F.col("v") == F.col("v2")) & (F.col("k") == F.col("k2")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("e_k"))
+    )
+    return nk.join(F.broadcast(ek), "k", "left").select(
+        "k",
+        "n_k",
+        F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint").alias("e_k"),
+        F.when(
+            F.col("n_k") >= 2,
+            F.round(
+                (2 * F.coalesce(F.col("e_k"), F.lit(0))).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+                6,
+            ),
+        ).alias("phi"),
+    )
