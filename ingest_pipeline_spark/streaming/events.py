@@ -191,6 +191,7 @@ def interval_join_stream(
     right_ts: str,
     horizon_sec: int,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: right rows within
     (left_ts, left_ts + horizon] per key — the continuous counterpart
@@ -203,7 +204,18 @@ def interval_join_stream(
     data, not the stream's history.  Column names must be disjoint
     apart from ``key`` (pre-alias, as with range_join).  On batch
     inputs the same condition runs as a plain join for parity testing.
+
+    ``how="leftOuter"`` emits unmatched left rows (right columns NULL)
+    once the watermark proves no match can still arrive — the
+    "error that never got a follow-up click" alerting shape; a left
+    row's outer result is CLOSABLE only when the global watermark has
+    passed ``left_ts + horizon``, so a stopped stream withholds outer
+    rows for its last watermark-delay-plus-horizon of event time
+    (asserted against the batch left join on exactly the closable
+    region in tests/test_stream_interval_join.py).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how}")
     l_src, r_src = left, right
     if l_src.isStreaming:
         l_src = l_src.withWatermark(left_ts, watermark)
@@ -217,7 +229,7 @@ def interval_join_stream(
             <= l_src[left_ts] + F.expr(f"INTERVAL {int(horizon_sec)} SECONDS")
         )
     )
-    return l_src.join(r_src, cond, "inner").drop(r_src[key])
+    return l_src.join(r_src, cond, how).drop(r_src[key])
 
 
 def idempotent_parquet_sink(

@@ -73,3 +73,107 @@ def test_interval_join_stream_batch_parity_path(spark, sf_dir):
         ).collect()
     }
     assert via_helper == via_range
+
+
+def test_stream_interval_left_outer_matches_batch_on_closable_region(
+    spark, sf_dir
+):
+    """leftOuter: unmatched errors emit NULL-click rows once the
+    watermark proves no match can arrive.  A stopped stream can only
+    close left rows with e_ts + horizon < final watermark (max event
+    ts − delay), so the assertion compares stream and batch left join
+    restricted to exactly that region — matched pairs AND outer rows."""
+    ev = load_table(spark, sf_dir, "events")
+    errors, clicks = _split(ev)
+    horizon, delay_sec = 1800, 3600
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    batch = errors.join(
+        clicks,
+        (errors["user_id"] == clicks["user_id"])
+        & (clicks["c_ts"] > errors["e_ts"])
+        & (clicks["c_ts"] <= errors["e_ts"] + F.expr("INTERVAL 1800 SECONDS")),
+        "left",
+    ).select("e_id", "e_ts", "c_id")
+    import datetime
+
+    closable = max_ts - datetime.timedelta(seconds=delay_sec + horizon)
+    batch_rows = {
+        (r["e_id"], r["c_id"])
+        for r in batch.collect()
+        if r["e_ts"] < closable
+    }
+    assert any(c is None for _, c in batch_rows), "fixture needs outer rows"
+
+    def transform(src):
+        s = normalize_event_ts(src)
+        e, c = _split(s)
+        return interval_join_stream(
+            e, c, "user_id", "e_ts", "c_ts",
+            horizon_sec=horizon, watermark="1 hour", how="leftOuter",
+        ).select("e_id", "e_ts", "c_id")
+
+    # outer-state eviction happens a micro-batch AFTER the watermark
+    # advances, so the drive is two-phase: batch 1 = the real events,
+    # batch 2 = far-future sentinel rows (one per branch, e_id < 0,
+    # excluded from the comparison) that push the watermark past every
+    # real row's e_ts + horizon and flush the withheld outer results.
+    import datetime as _dt
+    import os
+    import tempfile
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = tempfile.mkdtemp(prefix="stream_louter_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(staged, "batch1.parquet"),
+    )
+    src = spark.readStream.schema(raw.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged)
+    q = (
+        transform(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_left_outer_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        far = max_ts + _dt.timedelta(days=30)
+        sentinel = spark.createDataFrame(
+            [(-1, far, 0, "error", 0.0, "{}"),
+             (-2, far, 0, "click", 0.0, "{}")],
+            raw.schema,
+        )
+        sentinel.write.mode("overwrite").parquet(
+            os.path.join(staged, "batch2_dir")
+        )
+        for f in os.listdir(os.path.join(staged, "batch2_dir")):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, "batch2_dir", f),
+                    os.path.join(staged, "batch2.parquet"),
+                )
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM interval_left_outer_out")
+        stream_rows = {
+            (r["e_id"], r["c_id"])
+            for r in out.collect()
+            if r["e_ts"] < closable and r["e_id"] >= 0
+        }
+    finally:
+        q.stop()
+    assert stream_rows == batch_rows
+    assert any(c is None for _, c in stream_rows)
+
+
+def test_interval_join_stream_rejects_bad_how(spark, sf_dir):
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events")
+    errors, clicks = _split(ev)
+    with pytest.raises(ValueError):
+        interval_join_stream(
+            errors, clicks, "user_id", "e_ts", "c_ts", 1800, how="full"
+        )
