@@ -22173,3 +22173,95 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("phi"),
     )
+
+
+@register(
+    "validate_referential_integrity",
+    """
+    WITH edges AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey)
+    SELECT fk, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+             AS orphan_rate
+    FROM edges
+    """,
+)
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide referential-integrity audit: one row per foreign-key
+    edge with child-row and orphan counts — the cross-TABLE
+    data-quality gate beside the column-level battery
+    (validation_battery) and the declared-vs-listing anti-join
+    (upload_integrity); Spark enforces no FK constraints, so a
+    profiling pass like this is how a lakehouse pipeline notices a
+    broken upstream export before training on it.
+
+    Shape: each edge is one left join against its (broadcast-sized)
+    parent dimension counted in a single agg — dims broadcast, fact
+    tables shuffle at most once on their FK; the five 1-row results
+    union into the report.  All-integer except the final rate.
+    """
+    t = _t(spark, sf_dir)
+    edges = [
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+        ("orders.o_custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+    ]
+    outs = []
+    for fk, child, ck, parent, pk in edges:
+        j = child.select(F.col(ck).alias("__ck")).join(
+            parent.select(F.col(pk).alias("__pk")),
+            F.col("__ck") == F.col("__pk"),
+            "left",
+        )
+        outs.append(
+            j.agg(
+                F.count("*").cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(fk).alias("fk"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
