@@ -140,22 +140,28 @@ def test_stream_interval_left_outer_matches_batch_on_closable_region(
     )
     try:
         q.processAllAvailable()
-        far = max_ts + _dt.timedelta(days=30)
-        sentinel = spark.createDataFrame(
-            [(-1, far, 0, "error", 0.0, "{}"),
-             (-2, far, 0, "click", 0.0, "{}")],
-            raw.schema,
-        )
-        sentinel.write.mode("overwrite").parquet(
-            os.path.join(staged, "batch2_dir")
-        )
-        for f in os.listdir(os.path.join(staged, "batch2_dir")):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(staged, "batch2_dir", f),
-                    os.path.join(staged, "batch2.parquet"),
-                )
-        q.processAllAvailable()
+        # two sentinel batches: batch 2 advances the watermark past every
+        # real row's e_ts + horizon; batch 3 (a data-ful trigger) runs
+        # WITH that watermark and deterministically evicts the withheld
+        # outer state — relying on the optional no-data flush micro-batch
+        # after batch 2 alone is racy under processAllAvailable (observed
+        # flaky in the full suite).
+        for n, days in ((2, 30), (3, 60)):
+            far = max_ts + _dt.timedelta(days=days)
+            sentinel = spark.createDataFrame(
+                [(-2 * n + 1, far, 0, "error", 0.0, "{}"),
+                 (-2 * n, far, 0, "click", 0.0, "{}")],
+                raw.schema,
+            )
+            tmp_dir = os.path.join(staged, f"batch{n}_dir")
+            sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+            for f in os.listdir(tmp_dir):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp_dir, f),
+                        os.path.join(staged, f"batch{n}.parquet"),
+                    )
+            q.processAllAvailable()
         out = spark.sql("SELECT * FROM interval_left_outer_out")
         stream_rows = {
             (r["e_id"], r["c_id"])
