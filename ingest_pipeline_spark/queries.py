@@ -68,86 +68,82 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-10 window (r9-verdict ask #1): the 12 oracle-backed round-9
-# registrations that have never held a driver slot (judge-verified green
-# at sf0.01 at r9 HEAD), plus 38 re-samples of the STALEST greens — the
-# two r3 leftovers that missed the r9 window, all 31 oracle-backed
-# queries whose newest driver row dates to r4, and the 5 oldest r5 rows
-# (alphabetical); old rows certify code paths predating the table cache
-# (r5) and prefix-scan rewires (r6).  Permanently OUT of the window: the
-# rows-only-by-design entries (source_listing, graph_kcore_parts,
-# text_bpe_learn_merges, graph_mst_copurchase, corpus_pack_ffd) — each
-# would burn a slot as an eternal `no_oracle`.  similarity_pq_topk
-# turned oracle-backed in r10 (integer Lloyd codebook) and joins the
-# r11 window as a never-sampled entry; this round's composition is
-# fixed by the r9 verdict ask.
-# r11 rotation inputs: the never-driver-sampled oracle-backed r10
-# registrations — similarity_pq_topk, multimodal_jpeg_roundtrip,
-# embedding_matryoshka_agreement, and the 16 late-r10 additions
-# (corpus_dsir_selection, dedup_cdc_chunks, multimodal_image_downsample,
-# search_rocchio_expansion, embedding_jl_projection_audit,
-# multimodal_audio_silence_runs, graph_harmonic_centrality,
-# text_mojibake_audit, multimodal_image_sobel_energy,
-# stats_conformal_interval, similarity_margin_pairs,
-# privacy_k_anonymity_audit, text_readability_flesch,
-# multimodal_image_otsu, multimodal_video_keyframes, mdm_golden_record)
-# — plus the stalest remaining greens.
+# Round-11 window (r10-verdict ask #1): the 22 oracle-backed queries
+# that have never held a driver slot — the 21 late-r10 registrations
+# plus similarity_pq_topk (oracle-backed since the r10 integer-Lloyd
+# codebook switch; earlier artifacts graded it rows-only) — plus 28
+# re-samples of the STALEST greens (the alphabetically-first 28 of the
+# 44 queries whose newest driver row dates to r5; the remaining 16 are
+# the r12 rotation input).  Old rows certify code paths predating the
+# prefix-scan rewires (r6) and the table cache (r8).  Permanently OUT
+# of the window: the rows-only-by-design entries (source_listing,
+# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
+# corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
+# r12 rotation inputs: the 16 remaining r5-stale greens
+# (q8_market_share, q9_product_profit, range_join_error_clicks,
+# reorganize_multiassay_merge, sample_reservoir_groups,
+# scd2_status_history, similarity_pq_topk_det, snapshot_delta,
+# stream_neardup_records, text_chunk_documents, text_pii_scrub,
+# text_rolling_hash, text_token_entropy, tfidf_top_terms,
+# token_crypto_roundtrip, window_moving_range_sum), any never-sampled
+# r11 registration, then the r6-stale cohort.
 # List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled round-9 registrations (oracle-backed)
-    "dedup_span_coverage_audit",
-    "similarity_pq_index_upsert",
-    "corpus_line_dedup",
-    "stats_benjamini_hochberg",
-    "corpus_token_budget_allocation",
-    "embedding_pq_distortion_by_cell",
-    "multimodal_audio_zero_crossings",
-    "dedup_image_dhash",
-    "similarity_index_delete_compact",
-    "events_late_arrival_audit",
-    "multimodal_video_shot_cuts",
-    "sessionize_gap_sweep",
-    # stalest re-samples: r3 leftovers from the r9 rotation
-    "text_token_fingerprint",
-    "validation_battery",
-    # stalest re-samples: every oracle-backed query last graded r4
-    "agg_distinct_sets",
-    "array_set_ops",
-    "collection_type_inference",
-    "corpus_pack_sequences",
-    "date_functions",
-    "decontaminate_overlap",
-    "dedup_corpus_clean",
-    "dedup_substring_windows",
-    "filter_membership_floor",
-    "incremental_rollup_orders",
-    "messaging_payloads",
-    "provenance_concat",
-    "q17_small_quantity_revenue",
-    "quality_percentiles",
-    "reorganize_plan",
-    "report_usage_monthly",
-    "request_intake_routing",
-    "rules_join_routing",
-    "sample_hash_deterministic",
-    "schema_validate_json_fallback",
-    "session_durations",
-    "similarity_lsh_buckets",
-    "sketch_kmv_distinct",
-    "stream_session_counts",
-    "terminal_status_batch",
-    "text_list_parsing",
-    "text_repetition_scores",
-    "unpivot_lineitem_measures",
-    "upload_integrity",
-    "window_analytics",
-    "workflow_map_routing",
-    # stalest re-samples: the 5 oldest r5-graded rows
-    "agg_cube_orders",
-    "agg_salted_hot_keys",
-    "asof_join_events",
-    "corpus_drift_report",
-    "corpus_mix_rebalance",
+    # never driver-sampled oracle-backed queries (21 late-r10 regs +
+    # similarity_pq_topk, oracle-backed since the r10 integer-Lloyd switch)
+    "similarity_pq_topk",
+    "multimodal_jpeg_roundtrip",
+    "embedding_matryoshka_agreement",
+    "corpus_dsir_selection",
+    "dedup_cdc_chunks",
+    "multimodal_image_downsample",
+    "search_rocchio_expansion",
+    "embedding_jl_projection_audit",
+    "multimodal_audio_silence_runs",
+    "graph_harmonic_centrality",
+    "text_mojibake_audit",
+    "multimodal_image_sobel_energy",
+    "stats_conformal_interval",
+    "similarity_margin_pairs",
+    "privacy_k_anonymity_audit",
+    "text_readability_flesch",
+    "multimodal_image_otsu",
+    "multimodal_video_keyframes",
+    "mdm_golden_record",
+    "events_sequence_regex",
+    "graph_rich_club",
+    "validate_referential_integrity",
+    # stalest re-samples: first 28 (alphabetical) of the 44 queries whose
+    # newest driver row dates to r5 (predates the r6 prefix-scan rewires
+    # and the r8 table cache); the other 16 rotate in next round
+    "corpus_prepare_training",
+    "curation_pipeline",
+    "dedup_cluster_components",
+    "dedup_simhash_pairs",
+    "embedding_label_centroids",
+    "embedding_nearest_centroid",
+    "events_funnel_conversion",
+    "events_gapfill_daily",
+    "events_hopping_windows",
+    "events_retention_cohorts",
+    "graph_pagerank_suppliers",
+    "hypertable_rollup",
+    "merge_upsert_orders",
+    "profile_orders",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_census",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_census",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_forecast_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
 ]
 
 

@@ -43,25 +43,21 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the round-9 registrations that had
-    # never been driver-sampled must be inside round 10's window (plus
-    # stale-re-sample spot checks across the r3/r4/r5 bands), and the
-    # permanently-rows-only entries must NOT burn slots (each would sit
-    # as an eternal `no_oracle` row)
+    # the driver grades the first 50: the 22 oracle-backed queries that
+    # had never been driver-sampled before r11 must be inside round 11's
+    # window (plus stale-re-sample spot checks from the r5 band), and
+    # the permanently-rows-only entries must NOT burn slots (each would
+    # sit as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("dedup_span_coverage_audit", "similarity_pq_index_upsert",
-                 "corpus_line_dedup", "stats_benjamini_hochberg",
-                 "dedup_image_dhash", "similarity_index_delete_compact",
-                 "events_late_arrival_audit", "multimodal_video_shot_cuts",
-                 "sessionize_gap_sweep",
-                 "text_token_fingerprint", "validation_battery",
-                 "agg_distinct_sets", "workflow_map_routing",
-                 "agg_cube_orders", "corpus_mix_rebalance"):
+    for must in ("similarity_pq_topk", "multimodal_jpeg_roundtrip",
+                 "embedding_matryoshka_agreement", "corpus_dsir_selection",
+                 "dedup_cdc_chunks", "similarity_margin_pairs",
+                 "events_sequence_regex", "graph_rich_club",
+                 "validate_referential_integrity", "mdm_golden_record",
+                 "privacy_k_anonymity_audit", "multimodal_video_keyframes",
+                 "corpus_prepare_training", "graph_pagerank_suppliers",
+                 "merge_upsert_orders", "q2_min_cost_supplier"):
         assert must in first50, f"{must} fell out of the driver's window"
-    # similarity_pq_topk turned oracle-backed in r10 (integer Lloyd
-    # codebook) — it joins the r11 window as a never-sampled entry; this
-    # round's 50 slots are fixed by the r9 verdict's composition ask.
-    assert "similarity_pq_topk" not in first50
     assert "source_listing" not in first50
     assert "graph_kcore_parts" not in first50
     assert "text_bpe_learn_merges" not in first50
