@@ -750,6 +750,25 @@ def pq_codebook_det(spark, m: int, n_codes: int, d_sub: int, tag: str = "pqdet")
     )
 
 
+_DET_CB_ROWS_CACHE: dict = {}
+
+
+def _det_cb_rows(spark, m: int, n_codes: int, d_sub: int, tag: str = "pqdet"):
+    """Collected pq_codebook_det rows, cached per (session, params).
+
+    The det codebook is corpus-independent and fully determined by its
+    parameters, so the (bounded, m*n_codes*d_sub-row) collect happens
+    once per process instead of once per encode — pq_index_upsert runs
+    two encodes per call and the bench runs every det query twice."""
+    key = (id(spark), m, n_codes, d_sub, tag)
+    if key not in _DET_CB_ROWS_CACHE:
+        _DET_CB_ROWS_CACHE[key] = [
+            (r["j"], r["c"], r["ps"], r["cb_val"])
+            for r in pq_codebook_det(spark, m, n_codes, d_sub, tag).collect()
+        ]
+    return _DET_CB_ROWS_CACHE[key]
+
+
 def pq_codebook_rows(spark, codebooks: "list[list[list[float]]]") -> DataFrame:
     """Freeze LEARNED PQ codebooks (pq_index's m x n_codes x d_sub
     python lists — the persisted index artifact) as the same (j, c, ps,
@@ -772,42 +791,26 @@ def pq_assign(
     d_sub: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _cb_rows=None,
 ) -> DataFrame:
     """Encode vectors against a FROZEN PQ codebook frame (j, c, ps,
     cb_val): per (vector, subspace), the nearest centroid by exact
-    decimal squared distance with a code tiebreak — the pq_topk_det
-    encode stage factored out so index build and index upsert share
-    ONE code-assignment definition (the ivf_assign discipline applied
-    to PQ).  Cost is |vectors| x m x n_codes against a broadcast
-    codebook; nothing else is touched.  Returns (vec_id, j, code)."""
-    x = vectors.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
-    ).select(
-        "id",
-        F.round(F.col("val"), 6).alias("val"),
-        (F.col("pos") / d_sub).cast("int").alias("j"),
-        (F.col("pos") % d_sub).cast("int").alias("ps"),
-    )
-    enc = (
-        x.join(F.broadcast(cb), ["j", "ps"])
-        .groupBy("id", "j", "c")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("val") - F.col("cb_val"))
-                    * (F.col("val") - F.col("cb_val")),
-                    12,
-                ).cast("decimal(28,12)")
-            ).alias("dist2")
-        )
-    )
-    # argmin as a min-of-struct hash aggregate (map-side partials, no
-    # per-(id, j) sort window) — same shape as pq_topk_det's encode
-    return (
-        enc.groupBy("id", "j")
-        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
-        .select(F.col("id").alias("vec_id"), "j", F.col("mn.c").alias("code"))
+    int64 micro squared distance with a code tiebreak — the
+    pq_topk_det encode stage factored out so index build and index
+    upsert share ONE code-assignment definition (the ivf_assign
+    discipline applied to PQ).  The codebook frame is collected once
+    (bounded: m * n_codes * d_sub rows) and the assignment runs as a
+    single scan-side Arrow projection (`_assign_codes_micro`; decimal
+    equivalence documented there — the former explode -> broadcast
+    join -> double-groupBy shape cost two corpus shuffles per encode).
+    Internal callers that already hold the rows pass ``_cb_rows`` to
+    skip the collect (see `_det_cb_rows`).  Returns (vec_id, j, code)."""
+    if _cb_rows is None:
+        _cb_rows = [
+            (r["j"], r["c"], r["ps"], r["cb_val"]) for r in cb.collect()
+        ]
+    return _assign_codes_micro(
+        vectors, _cb_rows, m, d_sub, vec_col, id_col, code_type="int"
     )
 
 
@@ -853,20 +856,22 @@ def pq_index_upsert(
         if dim % m != 0:
             raise ValueError(f"vector dim {dim} not divisible by m={m}")
         cb = pq_codebook_det(spark, m, n_codes, dim // m)
-        return pq_assign(delta, cb, m, dim // m, vec_col, id_col).withColumn(
-            "origin", F.lit("delta")
-        )
+        return pq_assign(
+            delta, cb, m, dim // m, vec_col, id_col,
+            _cb_rows=_det_cb_rows(spark, m, n_codes, dim // m),
+        ).withColumn("origin", F.lit("delta"))
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
     d_sub = dim // m
     cb = pq_codebook_det(spark, m, n_codes, d_sub)
-    b = pq_assign(base, cb, m, d_sub, vec_col, id_col).withColumn(
-        "origin", F.lit("base")
-    )
-    d = pq_assign(delta, cb, m, d_sub, vec_col, id_col).withColumn(
-        "origin", F.lit("delta")
-    )
+    rows = _det_cb_rows(spark, m, n_codes, d_sub)
+    b = pq_assign(
+        base, cb, m, d_sub, vec_col, id_col, _cb_rows=rows
+    ).withColumn("origin", F.lit("base"))
+    d = pq_assign(
+        delta, cb, m, d_sub, vec_col, id_col, _cb_rows=rows
+    ).withColumn("origin", F.lit("delta"))
     return b.unionByName(d)
 
 
@@ -927,9 +932,10 @@ def pq_topk_det(
     # the scan, the upsert path, and the unit theorem all run one
     # code-assignment definition; argmin is a min-of-struct hash agg
     # (map-side partials, never a per-(id, j) sort window)
-    codes = pq_assign(corpus, cb, m, d_sub, vec_col, id_col).select(
-        F.col("vec_id").alias("id"), "j", "code"
-    )
+    codes = pq_assign(
+        corpus, cb, m, d_sub, vec_col, id_col,
+        _cb_rows=_det_cb_rows(spark, m, n_codes, d_sub),
+    ).select(F.col("vec_id").alias("id"), "j", "code")
     qx = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
@@ -1075,7 +1081,7 @@ def ivfpq_topk_det(
         F.round(F.col("val0"), 6).alias("val"),
         (F.col("pos") / d_sub).cast("int").alias("j"),
         (F.col("pos") % d_sub).cast("int").alias("ps"),
-    ).localCheckpoint(eager=True)  # encode + re-rank share it
+    )  # re-rank only (encode is the Arrow micro assignment below)
     id_t = corpus.schema[id_col].dataType.simpleString()
     cb = spark.createDataFrame(
         [
@@ -1086,22 +1092,15 @@ def ivfpq_topk_det(
         f"j int, c {id_t}, ps int, cb_raw double",
     ).select("j", "c", "ps", F.round("cb_raw", 6).alias("cb_val"))
     dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
-    enc = (
-        x.join(F.broadcast(cb), ["j", "ps"])
-        .groupBy("id", "j", "c")
-        .agg(
-            dec(
-                (F.col("val") - F.col("cb_val"))
-                * (F.col("val") - F.col("cb_val"))
-            ).alias("dist2")
-        )
-    )
-    # argmin via lexicographic struct MIN — see pq_topk_det's codes note
-    codes = (
-        enc.groupBy("id", "j")
-        .agg(F.min(F.struct("dist2", "c")).alias("mn"))
-        .select("id", "j", F.col("mn.c").alias("code"))
-    )
+    # argmin encode via the Arrow micro assignment (decimal equivalence
+    # in _assign_codes_micro's docstring); collect the Spark-rounded
+    # codebook so the 6-dp HALF_UP values are byte-identical to the
+    # frame the LUT join uses (bounded: n_codes * dim rows)
+    cb_rows = [(r["j"], r["c"], r["ps"], r["cb_val"]) for r in cb.collect()]
+    codes = _assign_codes_micro(
+        corpus, cb_rows, m, d_sub, vec_col, id_col,
+        code_type="bigint" if id_t in ("bigint", "long") else id_t,
+    ).withColumnRenamed("vec_id", "id")
     qx = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "qval0"),
@@ -1535,40 +1534,82 @@ def _xg_micro(
     )
 
 
-def _argmin_code_udf(cb, m: int, n_codes: int, d_sub: int):
+def _argmin_code_udf(cb, m: int, n_codes: int, d_sub: int,
+                     code_type: str = "int"):
     """Arrow-vectorized nearest-code assignment: (j, comps) -> code.
 
-    The <=1024-entry driver-side codebook list rides the closure as an
-    (m, n_codes, d_sub) int64 array — no join at all; per Arrow batch
-    one fused numpy broadcast computes every int64 squared distance
-    exactly (values are 1e-6 micros, so diff^2 * d_sub < 2^45 — far
-    inside int64) and np.argmin's first-minimum rule IS the
-    lowest-code tiebreak of min(struct(dist2, c)).  An unrolled
-    Catalyst expression for the same math blows the Janino 64KB method
-    limit (n_codes * d_sub element_at chains) and silently falls back
-    to interpreted eval — measured ~2x slower than this UDF.  Marked
-    nondeterministic (it isn't, semantically) so projection collapse
-    never clones the Python stage into downstream consumers (the
-    dot_seq precedent, similarity.py:83)."""
+    The <=1024-entry driver-side codebook list [(j, c, ps, cbv_micro)]
+    rides the closure as an (m, n_codes, d_sub) int64 array — no join
+    at all; per Arrow batch one fused numpy broadcast computes every
+    int64 squared distance exactly (values are 1e-6 micros, so
+    diff^2 * d_sub < 2^45 — far inside int64) and np.argmin's
+    first-minimum rule over the label-sorted candidate axis IS the
+    lowest-label tiebreak of min(struct(dist2, c)).  Labels need not be
+    0..n_codes-1 (ivfpq_topk_det's sampled codebook labels codes by
+    sample id) — argmin indexes into the sorted label vector.  An
+    unrolled Catalyst expression for the same math blows the Janino
+    64KB method limit (n_codes * d_sub element_at chains) and silently
+    falls back to interpreted eval — measured ~2x slower than this UDF.
+    Marked nondeterministic (it isn't, semantically) so projection
+    collapse never clones the Python stage into downstream consumers
+    (the dot_seq precedent, similarity.py:83)."""
     import numpy as np
 
+    labels = sorted({c for (_j, c, _ps, _v) in cb})
+    assert len(labels) == n_codes, (len(labels), n_codes)
+    cidx = {c: i for i, c in enumerate(labels)}
+    lab_arr = np.array(labels, dtype=np.int64)
     cbm = np.zeros((m, n_codes, d_sub), dtype=np.int64)
     for (j, c, ps, cbv) in cb:
-        cbm[j, c, ps] = cbv
+        cbm[j, cidx[c], ps] = cbv
+
+    out_dtype = "int32" if code_type in ("int", "integer") else "int64"
 
     def fn(j_ser, comps_ser):
         import numpy as np
         import pandas as pd
 
         if len(j_ser) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype=out_dtype)
         j = j_ser.to_numpy(dtype=np.int64)
         comps = np.array(comps_ser.tolist(), dtype=np.int64)
         diff = comps[:, None, :] - cbm[j]
         dist2 = (diff * diff).sum(axis=2)
-        return pd.Series(np.argmin(dist2, axis=1).astype(np.int32))
+        return pd.Series(lab_arr[np.argmin(dist2, axis=1)].astype(out_dtype))
 
-    return pandas_udf(fn, "int").asNondeterministic()
+    return pandas_udf(fn, code_type).asNondeterministic()
+
+
+def _assign_codes_micro(
+    vectors: DataFrame,
+    cb_rows,
+    m: int,
+    d_sub: int,
+    vec_col: str,
+    id_col: str,
+    code_type: str = "int",
+) -> DataFrame:
+    """Encode vectors against a FROZEN 6-dp codebook [(j, c, ps,
+    cb_val)] by exact int64 micro arithmetic + the Arrow argmin.
+
+    Bit-equivalent to the decimal formulation (sum of
+    round((val-cb_val)^2, 12) in DECIMAL(28,12)): a product of two
+    6-dp values is EXACTLY a 12-dp decimal, the double square sits
+    within ~4e-16 of that multiple of 1e-12 so round(.,12) recovers it
+    exactly, and the integer micro dist2 equals that decimal * 1e12 —
+    same argmin winner, same lowest-label tiebreak, no oracle change.
+    Returns (vec_id, j, code)."""
+    n_codes = len({c for (_j, c, _ps, _v) in cb_rows})
+    cb_micro = [
+        (j, c, ps, int(round(v * 1000000.0))) for (j, c, ps, v) in cb_rows
+    ]
+    code = _argmin_code_udf(cb_micro, m, n_codes, d_sub, code_type)
+    xg = _xg_micro(vectors, vec_col, id_col, d_sub, m)
+    return xg.select(
+        F.col("id").alias("vec_id"),
+        "j",
+        code(F.col("j"), F.col("comps")).alias("code"),
+    )
 
 
 def _lloyd_grid_micro(
