@@ -745,7 +745,15 @@ def cdc_chunks(
 
     chars = base.filter(F.col("__n") >= k).select(
         "id",
+        "__n",
         F.posexplode(F.split(F.col("__s"), "")).alias("pos0", "ch"),
+    ).filter(
+        # enforce (not assume) that split('') emitted exactly __n
+        # elements: if a Spark version ever appended a trailing ''
+        # (Java split(-1) semantics), ascii('')=0 would yield a
+        # non-null rolling hash one position past the doc end and
+        # could emit a phantom cut at n+1
+        F.col("pos0") < F.col("__n")
     ).select("id", "pos0", F.ascii("ch").cast("long").alias("code"))
     wseq = Window.partitionBy("id").orderBy("pos0")
     terms = [

@@ -74,23 +74,45 @@ def start_intake(
     jobs_dir: str,
     dispatch_fn: Callable[[list[dict]], None] | None = None,
     process_rules=None,
+    max_inline_jobs: int = 10_000,
 ):
     """Streaming intake leg: requests → routed jobs (+ dispatcher).
 
     Returns the started StreamingQuery (availableNow trigger — drains
     what's there and stops; a production deployment runs it
     continuously).  Job rows are control-plane sized, so the
-    dispatcher sees them as plain dicts per micro-batch.
+    dispatcher normally sees them as plain dicts per micro-batch —
+    but the driver collect is CAPPED at ``max_inline_jobs``: a
+    pathological batch (replayed backlog, runaway producer) spills to
+    ``jobs_dir``/../jobs_overflow and the dispatcher receives ONE
+    manifest dict pointing at the spill instead of the rows, so the
+    driver can never OOM on a micro-batch.  This is the reference's
+    MAX_IN_LINE_FILES inline-vs-spill policy (dags/utils.py:67-69)
+    applied to dispatch.
     """
     src = spark.readStream.schema(requests_schema).parquet(requests_dir)
+    overflow_dir = jobs_dir.rstrip("/") + "_overflow"
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
+    def handle(batch: DataFrame, batch_id: int) -> None:
         jobs = route_requests(batch, process_rules=process_rules)
         jobs.persist()
         try:
             jobs.write.mode("append").parquet(jobs_dir)
             if dispatch_fn is not None:
-                dispatch_fn([r.asDict() for r in jobs.collect()])
+                # limit()+collect of cap+1 rows bounds the driver-side
+                # materialization BEFORE deciding inline vs spill
+                head = jobs.limit(max_inline_jobs + 1).collect()
+                if len(head) <= max_inline_jobs:
+                    dispatch_fn([r.asDict() for r in head])
+                else:
+                    spill = f"{overflow_dir}/batch_id={batch_id}"
+                    jobs.write.mode("overwrite").parquet(spill)
+                    dispatch_fn([{
+                        "spilled": True,
+                        "path": spill,
+                        "n_jobs": jobs.count(),
+                        "batch_id": batch_id,
+                    }])
         finally:
             jobs.unpersist()
 

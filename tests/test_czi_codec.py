@@ -1,0 +1,121 @@
+"""CZI pixel codec battery: roundtrip matrix, mosaic assembly,
+corrupt-input degradation, and cross-codec pixel agreement.
+
+The metadata walk (parse_czi) was already real; these tests pin the
+new ZISRAWSUBBLOCK pixel path (r10 verdict ask #3).
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ingest_pipeline_spark.operators.extractors import parse_czi
+from ingest_pipeline_spark.operators.multimodal import (
+    _image_decode_dispatch,
+    czi_encode,
+    czi_pixels_decode,
+    decode_image_features,
+    embeddings_to_czi,
+    embeddings_to_png,
+)
+
+VARIANTS = [
+    (8, 8, "none", 1),
+    (8, 8, "lzw", 1),
+    (8, 8, "lzw", 2),
+    (6, 5, "lzw", 3),
+    (4, 1, "none", 1),
+    (3, 7, "lzw", 7),   # one-row bands
+    (16, 12, "none", 5),
+]
+
+
+@pytest.mark.parametrize("w,h,comp,bands", VARIANTS,
+                         ids=[f"{v[0]}x{v[1]}-{v[2]}-b{v[3]}" for v in VARIANTS])
+def test_roundtrip_matrix(w, h, comp, bands):
+    rng = random.Random(w * 1000 + h * 10 + bands)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    blob = czi_encode(w, h, px, compression=comp, n_bands=bands)
+    got = czi_pixels_decode(blob)
+    assert got == (w, h, 1, 8, px)
+    # magic-byte dispatch routes CZI automatically
+    assert _image_decode_dispatch(blob) == got
+    # the metadata walk still reads the same file
+    meta = parse_czi(blob)
+    assert meta["SizeX"] == w and meta["SizeY"] == h
+    assert meta["PixelType"] == "Gray8"
+
+
+def test_mosaic_bands_are_really_separate_subblocks():
+    px = bytes(range(64))
+    blob = czi_encode(8, 8, px, compression="none", n_bands=4)
+    assert blob.count(b"ZISRAWSUBBLOCK") >= 4  # directory repeats entries
+    assert czi_pixels_decode(blob)[4] == px
+
+
+def test_corrupt_inputs_raise_valueerror():
+    good = czi_encode(8, 8, bytes(range(64)), compression="lzw", n_bands=2)
+    cases = {
+        "empty": b"",
+        "not czi": b"PK\x03\x04" + b"\x00" * 200,
+        "truncated header": good[:60],
+        "truncated subblocks": good[:300],
+    }
+    # bad directory position
+    bad = bytearray(good)
+    struct.pack_into("<q", bad, 84, 10**9)
+    cases["bad dirpos"] = bytes(bad)
+    # metadata-only CZI (the legacy fixture shape): no directory
+    xml = (b"<ImageDocument><Metadata><Information><Image>"
+           b"<SizeX>4</SizeX><SizeY>4</SizeY><PixelType>Gray8</PixelType>"
+           b"</Image></Information></Metadata></ImageDocument>")
+    meta_payload = struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml
+    meta_seg = (b"ZISRAWMETADATA".ljust(16, b"\x00")
+                + struct.pack("<qq", len(meta_payload), len(meta_payload))
+                + meta_payload)
+    hdr = bytearray(512)
+    struct.pack_into("<q", hdr, 60, 32 + 512)
+    cases["metadata only"] = (b"ZISRAWFILE".ljust(16, b"\x00")
+                              + struct.pack("<qq", 512, 512) + bytes(hdr)
+                              + meta_seg)
+    for tag, blob in cases.items():
+        with pytest.raises(ValueError):
+            czi_pixels_decode(blob)
+        assert tag  # keep the loop honest
+
+
+def test_gap_and_unsupported_pixel_type_rejected():
+    # drop one band's directory entry -> coverage gap must be detected
+    full = czi_encode(8, 8, bytes(range(64)), compression="none", n_bands=2)
+    dir_pos = struct.unpack("<q", full[84:92])[0]
+    patched = bytearray(full)
+    struct.pack_into("<i", patched, dir_pos + 32, 1)  # claim 1 entry
+    with pytest.raises(ValueError, match="cover"):
+        czi_pixels_decode(bytes(patched))
+    # Gray16 metadata -> explicit unsupported error, not garbage pixels
+    g16 = full.replace(b"<PixelType>Gray8<", b"<PixelType>Gry16<")
+    with pytest.raises(ValueError):
+        czi_pixels_decode(bytes(g16))
+
+
+def test_spark_roundtrip_matches_png_pixels(spark):
+    """CZI and PNG renderings of the same embeddings decode to
+    identical pixel stats — cross-codec agreement on real Spark
+    plumbing, both parity branches (uncompressed + LZW mosaic)."""
+    emb = spark.createDataFrame(
+        [(i, [((i * 37 + j * 11) % 200) / 100.0 - 1.0 for j in range(64)])
+         for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    czi = decode_image_features(embeddings_to_czi(emb, width=8))
+    png = decode_image_features(embeddings_to_png(emb, width=8))
+    c = {r.asset_id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
+         for r in czi.filter(F.col("decode_ok")).collect()}
+    p = {r.asset_id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
+         for r in png.filter(F.col("decode_ok")).collect()}
+    assert len(c) == 6 and c == p

@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 
 from ingest_pipeline_spark.operators.multimodal import (
     decode_media,
-    decode_stub_features,
     documents_as_assets,
     frame_sample_plan,
     sniff_mime,
@@ -237,16 +236,12 @@ def test_dedup_stream_batch_mode(spark):
     assert dedup_stream(df, id_col="event_id", ts_col="payload").count() == 2
 
 
-def test_multimodal_stub_and_sniff(spark):
+def test_multimodal_assets_and_sniff(spark):
     docs = spark.createDataFrame([(1, "hello world", "en", "s", 11)],
                                  "doc_id long, text string, lang string, source string, n_chars long")
     assets = documents_as_assets(docs)
-    feats = decode_stub_features(assets).first()
-    assert feats.byte_len == 11
-    assert len(feats.features) == 4
-    # python-side reference for the deterministic fake
-    b = b"hello world"
-    assert feats.features == [float(sum(b[d::4]) % 997) for d in range(4)]
+    a = assets.first()
+    assert bytes(a.media) == b"hello world" and a.modality == "text"
 
     magic = spark.createDataFrame(
         [(bytearray(b"\x89PNG\r\n"),), (bytearray(b"RIFF1234"),), (bytearray(b"zzzz"),)],
@@ -327,6 +322,37 @@ def test_intake_to_terminal_watch_e2e(spark, tmp_path):
     batch = terminal_status_stream(spark.read.parquet(status_dir))
     got_b = {r.uuid: r.status for r in batch.collect()}
     assert got_b == got
+
+
+def test_intake_dispatch_spills_oversized_batch(spark, tmp_path):
+    """A micro-batch larger than max_inline_jobs never materializes on
+    the driver: the dispatcher gets ONE spill manifest and the rows
+    land in the overflow directory (the reference's MAX_IN_LINE_FILES
+    inline-vs-spill policy, dags/utils.py:67-69)."""
+    from ingest_pipeline_spark.streaming.watch import start_intake
+
+    req_dir = str(tmp_path / "requests")
+    jobs_dir = str(tmp_path / "jobs")
+    req_schema = "provider string, submission_id string, process string, ts long"
+    n = 50
+    spark.createDataFrame(
+        [("lab", f"u{i}", "mock.codex", i) for i in range(n)], req_schema
+    ).write.mode("overwrite").parquet(req_dir)
+
+    dispatched = []
+    q = start_intake(
+        spark, req_dir, req_schema, jobs_dir,
+        dispatch_fn=dispatched.append, max_inline_jobs=8,
+    )
+    q.awaitTermination(60)
+    # exactly one manifest, no inline job dicts on the driver
+    assert len(dispatched) == 1 and len(dispatched[0]) == 1
+    manifest = dispatched[0][0]
+    assert manifest["spilled"] is True and manifest["n_jobs"] == n
+    spilled = spark.read.parquet(manifest["path"])
+    assert spilled.count() == n
+    # the durable jobs table still has every row regardless of spill
+    assert spark.read.parquet(jobs_dir).count() == n
 
 
 def test_streaming_session_window_matches_batch(spark, sf_dir):
