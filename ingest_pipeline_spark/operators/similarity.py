@@ -1580,6 +1580,38 @@ def _argmin_code_udf(cb, m: int, n_codes: int, d_sub: int,
     return pandas_udf(fn, code_type).asNondeterministic()
 
 
+def band_dots_micro(bands: "list[tuple[int, int]]"):
+    """Arrow-vectorized banded dot products over int64 micro vectors:
+    (qv array<long>, cv array<long>) -> array<long> of per-band
+    partial dots (Σ qv[i]*cv[i] for each [lo, hi) band).
+
+    Exactness: micro products are 1e-12-scaled integers, so the int64
+    band sum equals the DECIMAL(28,12) sum of round(qval*val, 12)
+    times 1e12 EXACTLY (products of two 6-dp values are 12-dp
+    decimals; see _assign_codes_micro) — rankings on these longs are
+    bit-identical to the decimal formulation, with no decimal
+    arithmetic in the hot path.  Bounds: |product| < 2^42 per term,
+    x64 terms < 2^48 — far inside int64.  Marked nondeterministic so
+    projection collapse never clones the Python stage into the
+    per-band consumers (the dot_seq precedent)."""
+    import numpy as np
+
+    cuts = list(bands)
+
+    def fn(q_ser, c_ser):
+        import pandas as pd
+
+        if len(q_ser) == 0:
+            return pd.Series([], dtype=object)
+        q = np.array(q_ser.tolist(), dtype=np.int64)
+        c = np.array(c_ser.tolist(), dtype=np.int64)
+        p = q * c
+        out = np.stack([p[:, lo:hi].sum(axis=1) for lo, hi in cuts], axis=1)
+        return pd.Series(list(out))
+
+    return pandas_udf(fn, "array<long>").asNondeterministic()
+
+
 def _assign_codes_micro(
     vectors: DataFrame,
     cb_rows,

@@ -20088,53 +20088,53 @@ def embedding_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     computed at each prefix, and each prefix is scored against the
     full-dim ranking: top-1 agreement count and mean top-3 overlap.
     Exactness: band partial dots (0-8, 8-16, 16-32, 32-64) are
-    computed ONCE as decimal(28,12) sums and prefix dots are their
-    running additions — so the corpus meets the broadcast probe set a
-    single time and the 4 truncation levels are pure arithmetic on the
-    4 partials, not 4 rescans (the band-prefix trick).  Ranks break
-    ties by id; all scores exact decimals, so no float boundary can
-    reorder engines.  Scale: pair relation is |probes| x corpus via a
-    broadcast position join; the per-(prefix, query) window ranks
-    corpus-sized partitions — the same bounded-probe-fan shape as
-    similarity_topk.  prefix_dim=64 rows anchor the curve (agreement
-    1.0 by construction, asserted by the oracle hash).
+    computed ONCE per pair as exact int64 micro sums (one Arrow batch
+    per task — operators/similarity.py:band_dots_micro; the int64
+    band sum is EXACTLY 1e12 x the oracle's DECIMAL(28,12) sum of
+    12-dp-rounded products, so rankings are bit-identical with no
+    decimal arithmetic in the hot path) and prefix dots are their
+    running additions — the corpus meets the broadcast probe set a
+    single time as WHOLE VECTORS (40k pair rows, not 2.5M exploded
+    position rows — the r10 exploded-join shape cost 15 s at sf0.1;
+    this one ~2 s), and the 4 truncation levels are pure arithmetic
+    on the 4 partials, not 4 rescans (the band-prefix trick).  Ranks
+    break ties by id; all scores exact integers, so no float boundary
+    can reorder engines.  Scale: pair relation is |probes| x corpus
+    via a broadcast crossJoin (BNLJ_BY_DESIGN: the 20-probe
+    broadcast, similarity_topk's shape); the per-(prefix, query)
+    window ranks corpus-sized partitions.  prefix_dim=64 rows anchor
+    the curve (agreement 1.0 by construction, asserted by the oracle
+    hash).
     """
+    from .operators.similarity import band_dots_micro
+
     emb = _t(spark, sf_dir)["embeddings"]
-    x = emb.select(
-        F.col("vec_id").alias("id"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "val"
-        ),
-    ).select("id", "pos", F.round("val", 6).alias("val"))
-    qx = x.filter(F.col("id") < 20).select(
-        F.col("id").alias("query_id"), "pos", F.col("val").alias("qval")
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.round(F.round(v, 6) * F.lit(1000000.0), 0).cast("long"),
     )
-    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(28,12)"))  # noqa: E731
-    prod = F.col("qval") * F.col("val")
+    c = emb.select(F.col("vec_id").alias("id"), quant.alias("cv"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), quant.alias("qv")
+    )
+    bd = band_dots_micro([(0, 8), (8, 16), (16, 32), (32, 64)])
     parts = (
-        x.join(F.broadcast(qx), "pos")
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", "id")
-        .agg(
-            dec(F.when(F.col("pos") < 8, prod)).alias("s0"),
-            dec(F.when((F.col("pos") >= 8) & (F.col("pos") < 16), prod)).alias("s1"),
-            dec(F.when((F.col("pos") >= 16) & (F.col("pos") < 32), prod)).alias("s2"),
-            dec(F.when(F.col("pos") >= 32, prod)).alias("s3"),
-        )
+        c.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+        .select("query_id", "id", bd(F.col("qv"), F.col("cv")).alias("s"))
     )
-    d8 = F.col("s0")
-    d16 = d8 + F.col("s1")
-    d32 = d16 + F.col("s2")
-    d64 = d32 + F.col("s3")
+    d8 = F.col("s")[0]
+    d16 = d8 + F.col("s")[1]
+    d32 = d16 + F.col("s")[2]
+    d64 = d32 + F.col("s")[3]
     dots = parts.select(
         "query_id",
         "id",
         F.explode(
             F.array(
-                F.struct(F.lit(8).alias("prefix_dim"), d8.cast("decimal(38,12)").alias("dot")),
-                F.struct(F.lit(16).alias("prefix_dim"), d16.cast("decimal(38,12)").alias("dot")),
-                F.struct(F.lit(32).alias("prefix_dim"), d32.cast("decimal(38,12)").alias("dot")),
-                F.struct(F.lit(64).alias("prefix_dim"), d64.cast("decimal(38,12)").alias("dot")),
+                F.struct(F.lit(8).alias("prefix_dim"), d8.alias("dot")),
+                F.struct(F.lit(16).alias("prefix_dim"), d16.alias("dot")),
+                F.struct(F.lit(32).alias("prefix_dim"), d32.alias("dot")),
+                F.struct(F.lit(64).alias("prefix_dim"), d64.alias("dot")),
             )
         ).alias("pd"),
     ).select("query_id", "id", F.col("pd.prefix_dim").alias("prefix_dim"),

@@ -222,6 +222,9 @@ BNLJ_BY_DESIGN = {
                                 # broadcast 1-row median-position frame
     "similarity_recall_probe_curve",  # broadcast 8-row anchors + the
                                 # 15-query exact side (ann_recall's shape)
+    "embedding_matryoshka_agreement",  # broadcast 20-probe vector set,
+                                # id<>query_id pred (similarity_topk's
+                                # shape; r11 whole-vector rewrite)
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
     "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
