@@ -453,6 +453,18 @@ def decode_image_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a small-file corpus across the cluster's default
+    parallelism (hash on the id) BEFORE a per-row Python codec stage.
+    A 2000-row embeddings parquet is one split, so without this every
+    pure-Python encode/decode below runs in ONE Python worker — the
+    r11 bench showed the JPEG roundtrip serializing 9 s of codec work
+    on a single core of 32.  At real scale the input is many splits
+    and the tiny-shuffle cost vanishes into the scan."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(id_col))
+
+
 def embeddings_to_png(
     emb: DataFrame,
     width: int = 8,
@@ -482,7 +494,7 @@ def embeddings_to_png(
                 blobs.append(png_encode(width, h, 1, px[: width * h]))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -581,7 +593,7 @@ def embeddings_to_wav(
                 blobs.append(wav_encode(samples, rate))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -1032,7 +1044,7 @@ def embeddings_to_tiff(
                 blobs.append(blob)
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -1264,7 +1276,7 @@ def embeddings_to_czi(
                 blobs.append(blob)
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -1556,7 +1568,7 @@ def embeddings_to_y4m(
                 blobs.append(y4m_encode(width, height, frames))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -2272,7 +2284,7 @@ def embeddings_to_jpeg(
                 blobs.append(jpeg_encode(w, h, 1, bytes(img)))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
@@ -2703,7 +2715,7 @@ def embeddings_to_avi(
                 blobs.append(avi_mjpeg_encode(w, h, frames))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
         encode, "asset_id long, media binary"
     )
 
