@@ -20,8 +20,12 @@ uncompressed Y4M interchange container (``y4m_decode`` — per-frame
 stats + frame sampling against actual pixels).  Image ops (resize,
 Sobel, Otsu, dHash, keyframes) run on those real pixels.  CZI pixels
 are REAL too (``czi_pixels_decode`` — ZISRAWSUBBLOCK mosaic assembly,
-uncompressed + LZW bands); only compressed video (H.264) remains
-undecodable here (``decode_media`` raises; no stub path survives).
+uncompressed + LZW bands), and COMPRESSED VIDEO decodes for real:
+MJPEG-in-AVI (``avi_mjpeg_decode`` — RIFF walk + per-frame baseline
+JPEG) and H.264 I_PCM streams (``h264_ipcm_decode`` — Annex-B NAL
+split, emulation-prevention strip, exp-Golomb SPS/PPS/slice headers;
+CAVLC/CABAC residuals are declared out of subset scope and raise).
+No stub decode path survives anywhere.
 The format METADATA path is NOT stubbed: operators/extractors.py
 parses OME-TIFF/CZI/imzML/FASTQ/transform files for real.
 
@@ -95,21 +99,24 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Catch-all decoder entry point for formats WITHOUT a real codec
-    here (compressed video) — NOT IMPLEMENTED here.
+def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - guard
+    """Catch-all decoder entry point for formats outside every codec
+    implemented here — NOT IMPLEMENTED by design.
 
     PNG, strip-TIFF (incl. LZW/Deflate), baseline JPEG, and Gray8 CZI
     are decoded for REAL by ``decode_image_features`` (pure-stdlib
     codecs below), WAV by ``decode_audio_features``, Y4M by
-    ``video_frame_stats``; a production build plugs Pillow/librosa/
-    pyav into the same mapInPandas harness for the remaining formats.
+    ``video_frame_stats``, MJPEG AVI by ``video_mjpeg_frame_stats``,
+    and H.264 I_PCM by ``video_h264_frame_stats``; a production build
+    plugs Pillow/librosa/pyav into the same mapInPandas harness for
+    full-profile H.264/H.265 and exotic formats.
     """
     raise NotImplementedError(
         "CZI/compressed-video codecs are not available in this "
         "environment; use decode_image_features (real PNG + TIFF + "
-        "baseline JPEG + CZI), decode_audio_features (real WAV), or "
-        "video_frame_stats (real Y4M)"
+        "baseline JPEG + CZI), decode_audio_features (real WAV), "
+        "video_frame_stats (real Y4M), video_mjpeg_frame_stats, or "
+        "video_h264_frame_stats (I_PCM subset)"
     )
 
 
