@@ -1048,27 +1048,31 @@ def ivfpq_topk_det(
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    anchors = F.broadcast(
-        spark.createDataFrame(
-            [(r[0], r[1]) for r in sample[:n_cells]],
-            f"anchor_id {corpus.schema[id_col].dataType.simpleString()}, "
-            "a_vec array<double>",
-        )
-    )
-
     def _assign(df: DataFrame, key: str, keep: int) -> DataFrame:
+        # Arrow multi-anchor cosine + struct-sort top-keep — no
+        # crossJoin expansion, no per-vector window (see ivf_assign)
+        cos = anchor_cosines_seq([r[1] for r in sample[:n_cells]])
         scored = df.select(
-            F.col(id_col).alias(key), F.col(vec_col).alias("v")
-        ).crossJoin(F.broadcast(anchors))
-        w = Window.partitionBy(key).orderBy(
-            F.desc(F.round(cosine(F.col("v"), F.col("a_vec")), 6)),
-            F.asc("anchor_id"),
+            F.col(id_col).alias(key), cos(F.col(vec_col)).alias("__cs")
         )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= keep)
-            .select(key, F.col("anchor_id").alias("cell"))
-        )
+        def _key(r):
+            return F.when(F.isnan(r), F.lit(float("-inf"))).otherwise(
+                -(r + F.lit(0.0))
+            )
+
+        cands = [
+            F.struct(
+                _key(F.round(F.col("__cs")[i], 6)).alias("ns"),
+                F.lit(aid).alias("aid"),
+            )
+            for i, (aid, _v) in enumerate(
+                (r[0], r[1]) for r in sample[:n_cells]
+            )
+        ]
+        top = F.slice(F.sort_array(F.array(*cands)), 1, keep)
+        return scored.select(
+            key, F.explode(top).alias("__t")
+        ).select(key, F.col("__t.aid").alias("cell"))
 
     cells = _assign(corpus, "id", 1)
     probes = _assign(queries, "query_id", n_probe)
@@ -1267,6 +1271,50 @@ def gram_partials(
     )
 
 
+def anchor_cosines_seq(anchor_vecs: "list[list[float]]"):
+    """Arrow-vectorized multi-anchor cosine: vec -> array<double> of
+    cosine(vec, anchor_i), BIT-IDENTICAL to the Catalyst
+    ``cosine()``/``_dot``/``_norm`` folds — every accumulation runs
+    over the dimension axis in index order (the dot_seq discipline),
+    anchor norms are computed inside the UDF with the same fold, and
+    the final op sequence is dot / (norm_vec * norm_anchor).  The
+    bounded anchor set rides the closure; per Arrow batch the work is
+    n_anchors fused numpy passes instead of a crossJoin row expansion.
+    Marked nondeterministic so projection collapse never clones the
+    Python stage (dot_seq precedent)."""
+    import numpy as np
+
+    A = [np.asarray(v, dtype=np.float64) for v in anchor_vecs]
+
+    def _fold_dot(M, a):
+        acc = M[:, 0] * a[0]
+        for d in range(1, M.shape[1]):
+            acc = acc + M[:, d] * a[d]
+        return acc
+
+    a_norms = []
+    for a in A:
+        s = a[0] * a[0]
+        for d in range(1, len(a)):
+            s = s + a[d] * a[d]
+        a_norms.append(np.sqrt(s))
+
+    def fn(v_ser: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v_ser) == 0:
+            return pd.Series([], dtype=object)
+        M = _np_mat(v_ser)
+        acc = M[:, 0] * M[:, 0]
+        for d in range(1, M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        nv = np.sqrt(acc)
+        cols = [_fold_dot(M, a) / (nv * na) for a, na in zip(A, a_norms)]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return pandas_udf(fn, "array<double>").asNondeterministic()
+
+
 def ivf_assign(
     vectors: DataFrame,
     anchors: DataFrame,
@@ -1280,20 +1328,42 @@ def ivf_assign(
     a_vec) — broadcast; cost is |vectors| x n_cells, touching nothing
     but the input frame.  Returns (vec_id, cell, a_sim).
     """
+    # one Arrow projection computes every anchor cosine per row
+    # (bit-identical to the cosine() fold — anchor_cosines_seq), the
+    # 6-dp round stays SPARK-side (HALF_UP parity), and the argmax
+    # with anchor-id tiebreak is an n_cells-element struct sort — no
+    # crossJoin row expansion and no per-vector window shuffle (the
+    # r10 shape cost a corpus x n_cells window per assignment)
+    a_rows = sorted(
+        (r["anchor_id"], list(r["a_vec"])) for r in anchors.collect()
+    )  # bounded: n_cells rows
+    cos = anchor_cosines_seq([v for (_aid, v) in a_rows])
     scored = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(anchors)).select(
+        F.col(id_col).alias("vec_id"),
+        cos(F.col(vec_col)).alias("__cs"),
+    )
+    def _key(r):
+        # SortExec normalizes -0.0 to 0.0 and ranks NaN greatest
+        # (DESC -> first); sort_array's struct ordering does neither,
+        # so normalize explicitly to preserve the exact window
+        # semantics: +0.0 == -0.0 ties break on anchor id, NaN wins
+        return F.when(F.isnan(r), F.lit(float("-inf"))).otherwise(
+            -(r + F.lit(0.0))
+        )
+
+    cands = [
+        F.struct(
+            _key(F.round(F.col("__cs")[i], 6)).alias("ns"),
+            F.lit(aid).alias("aid"),
+            F.round(F.col("__cs")[i], 6).alias("sim"),
+        )
+        for i, (aid, _v) in enumerate(a_rows)
+    ]
+    best = F.element_at(F.sort_array(F.array(*cands)), 1)
+    return scored.select(
         "vec_id",
-        "anchor_id",
-        F.round(cosine(F.col("__v"), F.col("a_vec")), 6).alias("a_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("a_sim"), F.asc("anchor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("anchor_id").alias("cell"), "a_sim")
+        best["aid"].alias("cell"),
+        best["sim"].alias("a_sim"),
     )
 
 
