@@ -1325,7 +1325,9 @@ def ivf_assign(
     argmax 6-dp-rounded cosine with anchor-id tiebreak (the
     ivf_topk_det quantizer, factored out so index build and index
     upsert share one assignment definition).  anchors: (anchor_id,
-    a_vec) — broadcast; cost is |vectors| x n_cells, touching nothing
+    a_vec) — collected once (bounded by contract: n_cells rows, 8
+    here) and carried in the scoring UDF's closure; cost is
+    |vectors| x n_cells inside one Arrow projection, touching nothing
     but the input frame.  Returns (vec_id, cell, a_sim).
     """
     # one Arrow projection computes every anchor cosine per row

@@ -122,6 +122,15 @@ REPRESENTATIVE = [
     # k-NN means as integer rationals + two keyed rank windows + a
     # margin top-20 boundary — every piece must compose across splits
     "similarity_margin_pairs",
+    # r11 hazard classes: Arrow-batch band dots / argmin encodes (batch
+    # boundaries move with partitioning, int64 partials must compose),
+    # struct-sort anchor argmax replacing the window (ordering parity
+    # incl. -0.0/NaN normalization), md5-retention record sampling +
+    # regex masking under the corpus spread repartition
+    "similarity_ivfpq_topk_det",
+    "similarity_index_upsert",
+    "fastq_scrub",
+    "multimodal_h264_frames",
 ]
 
 
