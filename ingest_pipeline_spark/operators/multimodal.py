@@ -1071,15 +1071,17 @@ _CZI_COMPRESSION = {"none": 0, "lzw": 2}
 
 
 def _czi_dv_entry(
-    file_pos: int, compression: int, x0: int, w: int, y0: int, h: int
+    file_pos: int, compression: int, x0: int, w: int, y0: int, h: int,
+    pixel_type: int = 0,
 ) -> bytes:
     """DirectoryEntryDV (32-byte fixed part + two 20-byte
-    DimensionEntryDV1): SchemaType 'DV', PixelType 0 (Gray8),
-    FilePosition, FilePart, Compression, PyramidType + 5 spare,
-    DimensionCount, then X/Y entries (Start, Size, StartCoordinate,
-    StoredSize)."""
+    DimensionEntryDV1): SchemaType 'DV', PixelType (0 Gray8 /
+    1 Gray16), FilePosition, FilePart, Compression, PyramidType +
+    5 spare, DimensionCount, then X/Y entries (Start, Size,
+    StartCoordinate, StoredSize)."""
     fixed = struct.pack(
-        "<2siqiiB5si", b"DV", 0, file_pos, 0, compression, 0, b"\x00" * 5, 2
+        "<2siqiiB5si", b"DV", pixel_type, file_pos, 0, compression, 0,
+        b"\x00" * 5, 2
     )
     dim_x = struct.pack("<4siifi", b"X\x00\x00\x00", x0, w, 0.0, w)
     dim_y = struct.pack("<4siifi", b"Y\x00\x00\x00", y0, h, 0.0, h)
@@ -1100,22 +1102,33 @@ def _czi_segment(seg_id: bytes, payload: bytes) -> bytes:
 def czi_encode(
     width: int,
     height: int,
-    pixels: bytes,
+    pixels: "bytes | list[int]",
     compression: str = "none",
     n_bands: int = 1,
+    pixel_type: str = "Gray8",
 ) -> bytes:
-    """Gray8 CZI with REAL pixel subblocks: file header → metadata XML
-    (SizeX/SizeY/PixelType, the fields parse_czi reads) → ``n_bands``
-    horizontal-band ZISRAWSUBBLOCK segments → ZISRAWDIRECTORY.  Bands
-    exercise the mosaic-assembly path of the decoder (a real scan is
-    tiled subblocks, not one blob)."""
+    """Gray8/Gray16 CZI with REAL pixel subblocks: file header →
+    metadata XML (SizeX/SizeY/PixelType, the fields parse_czi reads)
+    → ``n_bands`` horizontal-band ZISRAWSUBBLOCK segments →
+    ZISRAWDIRECTORY.  Bands exercise the mosaic-assembly path of the
+    decoder (a real scan is tiled subblocks, not one blob).  Gray16
+    samples (the microscopy default) are little-endian uint16 per the
+    spec; ``pixels`` is then a sequence of ints < 65536."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
+    if pixel_type == "Gray8":
+        pt_code, pixels = 0, bytes(pixels)
+    elif pixel_type == "Gray16":
+        pt_code = 1
+        pixels = b"".join(struct.pack("<H", v) for v in pixels)
+    else:
+        raise ValueError(f"unsupported pixel type: {pixel_type}")
+    bpp = 2 if pt_code else 1
     comp = _CZI_COMPRESSION[compression]
     xml = (
         "<ImageDocument><Metadata><Information><Image>"
         f"<SizeX>{width}</SizeX><SizeY>{height}</SizeY>"
-        "<PixelType>Gray8</PixelType>"
+        f"<PixelType>{pixel_type}</PixelType>"
         "</Image></Information></Metadata></ImageDocument>"
     ).encode()
     meta_payload = struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml
@@ -1134,9 +1147,9 @@ def czi_encode(
     dir_entries: "list[bytes]" = []
     pos = header_len + len(meta_seg)
     for y0, bh in bands:
-        raw = pixels[y0 * width : (y0 + bh) * width]
+        raw = pixels[y0 * width * bpp : (y0 + bh) * width * bpp]
         data = _lzw_encode(raw) if comp == 2 else raw
-        entry = _czi_dv_entry(pos, comp, 0, width, y0, bh)
+        entry = _czi_dv_entry(pos, comp, 0, width, y0, bh, pt_code)
         # SubBlock payload: MetadataSize, AttachmentSize, DataSize,
         # DirectoryEntryDV, zero-pad so the header spans
         # max(256, 16 + entry size), then [metadata][data]
@@ -1166,20 +1179,22 @@ def czi_encode(
     return hdr_seg + meta_seg + b"".join(sub_segs) + dir_seg
 
 
-def czi_pixels_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
-    """Decode a Gray8 CZI's pixels: metadata XML for the canvas
+def czi_pixels_decode(data: bytes) -> "tuple[int, int, int, int, object]":
+    """Decode a Gray8/Gray16 CZI's pixels: metadata XML for the canvas
     extent, ZISRAWDIRECTORY for the subblock index, then each
     ZISRAWSUBBLOCK's band decompressed (raw / TIFF-variant LZW) and
     blitted at its X/Y start.  Raises ValueError on any malformed
     structure, overlap, or gap — the extractor degradation discipline.
-    Returns (width, height, channels=1, bit_depth=8, pixels)."""
+    Returns (width, height, channels=1, bit_depth, pixels) — bytes for
+    Gray8, a list of uint16 ints for Gray16 (both are int sequences to
+    every stats consumer)."""
     from .extractors import parse_czi
 
     meta = parse_czi(data)  # validates header + metadata segment
-    if meta.get("PixelType") != "Gray8":
-        raise ValueError(
-            f"unsupported CZI pixel type: {meta.get('PixelType')}"
-        )
+    ptype = meta.get("PixelType")
+    if ptype not in ("Gray8", "Gray16"):
+        raise ValueError(f"unsupported CZI pixel type: {ptype}")
+    bpp = 2 if ptype == "Gray16" else 1
     width, height = meta.get("SizeX"), meta.get("SizeY")
     if not width or not height:
         raise ValueError("CZI metadata missing SizeX/SizeY")
@@ -1193,7 +1208,7 @@ def czi_pixels_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
     if not 0 < n_entries <= 1_000_000:
         raise ValueError("not a CZI: bad directory entry count")
     p += 4 + 124
-    canvas = bytearray(width * height)
+    canvas = bytearray(width * height * bpp)
     seen = bytearray(width * height)
     for _ in range(n_entries):
         if p + 32 > len(data):
@@ -1234,7 +1249,7 @@ def czi_pixels_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
         if comp not in (0, 2):
             raise ValueError(f"unsupported CZI compression: {comp}")
         band = _lzw_decode(blob) if comp == 2 else bytes(blob)
-        if len(band) != w * h:
+        if len(band) != w * h * bpp:
             raise ValueError("CZI subblock size mismatch")
         if x0 < 0 or y0 < 0 or x0 + w > width or y0 + h > height:
             raise ValueError("CZI subblock outside canvas")
@@ -1244,9 +1259,14 @@ def czi_pixels_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
                 if seen[dst + c]:
                     raise ValueError("CZI subblocks overlap")
                 seen[dst + c] = 1
-            canvas[dst : dst + w] = band[r * w : (r + 1) * w]
+            canvas[(dst) * bpp : (dst + w) * bpp] = band[
+                r * w * bpp : (r + 1) * w * bpp
+            ]
     if not all(seen):
         raise ValueError("CZI subblocks do not cover the canvas")
+    if bpp == 2:
+        px16 = [v[0] for v in struct.iter_unpack("<H", bytes(canvas))]
+        return width, height, 1, 16, px16
     return width, height, 1, 8, bytes(canvas)
 
 

@@ -119,3 +119,22 @@ def test_spark_roundtrip_matches_png_pixels(spark):
     p = {r.asset_id: (r.width, r.height, r.px_sum, r.px_min, r.px_max)
          for r in png.filter(F.col("decode_ok")).collect()}
     assert len(c) == 6 and c == p
+
+
+def test_gray16_roundtrip_and_stats_consumers():
+    import random as _r
+
+    rng = _r.Random(9)
+    px = [rng.randrange(65536) for _ in range(8 * 6)]
+    for comp, nb in [("none", 1), ("lzw", 3)]:
+        blob = czi_encode(8, 6, px, compression=comp, n_bands=nb,
+                          pixel_type="Gray16")
+        w, h, ch, bd, out = czi_pixels_decode(blob)
+        assert (w, h, ch, bd) == (8, 6, 1, 16)
+        assert out == px
+        # the metadata walk reports the 16-bit type
+        assert parse_czi(blob)["PixelType"] == "Gray16"
+        # stats consumers treat pixels as a generic int sequence
+        assert sum(out) == sum(px) and max(out) == max(px)
+    with pytest.raises(ValueError):
+        czi_encode(8, 6, px, pixel_type="Gray32")
