@@ -108,7 +108,10 @@ def sheet_sink(
     to the same TSV payload the reference pastes; the transport is the
     Google API client when available, else an explicit import-gated
     error — or a local .tsv file when ``local_fallback_path`` is given
-    (the auditable offline equivalent).  Returns where the data went.
+    (the auditable offline equivalent; a ``.xlsx`` fallback path gets
+    a REAL single-sheet workbook via ``xlsx_write_bytes`` instead of
+    TSV — the closest offline analog of the pasted sheet tab).
+    Returns where the data went.
     """
     cols = column_order or sorted(df.columns)
     payload_rows = df.select(*cols).collect()  # report-sized: bounded
@@ -120,8 +123,19 @@ def sheet_sink(
     payload = "\n".join(lines) + "\n"
 
     if local_fallback_path is not None:
-        with open(local_fallback_path, "w", encoding="utf-8") as f:
-            f.write(payload)
+        if local_fallback_path.endswith(".xlsx"):
+            wb = xlsx_write_bytes(
+                sheet_title,
+                [cols] + [
+                    ["" if v is None else str(v) for v in r]
+                    for r in payload_rows
+                ],
+            )
+            with open(local_fallback_path, "wb") as f:
+                f.write(wb)
+        else:
+            with open(local_fallback_path, "w", encoding="utf-8") as f:
+                f.write(payload)
         # record the intended destination so offline output keeps the
         # sheet/tab provenance the live transport would have had
         dest = f"file:{local_fallback_path}?sheet={sheet_title}"
@@ -168,6 +182,82 @@ def sheet_sink(
         },
     ).execute()
     return f"sheet:{spreadsheet_id}/{sheet_id}"  # pragma: no cover
+
+
+def xlsx_write_bytes(sheet_title: str, rows: "list[list]") -> bytes:
+    """Serialize rows (first row = header) as a minimal valid .xlsx
+    workbook — pure stdlib (zipfile + escaped XML), the WRITE half of
+    readers.xlsx_parse: one worksheet, inline strings (no
+    sharedStrings part), cell refs in A1 notation.  Round-trips
+    through xlsx_parse/read_excel byte-for-value."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_ref(i: int) -> str:
+        ref = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            ref = chr(65 + r) + ref
+        return ref
+
+    body = []
+    for ri, row in enumerate(rows):
+        cells = "".join(
+            f'<c r="{col_ref(ci)}{ri + 1}" t="inlineStr">'
+            f"<is><t>{escape('' if v is None else str(v))}</t></is></c>"
+            for ci, v in enumerate(row)
+        )
+        body.append(f'<row r="{ri + 1}">{cells}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct = "http://schemas.openxmlformats.org/package/2006/content-types"
+    parts = {
+        "[Content_Types].xml": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Types xmlns="{ct}">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+            'worksheet+xml"/></Types>'
+        ),
+        "_rels/.rels": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{pkg}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            f'<sheet name="{escape(sheet_title)}" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{pkg}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{ns}"><sheetData>{"".join(body)}</sheetData>'
+            "</worksheet>"
+        ),
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -94,6 +94,30 @@ def test_sheet_sink_local_fallback_and_gate(spark, tmp_path):
         sheet_sink(df, "survey")
 
 
+def test_sheet_sink_xlsx_fallback_roundtrips(spark, tmp_path):
+    """A .xlsx fallback path writes a REAL workbook (stdlib zip + XML)
+    that the repo's own pure-stdlib reader recovers value-for-value —
+    the offline spreadsheet analog of the reference's pasted tab."""
+    from ingest_pipeline_spark.sources.readers import read_excel, xlsx_parse
+    from ingest_pipeline_spark.sources.sinks import sheet_sink
+
+    df = spark.createDataFrame(
+        [("ds1", 3, None), ("ds<2>", 5, 'quo"te & <tag>')],
+        "dataset string, n int, note string",
+    )
+    out = tmp_path / "survey.xlsx"
+    where = sheet_sink(df, "Survey 2026", local_fallback_path=str(out))
+    assert where == f"file:{out}?sheet=Survey 2026"
+
+    name, rows = xlsx_parse(out.read_bytes())
+    assert name == "Survey 2026"
+    assert rows[0] == ["dataset", "n", "note"]
+    back = read_excel(spark, str(out))
+    got = {(r.dataset, r.n, r.note) for r in back.collect()}
+    # NULLs serialize as empty strings (the TSV fallback's contract)
+    assert got == {("ds1", "3", ""), ("ds<2>", "5", 'quo"te & <tag>')}
+
+
 def test_export_backup_battery_dispatch(spark, tmp_path):
     """Export-and-backup battery (reference export_and_backup.py:94-146):
     (entity_type, status) selects plugins; each writes its artifact."""
