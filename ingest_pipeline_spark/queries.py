@@ -22436,3 +22436,98 @@ def multimodal_h264_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "frame_idx", "width", "height",
         "px_sum", "px_min", "px_max",
     )
+
+
+@register(
+    "embedding_drift_cells",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_vec
+      FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT id, snap, anchor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY id
+               ORDER BY {_COS6.format(a="vec", b="a_vec")} DESC,
+                        anchor_id ASC) AS rn
+      FROM (SELECT vec_id AS id, embedding AS vec,
+                   CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'delta' END
+                     AS snap
+            FROM embeddings) e, anchors),
+    cells AS (SELECT id, snap, anchor_id AS cell FROM assign WHERE rn = 1),
+    counts AS (
+      SELECT cell,
+             CAST(COUNT(*) FILTER (WHERE snap = 'base') AS BIGINT)
+               AS n_base,
+             CAST(COUNT(*) FILTER (WHERE snap = 'delta') AS BIGINT)
+               AS n_delta
+      FROM cells GROUP BY cell),
+    tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_delta) AS BIGINT) AS td
+      FROM counts)
+    SELECT cell, n_base, n_delta,
+           ROUND(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+             AS share_base,
+           ROUND(CAST(n_delta AS DOUBLE) / CAST(td AS DOUBLE), 6)
+             AS share_delta,
+           ROUND(ABS(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)
+                     - CAST(n_delta AS DOUBLE) / CAST(td AS DOUBLE)), 6)
+             AS drift_abs
+    FROM counts CROSS JOIN tot
+    """,
+)
+def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between corpus snapshots, measured
+    in the ANN index's own geometry: the IVF quantizer is FROZEN on
+    the base snapshot (the 8 lowest base-ids — exactly how a serving
+    index keeps its cells while the corpus grows), both snapshots are
+    assigned to those cells, and each cell reports its population
+    share in base vs delta plus the absolute share gap (summing
+    drift_abs/2 over cells = total-variation distance — the
+    embedding-space sibling of corpus_drift_report's text-bucket TV).
+    A cell whose delta share collapses or explodes is the signal that
+    new data lands in a region the index under-serves (re-train the
+    quantizer / rebalance probes) BEFORE recall degrades.  Shape: one
+    Arrow cell-assignment projection per snapshot (ivf_assign, anchors
+    a bounded 8-row collect), one (cell, snapshot) count agg, one
+    broadcast 1-row totals join (BNLJ_BY_DESIGN).  Integer counts;
+    shares rounded 6 dp per row.
+    """
+    from .operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    anchors = base.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").cast("array<double>").alias("a_vec"),
+    )
+    tagged = (
+        ivf_assign(base, anchors).select("cell").withColumn(
+            "snap", F.lit("base"))
+        .unionByName(
+            ivf_assign(delta, anchors).select("cell").withColumn(
+                "snap", F.lit("delta"))
+        )
+    )
+    counts = tagged.groupBy("cell").agg(
+        F.sum(F.when(F.col("snap") == "base", 1).otherwise(0))
+        .cast("bigint").alias("n_base"),
+        F.sum(F.when(F.col("snap") == "delta", 1).otherwise(0))
+        .cast("bigint").alias("n_delta"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_delta").cast("bigint").alias("td"),
+    )
+    pb = F.col("n_base").cast("double") / F.col("tb").cast("double")
+    pd_ = F.col("n_delta").cast("double") / F.col("td").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_base",
+        "n_delta",
+        F.round(pb, 6).alias("share_base"),
+        F.round(pd_, 6).alias("share_delta"),
+        F.round(F.abs(pb - pd_), 6).alias("drift_abs"),
+    )

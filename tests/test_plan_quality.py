@@ -225,6 +225,7 @@ BNLJ_BY_DESIGN = {
     "embedding_matryoshka_agreement",  # broadcast 20-probe vector set,
                                 # id<>query_id pred (similarity_topk's
                                 # shape; r11 whole-vector rewrite)
+    "embedding_drift_cells",    # broadcast 1-row snapshot totals
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
     "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
