@@ -123,9 +123,11 @@ def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - guard
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: explode a frame index per video asset.
 
-    Decode is stubbed (n_frames from metadata, not the codec); the
-    explode/partitioning shape is the real one: one output row per
-    sampled frame, repartitionable by (asset_id) for downstream decode.
+    Plans frames from metadata (n_frames) WITHOUT touching media
+    bytes — the cheap planning pass that precedes a real decode
+    (y4m_decode / avi_mjpeg_decode / h264_ipcm_decode); one output
+    row per sampled frame, repartitionable by (asset_id) for the
+    decode stage.
     """
     n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
     idx = F.sequence(F.lit(0), n - 1, F.lit(every_n))

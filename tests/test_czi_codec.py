@@ -138,3 +138,25 @@ def test_gray16_roundtrip_and_stats_consumers():
         assert sum(out) == sum(px) and max(out) == max(px)
     with pytest.raises(ValueError):
         czi_encode(8, 6, px, pixel_type="Gray32")
+
+
+def test_hypothesis_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        comp=st.sampled_from(["none", "lzw"]),
+        bands=st.integers(1, 4),
+        data=st.data(),
+    )
+    def prop(w, h, comp, bands, data):
+        px = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                               max_size=w * h))
+        )
+        blob = czi_encode(w, h, px, compression=comp, n_bands=bands)
+        assert czi_pixels_decode(blob) == (w, h, 1, 8, px)
+
+    prop()

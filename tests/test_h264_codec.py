@@ -120,3 +120,31 @@ def test_spark_frame_stats_match_source_values(spark):
              for v in vec[r.frame_idx * 4 : r.frame_idx * 4 + 4]]
         assert (r.px_sum, r.px_min, r.px_max) == (64 * sum(q), min(q), max(q))
         assert (r.width, r.height) == (16, 16)
+
+
+def test_hypothesis_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        mbs_w=st.integers(1, 3),
+        mbs_h=st.integers(1, 3),
+        nf=st.integers(1, 3),
+        data=st.data(),
+    )
+    def prop(mbs_w, mbs_h, nf, data):
+        w, h = mbs_w * 16, mbs_h * 16
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(st.integers(0, 255), min_size=w * h,
+                             max_size=w * h)
+                )
+            )
+            for _ in range(nf)
+        ]
+        assert h264_ipcm_decode(h264_ipcm_encode(w, h, frames)) == (
+            w, h, frames,
+        )
+
+    prop()
