@@ -110,6 +110,32 @@ def hex_prefix_to_long(col: Column, start: int = 1, length: int = 8) -> Column:
     return F.conv(F.substring(col, start, length), 16, 10).cast("long")
 
 
+def hrw_shard(key: Column, n_shards: int, salt: str = "shard") -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: argmax
+    over shards s of md5(salt || s || ':' || key) — the consistent-
+    hashing scheme whose shard map stays STABLE when n_shards changes
+    (adding one shard moves ~1/(n+1) of keys; key % n moves ~(n-1)/n).
+    Engine-portable: weights are the md5-prefix uniforms every other
+    deterministic operator uses, argmax ties (md5 collisions) break to
+    the lowest shard via the struct sort.  Pure codegen — the 100 TB
+    use is a projection at write time, no shuffle of its own."""
+    cands = [
+        F.struct(
+            (-hex_prefix_to_long(
+                F.md5(
+                    F.concat_ws(
+                        "", F.lit(salt), F.lit(str(s)), F.lit(":"),
+                        key.cast("string"),
+                    )
+                )
+            )).alias("nw"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return F.element_at(F.sort_array(F.array(*cands)), 1)["s"]
+
+
 def epoch_millis_to_ts(col: Column) -> Column:
     return F.timestamp_millis(col.cast("long"))
 

@@ -71,16 +71,20 @@ def register(name: str, oracle: str | None):
 # Round-11 window (r10-verdict ask #1): the 22 oracle-backed queries
 # that have never held a driver slot — the 21 late-r10 registrations
 # plus similarity_pq_topk (oracle-backed since the r10 integer-Lloyd
-# codebook switch; earlier artifacts graded it rows-only) — plus 28
-# re-samples of the STALEST greens (the alphabetically-first 28 of the
-# 44 queries whose newest driver row dates to r5; the remaining 16 are
+# codebook switch; earlier artifacts graded it rows-only) — plus the 6
+# r11 registrations (graded immediately so r12 inherits no new debt)
+# and 22 re-samples of the STALEST greens (alphabetically-first of the
+# 44 queries whose newest driver row dates to r5; the remaining 22 are
 # the r12 rotation input).  Old rows certify code paths predating the
 # prefix-scan rewires (r6) and the table cache (r8).  Permanently OUT
 # of the window: the rows-only-by-design entries (source_listing,
 # graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
 # corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
-# r12 rotation inputs: the 16 remaining r5-stale greens
-# (q8_market_share, q9_product_profit, range_join_error_clicks,
+# r12 rotation inputs: the 22 remaining r5-stale greens
+# (q12_late_shipment_priority, q13_order_count_census,
+# q14_promo_revenue_share, q15_top_supplier, q16_supplier_part_census,
+# q18_large_volume_orders, q8_market_share, q9_product_profit,
+# range_join_error_clicks,
 # reorganize_multiassay_merge, sample_reservoir_groups,
 # scd2_status_history, similarity_pq_topk_det, snapshot_delta,
 # stream_neardup_records, text_chunk_documents, text_pii_scrub,
@@ -131,12 +135,6 @@ _DRIVER_FIRST = [
     "merge_upsert_orders",
     "profile_orders",
     "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q13_order_count_census",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_census",
-    "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q20_forecast_suppliers",
     "q21_waiting_suppliers",
@@ -144,6 +142,13 @@ _DRIVER_FIRST = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_nation_volume_shipping",
+    # never driver-sampled r11 registrations (oracle-backed this round)
+    "fastq_scrub",
+    "multimodal_czi_roundtrip",
+    "multimodal_mjpeg_frames",
+    "multimodal_h264_frames",
+    "embedding_drift_cells",
+    "shard_rendezvous_stability",
 ]
 
 
@@ -22530,4 +22535,110 @@ def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("share_base"),
         F.round(pd_, 6).alias("share_delta"),
         F.round(F.abs(pb - pd_), 6).alias("drift_abs"),
+    )
+
+
+@register(
+    "shard_rendezvous_stability",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    w AS (
+      SELECT doc_id, s,
+             CAST('0x' || SUBSTR(MD5('shard' || CAST(s AS VARCHAR) || ':'
+                                  || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS wt
+      FROM d, UNNEST(GENERATE_SERIES(0, 4)) t(s)),
+    a4 AS (
+      SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, s ASC) AS rn
+        FROM w WHERE s < 4) q WHERE rn = 1),
+    a5 AS (
+      SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, s ASC) AS rn
+        FROM w) q WHERE rn = 1),
+    hrw AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN a4.shard <> a5.shard THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM a4 JOIN a5 USING (doc_id)),
+    occ5 AS (
+      SELECT CAST(MAX(c) AS BIGINT) AS max_shard_count
+      FROM (SELECT COUNT(*) AS c FROM a5 GROUP BY shard) q),
+    modm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id % 4 <> doc_id % 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM d),
+    mocc AS (
+      SELECT CAST(MAX(c) AS BIGINT) AS max_shard_count
+      FROM (SELECT COUNT(*) AS c FROM d GROUP BY doc_id % 5) q)
+    SELECT 'rendezvous' AS scheme, n_docs, n_moved,
+           ROUND(CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS moved_rate,
+           max_shard_count
+    FROM hrw CROSS JOIN occ5
+    UNION ALL
+    SELECT 'mod', n_docs, n_moved,
+           ROUND(CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+           max_shard_count
+    FROM modm CROSS JOIN mocc
+    """,
+)
+def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable re-sharding audit: rendezvous (highest-random-weight)
+    hashing vs key % N when the shard count grows 4 -> 5 — the
+    consistent-hashing property a 100 TB corpus relies on to re-shard
+    without rewriting the world (HRW moves only the keys whose argmax
+    becomes the NEW shard, ~1/5; mod-N moves ~4/5).  One row per
+    scheme: doc count, moved count, moved rate, and the max-occupancy
+    shard at N=5 (balance check — md5-uniform weights keep shards
+    even).  Assignment is `functions.scalars.hrw_shard` (pure codegen
+    struct-sort argmax, a write-time projection at scale); the oracle
+    recomputes the same md5 weights with a rank.  BNLJ_BY_DESIGN:
+    1-row count/occupancy crossJoins.
+    """
+    from .functions.scalars import hrw_shard
+
+    d = _t(spark, sf_dir)["documents"].select("doc_id")
+    sh = d.select(
+        "doc_id",
+        hrw_shard(F.col("doc_id"), 4).alias("s4"),
+        hrw_shard(F.col("doc_id"), 5).alias("s5"),
+        (F.col("doc_id") % 4).alias("m4"),
+        (F.col("doc_id") % 5).alias("m5"),
+    ).localCheckpoint(eager=True)  # counts + occupancy share it
+    hrw = sh.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("s4") != F.col("s5"), 1).otherwise(0))
+        .cast("bigint").alias("n_moved"),
+    )
+    occ5 = (
+        sh.groupBy("s5").count()
+        .agg(F.max("count").cast("bigint").alias("max_shard_count"))
+    )
+    modm = sh.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("m4") != F.col("m5"), 1).otherwise(0))
+        .cast("bigint").alias("n_moved"),
+    )
+    mocc = (
+        sh.groupBy("m5").count()
+        .agg(F.max("count").cast("bigint").alias("max_shard_count"))
+    )
+    rate = F.round(
+        F.col("n_moved").cast("double") / F.col("n_docs").cast("double"), 6
+    ).alias("moved_rate")
+    return (
+        hrw.crossJoin(F.broadcast(occ5))
+        .select(F.lit("rendezvous").alias("scheme"), "n_docs", "n_moved",
+                rate, "max_shard_count")
+        .unionByName(
+            modm.crossJoin(F.broadcast(mocc))
+            .select(F.lit("mod").alias("scheme"), "n_docs", "n_moved",
+                    rate, "max_shard_count")
+        )
     )

@@ -226,6 +226,7 @@ BNLJ_BY_DESIGN = {
                                 # id<>query_id pred (similarity_topk's
                                 # shape; r11 whole-vector rewrite)
     "embedding_drift_cells",    # broadcast 1-row snapshot totals
+    "shard_rendezvous_stability",  # broadcast 1-row count/occupancy rows
     "stats_permutation_test",   # broadcast 1-row sizes/obs/count frames
     "dedup_semantic_threshold_sweep",  # broadcast 8-row anchor set
     "sample_kcenter_coreset",   # broadcast <=k-row selected set per round
