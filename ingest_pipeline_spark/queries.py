@@ -83,7 +83,8 @@ def register(name: str, oracle: str | None):
 # r12 rotation inputs: the 22 remaining r5-stale greens
 # (q12_late_shipment_priority, q13_order_count_census,
 # q14_promo_revenue_share, q15_top_supplier, q16_supplier_part_census,
-# q18_large_volume_orders, q8_market_share, q9_product_profit,
+# q18_large_volume_orders, q19_disjunctive_revenue, q8_market_share,
+# q9_product_profit,
 # range_join_error_clicks,
 # reorganize_multiassay_merge, sample_reservoir_groups,
 # scd2_status_history, similarity_pq_topk_det, snapshot_delta,
@@ -135,7 +136,6 @@ _DRIVER_FIRST = [
     "merge_upsert_orders",
     "profile_orders",
     "q11_important_parts",
-    "q19_disjunctive_revenue",
     "q20_forecast_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
@@ -149,6 +149,7 @@ _DRIVER_FIRST = [
     "multimodal_h264_frames",
     "embedding_drift_cells",
     "shard_rendezvous_stability",
+    "split_cluster_leakage_audit",
 ]
 
 
@@ -22641,4 +22642,116 @@ def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("mod").alias("scheme"), "n_docs", "n_moved",
                     rate, "max_shard_count")
         )
+    )
+
+
+@register(
+    "split_cluster_leakage_audit",
+    f"""
+    WITH {_AUG},
+    c AS (
+      SELECT doc_id, MD5(text) AS ck,
+             CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS db,
+             CAST('0x' || SUBSTR(MD5('csplit:' || MD5(text)), 1, 8)
+                  AS BIGINT) % 100 AS cb
+      FROM aug),
+    s AS (
+      SELECT ck,
+             CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val'
+                  ELSE 'test' END AS dsplit,
+             CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+                  ELSE 'test' END AS csplit
+      FROM c),
+    schemes AS (
+      SELECT 'doc' AS scheme, ck, dsplit AS split FROM s
+      UNION ALL
+      SELECT 'cluster', ck, csplit FROM s),
+    per AS (
+      SELECT scheme, ck, split, CAST(COUNT(*) AS BIGINT) AS ms
+      FROM schemes GROUP BY scheme, ck, split),
+    agg AS (
+      SELECT scheme, ck,
+             CAST(SUM(ms) AS BIGINT) AS m,
+             CAST(SUM(ms * (ms - 1) / 2) AS BIGINT) AS within_pairs
+      FROM per GROUP BY scheme, ck)
+    SELECT scheme,
+           CAST(SUM(m) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(m * (m - 1) / 2 - within_pairs) AS BIGINT)
+             AS n_leaked_pairs,
+           ROUND(CAST(SUM(m * (m - 1) / 2 - within_pairs) AS DOUBLE)
+                 / CAST(SUM(m * (m - 1) / 2) AS DOUBLE), 6) AS leak_rate
+    FROM agg GROUP BY scheme
+    """,
+)
+def split_cluster_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate leakage across train/val/test splits — the eval-
+    integrity failure a doc-level hash split cannot prevent: two
+    copies of the same document drawing independent buckets land in
+    different splits, so the model is evaluated on its own training
+    data.  The audit compares DOC-keyed assignment (the
+    corpus_train_val_test_split scheme) against CLUSTER-keyed
+    assignment (bucket on the content fingerprint, so every member of
+    a duplicate cluster moves together — leakage structurally 0) on
+    the duplicate-augmented corpus.  Leaked pairs are counted WITHOUT
+    a pair join: per cluster, C(m,2) total pairs minus the
+    within-split Sum C(ms,2) — exact integers off one (cluster,
+    split) census, corpus-scale safe.  Cluster key here is the exact
+    md5 fingerprint; the same audit runs unchanged on MinHash-cluster
+    ids for near-dup leakage (operators/dedup.py families).
+    """
+    from .functions.scalars import hex_prefix_to_long
+
+    docs = _aug_docs(spark, sf_dir)
+    db = (
+        hex_prefix_to_long(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        ) % 100
+    )
+    cb = (
+        hex_prefix_to_long(
+            F.md5(F.concat(F.lit("csplit:"), F.md5("text")))
+        ) % 100
+    )
+
+    def _bucket(b):
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    c = docs.select(
+        F.md5("text").alias("ck"),
+        _bucket(db).alias("dsplit"),
+        _bucket(cb).alias("csplit"),
+    )
+    schemes = (
+        c.select(F.lit("doc").alias("scheme"), "ck",
+                 F.col("dsplit").alias("split"))
+        .unionByName(
+            c.select(F.lit("cluster").alias("scheme"), "ck",
+                     F.col("csplit").alias("split"))
+        )
+    )
+    per = schemes.groupBy("scheme", "ck", "split").agg(
+        F.count("*").alias("ms")
+    )
+    agg = per.groupBy("scheme", "ck").agg(
+        F.sum("ms").alias("m"),
+        F.sum(F.col("ms") * (F.col("ms") - 1) / 2).cast("bigint")
+        .alias("within_pairs"),
+    )
+    pairs = (F.col("m") * (F.col("m") - 1) / 2).cast("bigint")
+    return agg.groupBy("scheme").agg(
+        F.sum("m").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(pairs).cast("bigint").alias("n_dup_pairs"),
+        F.sum(pairs - F.col("within_pairs")).cast("bigint")
+        .alias("n_leaked_pairs"),
+        F.round(
+            F.sum(pairs - F.col("within_pairs")).cast("double")
+            / F.sum(pairs).cast("double"),
+            6,
+        ).alias("leak_rate"),
     )
