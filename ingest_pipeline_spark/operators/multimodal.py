@@ -1235,13 +1235,16 @@ def czi_pixels_decode(data: bytes) -> "tuple[int, int, int, int, object]":
                 y0, h = start, size
         if None in (x0, y0, w, h) or w <= 0 or h <= 0:
             raise ValueError("not a CZI: subblock missing X/Y dims")
-        # subblock segment at file_pos
-        if data[file_pos : file_pos + 14] != b"ZISRAWSUBBLOCK":
+        # subblock segment at file_pos (reject negatives explicitly —
+        # a negative python slice would silently read from the tail)
+        if file_pos < 0 or data[file_pos : file_pos + 14] != b"ZISRAWSUBBLOCK":
             raise ValueError("not a CZI: bad subblock segment id")
         sp = file_pos + 32
         meta_size, _att, data_size = struct.unpack(
             "<iiq", data[sp : sp + 16]
         )
+        if meta_size < 0 or data_size < 0:
+            raise ValueError("not a CZI: negative subblock sizes")
         (sb_ndim,) = struct.unpack("<i", data[sp + 44 : sp + 48])
         head_len = max(256, 16 + 32 + 20 * sb_ndim)
         d0 = sp + head_len + meta_size

@@ -1339,6 +1339,16 @@ def ivf_assign(
     a_rows = sorted(
         (r["anchor_id"], list(r["a_vec"])) for r in anchors.collect()
     )  # bounded: n_cells rows
+    if not a_rows:
+        # empty anchor set (empty base corpus): zero assignments, same
+        # schema the crossJoin shape produced
+        cell_t = anchors.schema["anchor_id"].dataType.simpleString()
+        return (
+            vectors.select(F.col(id_col).alias("vec_id"))
+            .limit(0)
+            .withColumn("cell", F.lit(None).cast(cell_t))
+            .withColumn("a_sim", F.lit(None).cast("double"))
+        )
     cos = anchor_cosines_seq([v for (_aid, v) in a_rows])
     scored = vectors.select(
         F.col(id_col).alias("vec_id"),
