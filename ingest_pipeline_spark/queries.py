@@ -18912,13 +18912,24 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     index size the chart is about); exact integer counts, one
     int-ratio threshold per pair.
     """
-    from .operators.dedup import _shingle_rows
+    from pyspark.ml.feature import NGram
+
+    from .functions.text import tokenize_ws
 
     aug = _aug_docs(spark, sf_dir)
+    # tokenize ONCE for all three k-passes (the regex split is the
+    # shared cost; per-k work is just the JVM NGram + explode) —
+    # _shingle_rows re-tokenized per k
+    tok = aug.select(
+        F.col("doc_id").alias("id"), tokenize_ws(F.col("text")).alias("__toks")
+    ).localCheckpoint(eager=True)
     out = None
     for k in (2, 3, 5):
-        sh = _shingle_rows(aug, "text", "doc_id", k).localCheckpoint(
-            eager=True
+        sh = (
+            NGram(n=k, inputCol="__toks", outputCol="__sh")
+            .transform(tok)
+            .select("id", F.explode(F.array_distinct("__sh")).alias("shingle"))
+            .localCheckpoint(eager=True)
         )  # stats + sizes + both pair sides
         sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
         keep = (
