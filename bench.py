@@ -213,7 +213,14 @@ def main() -> None:
     fns[names[0]](spark, sf_dir).count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for warm_q in ("similarity_topk", "embedding_near_dup"):
+        # graph_modularity_brand warms the co-purchase family: whichever
+        # copurchase-edge-build query runs FIRST in a session pays ~10 s
+        # of one-time JIT/codegen (measured r12: first-in-session 13 s,
+        # warm 2.5 s, regardless of which family member goes first) —
+        # the r11 driver graded that spread as a 2.2x regression on
+        # unchanged code (r11 verdict ask #7)
+        for warm_q in ("similarity_topk", "embedding_near_dup",
+                       "graph_modularity_brand"):
             if warm_q in fns:
                 fns[warm_q](spark, warm_sf).count()
 

@@ -317,7 +317,12 @@ def parse_czi(data: bytes) -> dict:
     xml_start = meta_pos + 32 + 256
     if xml_size <= 0 or xml_start + xml_size > len(data):
         raise ValueError("not a CZI: bad metadata XML size")
-    root = ET.fromstring(data[xml_start : xml_start + xml_size].decode("utf-8", "replace"))
+    try:
+        root = ET.fromstring(
+            data[xml_start : xml_start + xml_size].decode("utf-8", "replace")
+        )
+    except ET.ParseError as exc:  # not a ValueError — keep the contract
+        raise ValueError(f"not a CZI: malformed metadata XML ({exc})") from exc
     meta: dict = {}
     image = root.find("Metadata/Information/Image")
     if image is not None:

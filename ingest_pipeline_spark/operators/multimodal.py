@@ -462,16 +462,31 @@ def decode_image_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "media").mapInPandas(extract, out_schema)
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition a small-file corpus across the cluster's default
-    parallelism (hash on the id) BEFORE a per-row Python codec stage.
-    A 2000-row embeddings parquet is one split, so without this every
-    pure-Python encode/decode below runs in ONE Python worker — the
-    r11 bench showed the JPEG roundtrip serializing 9 s of codec work
-    on a single core of 32.  At real scale the input is many splits
-    and the tiny-shuffle cost vanishes into the scan."""
+def _spread(df: DataFrame, id_col: str, heavy: bool = False) -> DataFrame:
+    """Fan a small-file corpus out across cores (hash on the id) BEFORE
+    a per-row Python codec stage.  A 2000-row embeddings parquet is one
+    split, so without this every pure-Python encode/decode below runs
+    in ONE Python worker — the r11 bench showed the JPEG roundtrip
+    serializing 9 s of codec work on a single core of 32.
+
+    Width policy (r12, measured at sf0.1 on local[32]):
+    - input already >= defaultParallelism partitions: no-op — the
+      real-scale path, where the scan has many splits and a forced
+      reshuffle would only add cost;
+    - heavy codecs (JPEG's per-block DCT): full defaultParallelism —
+      codec CPU dominates, task overhead is noise (1.9 s vs 4.2 s at
+      width 4);
+    - everything else: width 8 floor — the unconditional 32-way spread
+      roughly DOUBLED every light codec query (32 Python worker spins
+      for <100 ms of codec work each; e.g. autocorr 0.94 -> 0.44 s,
+      modality_router 2.26 -> 0.99 s at width 8)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, F.col(id_col))
+    dp = sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= dp:
+        return df
+    width = dp if heavy else min(dp, max(8, cur))
+    return df.repartition(width, F.col(id_col))
 
 
 def embeddings_to_png(
@@ -1190,6 +1205,16 @@ def czi_pixels_decode(data: bytes) -> "tuple[int, int, int, int, object]":
     Returns (width, height, channels=1, bit_depth, pixels) — bytes for
     Gray8, a list of uint16 ints for Gray16 (both are int sequences to
     every stats consumer)."""
+    # struct.unpack on a short slice raises struct.error, which is NOT a
+    # ValueError — re-raise it so a truncated file stays inside the
+    # extractor error-row contract instead of crashing the task.
+    try:
+        return _czi_pixels_decode_inner(data)
+    except struct.error as exc:
+        raise ValueError(f"not a CZI: truncated structure ({exc})") from exc
+
+
+def _czi_pixels_decode_inner(data: bytes) -> "tuple[int, int, int, int, object]":
     from .extractors import parse_czi
 
     meta = parse_czi(data)  # validates header + metadata segment
@@ -1220,7 +1245,11 @@ def czi_pixels_decode(data: bytes) -> "tuple[int, int, int, int, object]":
         )
         if schema != b"DV":
             raise ValueError("not a CZI: unsupported directory schema")
+        if not 0 <= ndim <= 64:
+            raise ValueError("not a CZI: implausible dimension count")
         p += 32
+        if p + 20 * ndim > len(data):
+            raise ValueError("not a CZI: truncated dimension entries")
         x0 = y0 = None
         w = h = None
         for _d in range(ndim):
@@ -1246,6 +1275,8 @@ def czi_pixels_decode(data: bytes) -> "tuple[int, int, int, int, object]":
         if meta_size < 0 or data_size < 0:
             raise ValueError("not a CZI: negative subblock sizes")
         (sb_ndim,) = struct.unpack("<i", data[sp + 44 : sp + 48])
+        if not 0 <= sb_ndim <= 64:
+            raise ValueError("not a CZI: implausible subblock dim count")
         head_len = max(256, 16 + 32 + 20 * sb_ndim)
         d0 = sp + head_len + meta_size
         blob = data[d0 : d0 + data_size]
@@ -2316,7 +2347,9 @@ def embeddings_to_jpeg(
                 blobs.append(jpeg_encode(w, h, 1, bytes(img)))
             yield pd.DataFrame({"asset_id": ids, "media": blobs})
 
-    return _spread(emb.select(id_col, vec_col), id_col).mapInPandas(
+    # heavy: the per-block DCT encode + IDCT decode dominate; full-width
+    # spread measured 1.9 s vs 4.2 s at width 4 (sf0.1, local[32])
+    return _spread(emb.select(id_col, vec_col), id_col, heavy=True).mapInPandas(
         encode, "asset_id long, media binary"
     )
 

@@ -168,6 +168,116 @@ def cosine_topk(
     )
 
 
+def sign_bit_words(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit (sign) binary quantization of an embedding column: bit j
+    = (v[j] >= 0), packed into ceil(dim/32) little-endian 32-bit words
+    carried as BIGINTs — the storage layout of binary-quantized vector
+    indexes (1 bit/dim, 32x smaller than float32; the 1-bit sibling of
+    the int8 audit and the PQ codebooks).  32-bit words keep every
+    shift/sum exactly representable and XOR+BIT_COUNT portable to the
+    DuckDB oracle (the simhash discipline).  Returns
+    (vec_id, w0, w1, ...).  Shape: one posexplode + ONE keyed agg with
+    a conditional shiftleft sum per word — scan-bound, no joins.
+    """
+    n_words = (dim + 31) // 32
+    el = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "v"),
+    )
+    aggs = []
+    for wi in range(n_words):
+        lo, hi = wi * 32, min(dim, wi * 32 + 32)
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("j") >= lo) & (F.col("j") < hi)
+                    & (F.col("v") >= 0.0),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), j - {lo})"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias(f"w{wi}")
+        )
+    return el.groupBy("vec_id").agg(*aggs)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    query_ids: "list[int]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_candidates: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Binary-quantized retrieval with asymmetric re-rank: sign-bit
+    Hamming distance prunes the corpus to ``n_candidates`` per query
+    (XOR + bit_count over the packed words — integer-exact both
+    engines), then the survivors alone are re-scored by exact cosine
+    (6-dp rounded before ranking) — the BQ + rescore pipeline modern
+    vector stores run (1-bit quantization, Jegou-style asymmetric
+    refinement).  Returns (query_id, neighbor_id, hamming, cosine_sim,
+    rank) for the top ``k`` per query.  Scale: the query side is a
+    bounded broadcast; Hamming scoring is one codegen projection over
+    the corpus words; only ``n_candidates x |queries|`` rows reach the
+    float re-rank.
+    """
+    n_words = (dim + 31) // 32
+    words = sign_bit_words(corpus, vec_col, id_col, dim)
+    qw = words.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{i}").alias(f"q{i}") for i in range(n_words)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"w{i}").bitwiseXOR(F.col(f"q{i}")))
+        for i in range(n_words)
+    )
+    scored = words.join(
+        F.broadcast(qw), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        ham.cast("int").alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= n_candidates)
+        .drop("hrank")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    rer = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — no RNG state.
 
@@ -1087,6 +1197,14 @@ def ivfpq_topk_det(
         (F.col("pos") % d_sub).cast("int").alias("ps"),
     )  # re-rank only (encode is the Arrow micro assignment below)
     id_t = corpus.schema[id_col].dataType.simpleString()
+    if id_t not in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        # codes are labeled by sampled corpus ids and carried through the
+        # Arrow micro-argmin as an int64 label vector — a string-id corpus
+        # would crash inside the UDF with an opaque numpy error
+        raise ValueError(
+            f"ivfpq_topk_det requires an integer {id_col} (codes are "
+            f"labeled by sampled corpus ids); got {id_t}"
+        )
     cb = spark.createDataFrame(
         [
             (pos // d_sub, r[0], pos % d_sub, r[1][pos])
@@ -1304,6 +1422,16 @@ def anchor_cosines_seq(anchor_vecs: "list[list[float]]"):
 
         if len(v_ser) == 0:
             return pd.Series([], dtype=object)
+        # NULL embeddings -> null cosine rows (the replaced
+        # crossJoin+window shape produced null sims; crashing the Arrow
+        # stage on one null row would violate that contract)
+        mask = np.array([v is not None for v in v_ser], dtype=bool)
+        if not mask.all():
+            out = np.empty(len(v_ser), dtype=object)
+            if mask.any():
+                sub = fn(v_ser[mask].reset_index(drop=True))
+                out[np.flatnonzero(mask)] = list(sub)
+            return pd.Series(list(out))
         M = _np_mat(v_ser)
         acc = M[:, 0] * M[:, 0]
         for d in range(1, M.shape[1]):

@@ -68,88 +68,88 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-11 window (r10-verdict ask #1): the 22 oracle-backed queries
-# that have never held a driver slot — the 21 late-r10 registrations
-# plus similarity_pq_topk (oracle-backed since the r10 integer-Lloyd
-# codebook switch; earlier artifacts graded it rows-only) — plus the 6
-# r11 registrations (graded immediately so r12 inherits no new debt)
-# and 22 re-samples of the STALEST greens (alphabetically-first of the
-# 44 queries whose newest driver row dates to r5; the remaining 22 are
-# the r12 rotation input).  Old rows certify code paths predating the
-# prefix-scan rewires (r6) and the table cache (r8).  Permanently OUT
-# of the window: the rows-only-by-design entries (source_listing,
-# graph_kcore_parts, text_bpe_learn_merges, graph_mst_copurchase,
-# corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
-# r12 rotation inputs: the 22 remaining r5-stale greens
-# (q12_late_shipment_priority, q13_order_count_census,
-# q14_promo_revenue_share, q15_top_supplier, q16_supplier_part_census,
-# q18_large_volume_orders, q19_disjunctive_revenue, q8_market_share,
-# q9_product_profit,
-# range_join_error_clicks,
-# reorganize_multiassay_merge, sample_reservoir_groups,
-# scd2_status_history, similarity_pq_topk_det, snapshot_delta,
-# stream_neardup_records, text_chunk_documents, text_pii_scrub,
-# text_rolling_hash, text_token_entropy, tfidf_top_terms,
-# token_crypto_roundtrip, window_moving_range_sum), any never-sampled
-# r11 registration, then the r6-stale cohort.
+# Round-12 window (r11-verdict ask #1 — rotate the freshness debt):
+# ALL 23 queries whose newest driver grade dates to r5 (the judge's
+# list, reconciled against the cumulative CORRECTNESS history — 23,
+# not the 22/16 the r11 comments claimed), plus the 2 graph fixpoint
+# queries that gained materialized unrolled-round oracles this round
+# (graded immediately so r13 inherits no new debt), plus the r12
+# registration embedding_binary_hamming_topk, plus the 24
+# alphabetically-first of the 50 queries whose newest grade is r6.
+# r13 rotation input: the remaining 26 r6-graded queries
+# (nation_trade_balance, orders_backlog_aging,
+# pareto_revenue_concentration, profile_functional_dependency,
+# quality_logistic_score, report_monthly_top_parts, report_yoy_growth,
+# sample_weighted_orders, scd2_point_in_time_join, search_bm25_topk,
+# sessions_maintenance_overlap, sessions_peak_concurrency,
+# similarity_ivf_topk_det, sketch_cms_heavy_hitters,
+# sketch_hll_distinct, sketch_hll_rolling_users,
+# sketch_hll_set_algebra, skyline_pareto_parts,
+# stats_chi2_independence, stats_correlation_lineitem,
+# supplier_share_of_wallet, text_bigram_perplexity,
+# text_pmi_collocations, window_cume_dist_prices,
+# zorder_locality_stats, and mine_hard_negatives — displaced from
+# this window by the r12 registration), then the r7 cohort; any new
+# registration takes a slot from the tail of the current stale block.  Permanently
+# OUT of the window: the rows-only-by-design entries (source_listing,
+# text_bpe_learn_merges, corpus_pack_ffd) — each would burn a slot as
+# an eternal `no_oracle`.
 # List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # never driver-sampled oracle-backed queries (21 late-r10 regs +
-    # similarity_pq_topk, oracle-backed since the r10 integer-Lloyd switch)
-    "similarity_pq_topk",
-    "multimodal_jpeg_roundtrip",
-    "embedding_matryoshka_agreement",
-    "corpus_dsir_selection",
-    "dedup_cdc_chunks",
-    "multimodal_image_downsample",
-    "search_rocchio_expansion",
-    "embedding_jl_projection_audit",
-    "multimodal_audio_silence_runs",
-    "graph_harmonic_centrality",
-    "text_mojibake_audit",
-    "multimodal_image_sobel_energy",
-    "stats_conformal_interval",
-    "similarity_margin_pairs",
-    "privacy_k_anonymity_audit",
-    "text_readability_flesch",
-    "multimodal_image_otsu",
-    "multimodal_video_keyframes",
-    "mdm_golden_record",
-    "events_sequence_regex",
-    "graph_rich_club",
-    "validate_referential_integrity",
-    # stalest re-samples: first 28 (alphabetical) of the 44 queries whose
-    # newest driver row dates to r5 (predates the r6 prefix-scan rewires
-    # and the r8 table cache); the other 16 rotate in next round
-    "corpus_prepare_training",
-    "curation_pipeline",
-    "dedup_cluster_components",
-    "dedup_simhash_pairs",
-    "embedding_label_centroids",
-    "embedding_nearest_centroid",
-    "events_funnel_conversion",
-    "events_gapfill_daily",
-    "events_hopping_windows",
-    "events_retention_cohorts",
-    "graph_pagerank_suppliers",
-    "hypertable_rollup",
-    "merge_upsert_orders",
-    "profile_orders",
-    "q11_important_parts",
-    "q20_forecast_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume_shipping",
-    # never driver-sampled r11 registrations (oracle-backed this round)
-    "fastq_scrub",
-    "multimodal_czi_roundtrip",
-    "multimodal_mjpeg_frames",
-    "multimodal_h264_frames",
-    "embedding_drift_cells",
-    "shard_rendezvous_stability",
-    "split_cluster_leakage_audit",
+    # all 23 r5-stale greens (newest driver grade = r5)
+    "q12_late_shipment_priority",
+    "q13_order_count_census",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_census",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_error_clicks",
+    "reorganize_multiassay_merge",
+    "sample_reservoir_groups",
+    "scd2_status_history",
+    "similarity_pq_topk_det",
+    "snapshot_delta",
+    "stream_neardup_records",
+    "text_chunk_documents",
+    "text_pii_scrub",
+    "text_rolling_hash",
+    "text_token_entropy",
+    "tfidf_top_terms",
+    "token_crypto_roundtrip",
+    "window_moving_range_sum",
+    # newly oracle-backed this round (r12): unrolled-round oracles
+    "graph_kcore_parts",
+    "graph_mst_copurchase",
+    # alphabetically-first 24 of the 50 r6-graded queries
+    "anomaly_zscore_events",
+    "argmax_order_by_customer",
+    "basket_copurchase_pairs",
+    "bloom_prejoin_filter",
+    "corpus_train_val_test_split",
+    "customer_rfm_segments",
+    "dedup_containment_pairs",
+    "dedup_prefix_jaccard",
+    "events_dow_hour_heatmap",
+    "events_error_bursts",
+    "events_funnel_within_7d",
+    "events_markov_transitions",
+    "events_rolling_active_users",
+    "events_time_weighted_avg",
+    "events_top_paths",
+    "fuzzy_join_blocked",
+    "geo_grid_join",
+    "graph_bfs_fixpoint",
+    "graph_shortest_paths",
+    "histogram_equidepth_prices",
+    "incremental_join_maintenance",
+    "join_salted_hot_events",
+    "join_size_audit",
+    "lineitem_shipping_lag_stats",
+    # new r12 registration (graded immediately so r13 inherits no debt)
+    "embedding_binary_hamming_topk",
 ]
 
 
@@ -11117,7 +11117,48 @@ def linkage_surprisal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_kcore_parts", None)
+def _kcore_peel(i: int, k: int = 3) -> str:
+    """One unrolled peel round for the k-core oracle: recompute
+    degrees over the surviving symmetric edge relation, keep edges
+    whose BOTH endpoints still have degree >= k.  A round at or past
+    the true peeling depth is a no-op (every vertex already >= k), so
+    unrolling MORE rounds than the data needs is harmless —
+    _KCORE_PEELS carries a >2x margin over the measured depth
+    (sf0.001: 3 peels, sf0.01: 1).  MATERIALIZED for the same reason
+    as _lpa_round."""
+    return f"""
+    deg{i} AS MATERIALIZED (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym{i} GROUP BY a),
+    surv{i} AS (SELECT a FROM deg{i} WHERE d >= {k}),
+    sym{i + 1} AS MATERIALIZED (
+      SELECT s.a, s.b FROM sym{i} s
+        JOIN surv{i} x ON x.a = s.a
+        JOIN surv{i} y ON y.a = s.b)"""
+
+
+_KCORE_PEELS = 8
+
+
+@register(
+    "graph_kcore_parts",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT u, v FROM pairs WHERE support >= 3),
+    sym0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+    {",".join(_kcore_peel(i) for i in range(_KCORE_PEELS))}
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym{_KCORE_PEELS} GROUP BY a
+    ORDER BY core_degree DESC, node ASC LIMIT 100
+    """,
+)
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (parts bought together in ≥3
     orders): iterative degree-peeling until every remaining part has
@@ -11125,10 +11166,14 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise similarity work on a co-occurrence graph.  Each peel
     round removes ALL sub-k vertices at once (rounds = peeling depth,
     not vertex count), with the connected-components checkpoint
-    cadence.  Iterative deletion + re-aggregation is not
-    SQL-expressible, so there is no DuckDB oracle (rows-only driver
-    check); exactness rests on the pure-Python peeling reference unit
-    and shape fixtures (clique+tail, cycle, star).
+    cadence.  Oracle (new r12): the peel loop unrolled as
+    _KCORE_PEELS=8 MATERIALIZED CTE rounds — past the true depth each
+    round is a no-op, so a fixed unroll with margin reproduces the
+    fixpoint exactly (measured depth 3 at sf0.001, 1 at sf0.01; the
+    graph_lpa_communities trick).  Exactness is ALSO held by the
+    pure-Python peeling reference unit and shape fixtures (clique+
+    tail, cycle, star) — the oracle cannot catch a wrong constant
+    mirrored into the SQL.
     """
     from .operators.baskets import copurchase_pairs
     from .operators.graph import kcore
@@ -17363,6 +17408,114 @@ def embedding_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_binary_hamming_topk",
+    f"""
+    WITH el AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS j, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)),
+    words AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN j < 32 AND v >= 0
+                           THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN j >= 32 AND v >= 0
+                           THEN (CAST(1 AS BIGINT) << (j - 32))
+                           ELSE 0 END) AS BIGINT) AS w1
+      FROM el GROUP BY vec_id),
+    qw AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+           FROM words WHERE vec_id < 10),
+    ham AS (
+      SELECT q.query_id, w.vec_id AS neighbor_id,
+             CAST(BIT_COUNT(XOR(w.w0, q.q0))
+                  + BIT_COUNT(XOR(w.w1, q.q1)) AS INT) AS hamming
+      FROM words w JOIN qw q ON w.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS hrank
+        FROM ham) h WHERE hrank <= 8),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, c.hamming,
+             {_COS6.format(a="cv.embedding", b="qv.embedding")} AS cosine_sim
+      FROM cand c
+        JOIN embeddings cv ON cv.vec_id = c.neighbor_id
+        JOIN embeddings qv ON qv.vec_id = c.query_id),
+    bq AS (
+      SELECT query_id, neighbor_id, hamming, cosine_sim, rank FROM (
+        SELECT query_id, neighbor_id, hamming, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+        FROM rer) r WHERE rank <= 3),
+    ext AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS6.format(a="c.embedding", b="q.embedding")}
+                            DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10) x WHERE rn <= 3)
+    SELECT b.query_id, b.rank, b.neighbor_id, b.hamming, b.cosine_sim,
+           (e.neighbor_id IS NOT NULL) AS in_exact3
+    FROM bq b LEFT JOIN ext e
+      ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id
+    """,
+)
+def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) embedding quantization + Hamming retrieval
+    with asymmetric cosine re-rank — the BQ pipeline of modern vector
+    stores (1 bit/dim storage, XOR+popcount candidate scan, float
+    rescore of survivors only), completing the quantization family
+    beside the int8 scalar audit and the PQ codebooks.  Per vec_id<10
+    query: sign words prune the corpus to 8 Hamming candidates
+    (integer-exact both engines — the simhash XOR/BIT_COUNT
+    discipline), exact 6-dp-rounded cosine ranks the top 3, and each
+    returned neighbor is flagged against the TRUE exact-cosine top 3
+    (in_exact3 — the recall evidence).  Scale: packing is one
+    posexplode + keyed agg (scan-bound); the bounded query side
+    broadcasts (BNLJ_BY_DESIGN: 10-row word list, then 10-row query
+    vectors); only 8 x |queries| rows reach the float re-rank; the
+    exact branch is the audited brute baseline (cosine_topk's
+    broadcast shape) and exists to GRADE the binary path, not to serve
+    queries.  operators/similarity.py:sign_bit_words /
+    binary_hamming_topk; pure-Python reference unit in
+    tests/test_binary_quant.py.
+    """
+    from .operators.similarity import binary_hamming_topk, cosine_topk
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    qids = list(range(10))
+    bq = binary_hamming_topk(
+        emb, qids, dim=64, n_candidates=8, k=3
+    )
+    exact = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        round_decimals=6,
+    ).select("query_id", F.col("neighbor_id").alias("e_neighbor"))
+    return (
+        bq.join(
+            exact,
+            (bq["query_id"] == exact["query_id"])
+            & (bq["neighbor_id"] == exact["e_neighbor"]),
+            "left",
+        )
+        .select(
+            bq["query_id"],
+            "rank",
+            "neighbor_id",
+            "hamming",
+            "cosine_sim",
+            F.col("e_neighbor").isNotNull().alias("in_exact3"),
+        )
+    )
+
+
+@register(
     "multimodal_audio_autocorr",
     """
     WITH s AS (
@@ -18266,20 +18419,103 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_mst_copurchase", None)
+def _mst_contract(r: int, depth: int) -> str:
+    """Min-label propagation over round r's SELECTED component graph —
+    the contraction step of one unrolled Boruvka round.  Each selected
+    piece is a pseudo-forest of components; `depth` synchronous
+    min-label steps relabel every member to the piece's smallest
+    component id, exact whenever depth >= the piece diameter (measured
+    max 6 at sf0.001; _MST_LABEL_STEPS carries margin).  A shortfall
+    would SPLIT a piece and surface as an edge-set mismatch with the
+    Spark side — fail-visible, never silently wrong."""
+    g = f"g{r}"
+    steps = [
+        f"""
+    {g}l0 AS (SELECT DISTINCT x AS node, x AS lab FROM {g})"""
+    ]
+    for j in range(depth):
+        steps.append(f"""
+    {g}l{j + 1} AS MATERIALIZED (
+      SELECT node, MIN(lab) AS lab FROM (
+        SELECT node, lab FROM {g}l{j}
+        UNION ALL
+        SELECT g.x AS node, l.lab FROM {g} g JOIN {g}l{j} l ON l.node = g.y
+      ) z GROUP BY node)""")
+    return ",".join(steps)
+
+
+def _mst_round(r: int, depth: int) -> str:
+    """One unrolled Boruvka round: label edges with current component
+    ids, per-component argmin over the (w, a, b) total order (unique
+    -> deterministic), contract the selected pieces via min-label
+    propagation, carry components forward.  Rounds past convergence
+    see zero cross-component edges and are no-ops, so a fixed unroll
+    with margin reproduces the fixpoint (the _kcore_peel argument)."""
+    return f"""
+    lab{r} AS MATERIALIZED (
+      SELECT e.w, e.a, e.b, ca.comp AS ca, cb.comp AS cb
+      FROM e JOIN comp{r} ca ON ca.id = e.a
+             JOIN comp{r} cb ON cb.id = e.b
+      WHERE ca.comp <> cb.comp),
+    sel{r} AS MATERIALIZED (
+      SELECT DISTINCT w, a, b, ca, cb FROM (
+        SELECT w, a, b, ca, cb,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+        FROM (SELECT ca AS c, w, a, b, ca, cb FROM lab{r}
+              UNION ALL
+              SELECT cb AS c, w, a, b, ca, cb FROM lab{r}) s
+      ) z WHERE rn = 1),
+    g{r} AS (SELECT ca AS x, cb AS y FROM sel{r}
+             UNION ALL SELECT cb, ca FROM sel{r}),
+    {_mst_contract(r, depth)},
+    comp{r + 1} AS MATERIALIZED (
+      SELECT c.id, COALESCE(m.lab, c.comp) AS comp
+      FROM comp{r} c LEFT JOIN g{r}l{depth} m ON m.node = c.comp)"""
+
+
+_MST_ROUNDS = 5
+_MST_LABEL_STEPS = 10
+
+
+@register(
+    "graph_mst_copurchase",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS MATERIALIZED (
+      SELECT u AS a, v AS b, -support AS w FROM prs WHERE support >= 3),
+    comp0 AS MATERIALIZED (
+      SELECT id, id AS comp FROM
+        (SELECT a AS id FROM e UNION SELECT b FROM e) n),
+    {",".join(_mst_round(r, _MST_LABEL_STEPS) for r in range(_MST_ROUNDS))}
+    SELECT DISTINCT a, b, CAST(-w AS BIGINT) AS co_count
+    FROM ({" UNION ALL ".join(
+        f"SELECT w, a, b FROM sel{r}" for r in range(_MST_ROUNDS))}) t
+    """,
+)
 def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-affinity spanning forest of the part co-purchase graph
     (Boruvka): edges are part pairs bought together in >= 3 orders,
     weight = -co_count, so the forest keeps each catalog cluster's
     strongest affinities — the backbone a merchandising/navigation
     team draws (the graph analog of the dup-cluster canonical tree).
-    Boruvka is inherently iterative (per-round component argmin +
-    contraction -> not SQL-expressible), so this is a rows-only driver
-    entry; correctness is held to EXACT edge-set equality with a
+    The (w, a, b) struct order makes the forest UNIQUE under ties, so
+    any correct MSF algorithm agrees edge-for-edge.  Oracle (new r12):
+    Boruvka unrolled as _MST_ROUNDS=5 MATERIALIZED CTE rounds (per
+    round: component labeling, ROW_NUMBER argmin over the unique
+    (w, a, b) order, contraction via _MST_LABEL_STEPS=10 min-label
+    propagation steps — measured 3 rounds / piece diameter <= 6 at
+    sf0.001, 1 round at sf0.01; rounds past convergence are no-ops).
+    Exactness is ALSO held to EXACT edge-set equality with a
     pure-Python Kruskal on the real graph plus hand fixtures in
-    tests/test_mst.py (the kcore/BPE rows-only discipline).  The
-    (w, a, b) struct order makes the forest unique under ties.
-    Returns (a, b, co_count).  operators/graph.py:boruvka_mst.
+    tests/test_mst.py.  Returns (a, b, co_count).
+    operators/graph.py:boruvka_mst.
     """
     from .operators.baskets import copurchase_pairs
     from .operators.graph import boruvka_mst

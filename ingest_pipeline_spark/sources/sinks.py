@@ -191,8 +191,15 @@ def xlsx_write_bytes(sheet_title: str, rows: "list[list]") -> bytes:
     sharedStrings part), cell refs in A1 notation.  Round-trips
     through xlsx_parse/read_excel byte-for-value."""
     import io
+    import re
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
+
+    # Excel sheet-name rules: non-empty, <=31 chars, no []:*?/\
+    if not sheet_title or len(sheet_title) > 31:
+        raise ValueError("xlsx sheet name must be 1-31 characters")
+    if re.search(r"[\[\]:*?/\\]", sheet_title):
+        raise ValueError(r"xlsx sheet name may not contain []:*?/\ ")
 
     def col_ref(i: int) -> str:
         ref = ""
@@ -237,7 +244,7 @@ def xlsx_write_bytes(sheet_title: str, rows: "list[list]") -> bytes:
         "xl/workbook.xml": (
             f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
-            f'<sheet name="{escape(sheet_title)}" sheetId="1" r:id="rId1"/>'
+            f'<sheet name={quoteattr(sheet_title)} sheetId="1" r:id="rId1"/>'
             "</sheets></workbook>"
         ),
         "xl/_rels/workbook.xml.rels": (

@@ -160,3 +160,29 @@ def test_hypothesis_roundtrip_property():
         assert czi_pixels_decode(blob) == (w, h, 1, 8, px)
 
     prop()
+
+
+def test_truncation_always_valueerror_never_struct_error():
+    """r11 ADVICE (medium): struct.unpack on a short slice raises
+    struct.error, which is NOT a ValueError and would escape
+    decode_image_features' except-ValueError error-row contract and
+    crash the task.  Sweep EVERY prefix length of a valid blob and a
+    byte-flip fuzz pass: decode must raise ValueError (or succeed),
+    never anything else."""
+    px = bytes((i * 37) % 256 for i in range(8 * 6))
+    blob = czi_encode(8, 6, px, compression="lzw", n_bands=2)
+    for L in range(len(blob)):
+        try:
+            # truncating only trailing alignment padding still decodes —
+            # fine; anything else must be a ValueError, never struct.error
+            czi_pixels_decode(blob[: L])
+        except ValueError:
+            pass
+    rng = random.Random(4)
+    for _ in range(200):
+        i = rng.randrange(len(blob))
+        mut = blob[:i] + bytes([blob[i] ^ (1 << rng.randrange(8))]) + blob[i + 1 :]
+        try:
+            czi_pixels_decode(mut)
+        except ValueError:
+            pass  # the contract: ValueError only

@@ -21,14 +21,14 @@ def test_registry_and_oracles_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "source_listing",
-        "graph_kcore_parts",  # iterative peeling: not SQL-expressible
         "text_bpe_learn_merges",  # iterative merge loop: reference-
         # trainer equality unit instead (tests/test_bpe.py)
-        "graph_mst_copurchase",  # Boruvka rounds: not SQL-expressible;
-        # exact Kruskal equality unit instead (tests/test_mst.py)
         "corpus_pack_ffd",  # Best-Fit-Decreasing bin packing: greedy
         # multiset-state loop, not SQL-expressible; naive-BFD equality
         # + invariant units instead (tests/test_packing.py)
+        # (graph_kcore_parts and graph_mst_copurchase gained
+        # materialized unrolled-round oracles in r12 — the
+        # graph_lpa_communities trick)
     }
     # no duplicate registrations silently overwrote each other
     assert len(qs) >= 104
@@ -43,25 +43,28 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: the 22 oracle-backed queries that
-    # had never been driver-sampled before r11 must be inside round 11's
-    # window (plus stale-re-sample spot checks from the r5 band), and
-    # the permanently-rows-only entries must NOT burn slots (each would
+    # the driver grades the first 50: round 12's window must contain
+    # ALL 23 r5-stale greens (r11-verdict ask #1) plus the two graph
+    # fixpoint queries that gained oracles this round, and the
+    # permanently-rows-only entries must NOT burn slots (each would
     # sit as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("similarity_pq_topk", "multimodal_jpeg_roundtrip",
-                 "embedding_matryoshka_agreement", "corpus_dsir_selection",
-                 "dedup_cdc_chunks", "similarity_margin_pairs",
-                 "events_sequence_regex", "graph_rich_club",
-                 "validate_referential_integrity", "mdm_golden_record",
-                 "privacy_k_anonymity_audit", "multimodal_video_keyframes",
-                 "corpus_prepare_training", "graph_pagerank_suppliers",
-                 "merge_upsert_orders", "q2_min_cost_supplier"):
+    for must in ("q8_market_share", "q9_product_profit",
+                 "q12_late_shipment_priority", "q13_order_count_census",
+                 "q14_promo_revenue_share", "q15_top_supplier",
+                 "q16_supplier_part_census", "q18_large_volume_orders",
+                 "q19_disjunctive_revenue", "range_join_error_clicks",
+                 "reorganize_multiassay_merge", "sample_reservoir_groups",
+                 "scd2_status_history", "similarity_pq_topk_det",
+                 "snapshot_delta", "stream_neardup_records",
+                 "text_chunk_documents", "text_pii_scrub",
+                 "text_rolling_hash", "text_token_entropy",
+                 "tfidf_top_terms", "token_crypto_roundtrip",
+                 "window_moving_range_sum",
+                 "graph_kcore_parts", "graph_mst_copurchase"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "source_listing" not in first50
-    assert "graph_kcore_parts" not in first50
     assert "text_bpe_learn_merges" not in first50
-    assert "graph_mst_copurchase" not in first50
     assert "corpus_pack_ffd" not in first50
 
 

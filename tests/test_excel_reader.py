@@ -203,3 +203,21 @@ def test_read_excel_sidecars_distributed(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "binaryFile" in plan and "MapInPandas" in plan
     assert "Scan ExistingRDD" not in plan  # i.e. not driver-parallelized
+
+
+def test_xlsx_write_sheet_name_rules():
+    """r11 ADVICE: a double quote in the sheet name corrupted
+    workbook.xml (saxutils.escape doesn't escape '\"'); quoteattr fixes
+    that, and Excel's 31-char / illegal-char name rules are enforced."""
+    import pytest
+
+    from ingest_pipeline_spark.sources.readers import xlsx_parse
+    from ingest_pipeline_spark.sources.sinks import xlsx_write_bytes
+
+    rows = [["a", "b"], ["1", "2"]]
+    blob = xlsx_write_bytes('He said "hi" & <bye>', rows)
+    name, got = xlsx_parse(blob)
+    assert name == 'He said "hi" & <bye>' and got == rows
+    for bad in ("", "x" * 32, "a[b", "a]b", "a:b", "a*b", "a?b", "a/b", "a\\b"):
+        with pytest.raises(ValueError):
+            xlsx_write_bytes(bad, rows)

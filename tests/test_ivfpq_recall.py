@@ -7,6 +7,7 @@ scored, so the scan cost is the probed code lists, not the corpus).
 from __future__ import annotations
 
 import pyarrow.parquet as pq
+import pytest
 import pyspark.sql.functions as F
 
 from ingest_pipeline_spark import tables
@@ -101,3 +102,35 @@ def test_ivfpq_candidates_only_from_probed_cells(spark):
             f"neighbor {r.neighbor_id} of query {r.query_id} came from "
             f"unprobed cell {neighbor_cell}"
         )
+
+
+def test_ivfpq_string_ids_raise_clear_error(spark):
+    """r11 ADVICE: codes are labeled by sampled corpus ids and carried
+    through the Arrow micro-argmin as an int64 vector; a string-id
+    corpus must fail fast with a named ValueError at plan-build time,
+    not an opaque numpy crash inside the UDF."""
+    emb = tables.load_table(spark, SF, "embeddings")
+    s = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    with pytest.raises(ValueError, match="integer"):
+        ivfpq_topk_det(s, s.limit(2), k=3)
+
+
+def test_anchor_cosines_null_embedding_yields_null_row(spark):
+    """r11 ADVICE: a NULL embedding must flow through the Arrow
+    multi-anchor cosine as a null output row (the replaced
+    crossJoin+window shape produced null sims), not crash the stage."""
+    from ingest_pipeline_spark.operators.similarity import anchor_cosines_seq
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cos = anchor_cosines_seq([[1.0, 0.0], [0.0, 1.0]])
+    rows = {r["vec_id"]: r["cs"] for r in
+            df.select("vec_id", cos(F.col("embedding")).alias("cs")).collect()}
+    assert rows[2] is None
+    assert rows[1][0] == 1.0 and abs(rows[1][1]) < 1e-12
+    assert rows[3][1] == 1.0

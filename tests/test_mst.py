@@ -88,3 +88,18 @@ def test_real_copurchase_graph_matches_kruskal(spark):
     ]
     want = {(a, b, -w) for a, b, w in _kruskal(edges)}
     assert got == want and len(got) > 0
+
+
+def test_unrolled_oracles_match_at_sf0001(spark):
+    """The r12 materialized unrolled-round oracles for the two graph
+    fixpoint queries, exercised at sf0.001 where BOTH results are
+    non-empty (the driver grades at sf0.01, where the 3-core is empty
+    — this pins the non-trivial case: 100 kcore rows, 188 MSF edges)."""
+    from ingest_pipeline_spark.queries import oracle_sql, queries
+    from tests.oracle_utils import compare_to_oracle
+
+    qs, osql = queries(), oracle_sql()
+    for name in ("graph_kcore_parts", "graph_mst_copurchase"):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() > 0, name
+        compare_to_oracle(df, osql[name], SF_DIR)

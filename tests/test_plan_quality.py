@@ -156,6 +156,9 @@ BNLJ_BY_DESIGN = {
     "reorganize_plan",          # broadcast tiny plan table
     "rules_join_routing",       # P11: broadcast rules table, rlike condition
     "similarity_topk",          # exact baseline: broadcast query vectors
+    "embedding_binary_hamming_topk",  # broadcast 10-row query words +
+                                # query vectors; exact branch is the
+                                # audited brute baseline
     "tfidf_top_terms",          # broadcast 1-row corpus doc count
     "mine_hard_negatives",      # broadcast query vectors, label<>label pred
     "stats_chi2_independence",  # broadcast 1-row N total + 1-row dims
