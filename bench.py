@@ -233,9 +233,26 @@ def main() -> None:
     reps_headline = max(
         reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_HEADLINE", "3"))
     )
+    def _sweep_checkpoints() -> None:
+        # every queries() call builds a FRESH plan, so each rep's eager
+        # localCheckpoint blocks are garbage the moment count() returns
+        # — but py4j keeps the JVM RDD refs alive until a Python GC
+        # runs, so the ContextCleaner frees them erratically MID-
+        # measurement (r12: two same-code full runs spread 121.6 vs
+        # 137.6 s headline with the excess concentrated in random
+        # checkpoint-heavy queries — graph_pagerank_suppliers 2.2 vs
+        # 10.3 s — while the median query ratio was 0.983).  Unpersist
+        # deterministically BETWEEN timed reps instead: the direct JVM
+        # unpersist frees the blocks immediately, no Python GC needed
+        # (a periodic gc.collect below bounds py4j stub growth).
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
     timings: dict[str, float] = {}
     first_total = 0.0
-    for name in names + tier2:
+    _sweep_checkpoints()  # warmups leave blocks too
+    for qi, name in enumerate(names + tier2):
         best = float("inf")
         for rep in range(reps_headline if name in set(names) else reps):
             t0 = time.perf_counter()
@@ -244,6 +261,15 @@ def main() -> None:
             best = min(best, elapsed)
             if rep == 0 and name in set(names):
                 first_total += elapsed
+            _sweep_checkpoints()
+        if qi % 50 == 49:
+            import gc
+
+            gc.collect()
+        # one untimed major GC per query: in a 327-query session the
+        # 8g heap otherwise hands random queries a mid-measurement GC
+        # storm (the tail spikes above); ~0.1-0.3 s each, off the clock
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
     total = round(sum(timings[n] for n in names), 3)

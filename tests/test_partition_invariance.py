@@ -131,6 +131,13 @@ REPRESENTATIVE = [
     "similarity_index_upsert",
     "fastq_scrub",
     "multimodal_h264_frames",
+    # r12 hazard classes: sign-bit word packing is a conditional
+    # shiftleft SUM (partial-agg merge order must not move any bit),
+    # then two tiebroken rank boundaries (Hamming top-8, cosine top-3);
+    # unrolled Boruvka selection + min-label contraction must compose
+    # across splits (ROW_NUMBER argmin per component)
+    "embedding_binary_hamming_topk",
+    "graph_mst_copurchase",
 ]
 
 
