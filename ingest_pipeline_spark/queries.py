@@ -74,9 +74,10 @@ def register(name: str, oracle: str | None):
 # not the 22/16 the r11 comments claimed), plus the 2 graph fixpoint
 # queries that gained materialized unrolled-round oracles this round
 # (graded immediately so r13 inherits no new debt), plus the r12
-# registration embedding_binary_hamming_topk, plus the 24
-# alphabetically-first of the 50 queries whose newest grade is r6.
-# r13 rotation input: the remaining 26 r6-graded queries
+# registrations embedding_binary_hamming_topk and
+# store_zip_packaging, plus the 23 alphabetically-first of the 50
+# queries whose newest grade is r6.
+# r13 rotation input: the remaining 27 r6-graded queries
 # (nation_trade_balance, orders_backlog_aging,
 # pareto_revenue_concentration, profile_functional_dependency,
 # quality_logistic_score, report_monthly_top_parts, report_yoy_growth,
@@ -88,9 +89,10 @@ def register(name: str, oracle: str | None):
 # stats_chi2_independence, stats_correlation_lineitem,
 # supplier_share_of_wallet, text_bigram_perplexity,
 # text_pmi_collocations, window_cume_dist_prices,
-# zorder_locality_stats, and mine_hard_negatives — displaced from
-# this window by the r12 registration), then the r7 cohort; any new
-# registration takes a slot from the tail of the current stale block.  Permanently
+# zorder_locality_stats, plus lineitem_shipping_lag_stats and
+# mine_hard_negatives — displaced from this window by the two r12
+# registrations), then the r7 cohort; any new registration takes a
+# slot from the tail of the current stale block.  Permanently
 # OUT of the window: the rows-only-by-design entries (source_listing,
 # text_bpe_learn_merges, corpus_pack_ffd) — each would burn a slot as
 # an eternal `no_oracle`.
@@ -123,7 +125,7 @@ _DRIVER_FIRST = [
     # newly oracle-backed this round (r12): unrolled-round oracles
     "graph_kcore_parts",
     "graph_mst_copurchase",
-    # alphabetically-first 24 of the 50 r6-graded queries
+    # alphabetically-first 23 of the 50 r6-graded queries
     "anomaly_zscore_events",
     "argmax_order_by_customer",
     "basket_copurchase_pairs",
@@ -147,9 +149,9 @@ _DRIVER_FIRST = [
     "incremental_join_maintenance",
     "join_salted_hot_events",
     "join_size_audit",
-    "lineitem_shipping_lag_stats",
-    # new r12 registration (graded immediately so r13 inherits no debt)
+    # new r12 registrations (graded immediately so r13 inherits no debt)
     "embedding_binary_hamming_topk",
+    "store_zip_packaging",
 ]
 
 
@@ -22525,6 +22527,96 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "store_zip_packaging",
+    """
+    WITH m AS (
+      SELECT source AS store,
+             'c/' || LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+             text
+      FROM documents),
+    s AS (
+      SELECT store,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+             MD5(STRING_AGG(path || ':' || MD5(text) || ';', ''
+                            ORDER BY path)) AS mf
+      FROM m GROUP BY store)
+    SELECT store,
+           (CAST(RIGHT(store, 1) AS INT) % 2 = 0) AS published,
+           (CAST(RIGHT(store, 1) AS INT) % 2 = 1) AS packaged,
+           n_members, total_bytes,
+           CASE WHEN CAST(RIGHT(store, 1) AS INT) % 2 = 1
+                THEN mf END AS manifest_md5,
+           CASE WHEN CAST(RIGHT(store, 1) AS INT) % 2 = 1
+                THEN TRUE END AS roundtrip_ok
+    FROM s
+    """,
+)
+def store_zip_packaging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store packaging survey — the reference's zarr_zipper tool
+    (misc/tools/zarr_zipper.py: walk candidate zarr stores, gate on the
+    owning entity's published status, zip each store in place) as a
+    distributed group-and-package flow: each source is a store whose
+    member files are its documents (fixed-width chunk paths, UTF-8
+    content), PUBLISHED stores (even source suffix — the
+    allow_published=False default, zarr_zipper.py:88-89) are surveyed
+    but NOT packaged, and every unpublished store is assembled into a
+    deterministic STORED zip on its executor, read BACK and re-hashed
+    in the same task (roundtrip_ok — the packaging decode_ok).  The
+    HASHED columns prove the Python packaging math against SQL: member
+    count, total member bytes, and the order-free manifest fingerprint
+    md5(concat sorted '<path>:<md5(content)>;') all come from the
+    OPERATOR for packaged stores, so the oracle match verifies the
+    executor-side assembly, not a relational shadow.  Zip-byte
+    determinism and corrupt-input behavior are unit-pinned
+    (tests/test_store_pack.py).  Scale: one hash-partitioned
+    groupBy(store); per-store memory bounded by the store itself —
+    the same bound as the reference's one-node zip, now parallel
+    across stores.  operators/store_pack.py.
+    """
+    from .operators.store_pack import pack_stores
+
+    docs = _t(spark, sf_dir)["documents"]
+    members = docs.select(
+        F.col("source").alias("store"),
+        F.concat(
+            F.lit("c/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    published = (
+        F.substring(F.col("store"), -1, 1).cast("int") % 2 == 0
+    )
+    survey = members.groupBy("store").agg(
+        F.count("*").alias("s_members"),
+        F.sum(F.octet_length("content")).cast("bigint").alias("s_bytes"),
+    )
+    packed = pack_stores(members.filter(~published)).select(
+        "store",
+        "n_members",
+        "total_bytes",
+        "manifest_md5",
+        "roundtrip_ok",
+    )
+    return (
+        survey.join(packed, "store", "left")
+        .select(
+            "store",
+            published.alias("published"),
+            F.col("manifest_md5").isNotNull().alias("packaged"),
+            F.coalesce(F.col("n_members"), F.col("s_members")).alias(
+                "n_members"
+            ),
+            F.coalesce(F.col("total_bytes"), F.col("s_bytes")).alias(
+                "total_bytes"
+            ),
+            "manifest_md5",
+            "roundtrip_ok",
+        )
+    )
 
 
 @register(
