@@ -1635,52 +1635,61 @@ def kcenter_coreset(
     engine-portable.  Returns (rank, vec_id, max_sim_to_prior) —
     max_sim NULL for the seed.
 
-    Shape: the greedy loop is inherently sequential — k-1 driver
-    rounds, each ONE distributed pass (corpus x selected broadcast,
-    Arrow dot over precomputed norms, a min-struct argmin, ONE
-    collected row) — the MMR / learn_bpe_merges fixpoint discipline
-    with a k-bounded trip count and 1-row driver state.
+    Shape (r12 incremental rewrite): the greedy loop is inherently
+    sequential — k-1 driver rounds — but the max-sim-to-selected of
+    each point is a RUNNING maximum, so each round scores the corpus
+    against ONLY the newly-picked center (one Arrow dot per point per
+    round, O(k·n) total) instead of re-joining all r prior centers
+    (the old crossJoin shape, O(k²·n) dots).  The running
+    ``greatest(mx, round6(cos(·, new)))`` is max over the SAME rounded
+    value set the per-round re-join computed, so the selection
+    sequence and the reported max_sim are bit-identical (the oracle
+    and the pure-Python reference unit are unchanged).  State: a
+    localCheckpointed (id, vec, nrm, mx) relation per round + ONE
+    collected row — the MMR / learn_bpe_merges fixpoint discipline
+    with a k-bounded trip count.
     """
+    spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)  # reused k-1 times
-    spark = corpus.sparkSession
+    )
     head = base.orderBy("id").limit(1).collect()
     if not head:
         return spark.createDataFrame(
             [], "rank int, vec_id long, max_sim_to_prior double"
         )
     picks = [(1, int(head[0]["id"]), None)]
+
+    def _score_against(df: DataFrame, row) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in row["vec"]])
+        return F.round(
+            dot_seq(F.col("vec"), cvec)
+            / (F.col("nrm") * F.lit(float(row["nrm"]))),
+            6,
+        )
+
+    state = (
+        base.filter(F.col("id") != picks[0][1])
+        .withColumn("mx", _score_against(base, head[0]))
+        .localCheckpoint(eager=True)
+    )
     for r in range(2, k + 1):
-        sel = spark.createDataFrame(
-            [(p[1],) for p in picks], "sid long"
-        ).join(base, F.col("sid") == F.col("id")).select(
-            F.col("sid"),
-            F.col("vec").alias("svec"),
-            F.col("nrm").alias("snrm"),
-        )
-        cand = (
-            base.filter(~F.col("id").isin([p[1] for p in picks]))
-            .crossJoin(F.broadcast(sel))
-            .select(
-                "id",
-                F.round(
-                    dot_seq(F.col("vec"), F.col("svec"))
-                    / (F.col("nrm") * F.col("snrm")),
-                    6,
-                ).alias("s"),
-            )
-            .groupBy("id")
-            .agg(F.max("s").alias("mx"))
-            .orderBy(F.asc("mx"), F.asc("id"))
-            .limit(1)
-            .collect()
-        )
+        cand = state.orderBy(F.asc("mx"), F.asc("id")).limit(1).collect()
         if not cand:
             break  # corpus smaller than k
-        picks.append((r, int(cand[0]["id"]), float(cand[0]["mx"])))
+        row = cand[0]
+        picks.append((r, int(row["id"]), float(row["mx"])))
+        if r == k:
+            break
+        state = (
+            state.filter(F.col("id") != int(row["id"]))
+            .withColumn(
+                "mx", F.greatest(F.col("mx"), _score_against(state, row))
+            )
+            .localCheckpoint(eager=True)
+        )
     return spark.createDataFrame(
         picks, "rank int, vec_id long, max_sim_to_prior double"
     )

@@ -138,6 +138,9 @@ REPRESENTATIVE = [
     # across splits (ROW_NUMBER argmin per component)
     "embedding_binary_hamming_topk",
     "graph_mst_copurchase",
+    # r12 incremental FPS rewrite: the running greatest() max-sim and
+    # the per-round (mx, id) argmin must not depend on split order
+    "sample_kcenter_coreset",
 ]
 
 
