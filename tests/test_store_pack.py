@@ -86,3 +86,38 @@ def test_query_oracle_green_and_gate(spark):
         if r["packaged"]:
             assert r["roundtrip_ok"] is True and r["manifest_md5"]
     compare_to_oracle(df, osql["store_zip_packaging"], SF_DIR)
+
+
+def test_hypothesis_pack_roundtrip_property():
+    """Random member sets (paths with unicode, empty contents, empty
+    stores): zip bytes stay deterministic under input order and every
+    member reads back exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    path_st = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        members=st.dictionaries(
+            path_st, st.binary(max_size=64), max_size=8
+        ),
+        seed=st.randoms(),
+    )
+    def prop(members, seed):
+        items = list(members.items())
+        shuffled = items[:]
+        seed.shuffle(shuffled)
+        a, b = zip_store_bytes(items), zip_store_bytes(shuffled)
+        assert a == b
+        with zipfile.ZipFile(io.BytesIO(a)) as zf:
+            got = {n: zf.read(n) for n in zf.namelist()}
+        assert got == dict(members)
+        assert store_manifest_md5(items) == store_manifest_md5(shuffled)
+
+    prop()
