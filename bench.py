@@ -219,8 +219,11 @@ def main() -> None:
         # warm 2.5 s, regardless of which family member goes first) —
         # the r11 driver graded that spread as a 2.2x regression on
         # unchanged code (r11 verdict ask #7)
+        # sample_kcenter_coreset warms its own plan shape: 7 sequential
+        # driver barriers each pay first-execution JIT/codegen in a cold
+        # session (r12 driver graded 11.99 s vs ~2.5 s warm)
         for warm_q in ("similarity_topk", "embedding_near_dup",
-                       "graph_modularity_brand"):
+                       "graph_modularity_brand", "sample_kcenter_coreset"):
             if warm_q in fns:
                 fns[warm_q](spark, warm_sf).count()
 
@@ -245,6 +248,12 @@ def main() -> None:
         # deterministically BETWEEN timed reps instead: the direct JVM
         # unpersist frees the blocks immediately, no Python GC needed
         # (a periodic gc.collect below bounds py4j stub growth).
+        # INVARIANT (r12 ADVICE): this unpersists EVERY persistent RDD
+        # in the context — safe because nothing in this harness persists
+        # across reps (tables.register_views caches plain DataFrames in
+        # a Python dict, not persisted RDDs).  If a future change adds an
+        # intentional cross-rep .persist()/.cache(), snapshot the ids
+        # before the timed rep and unpersist only the delta.
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
             it.next()._2().unpersist(True)

@@ -312,11 +312,16 @@ def kcore(
     round removes EVERY current sub-k vertex at once, so the round
     count is the peeling depth, not the vertex count; lineage is cut
     with localCheckpoint every ``checkpoint_every`` rounds (the
-    connected-components cadence) so the plan does not unroll.  Not
-    SQL-expressible (iterative deletion with re-aggregation) — no
-    DuckDB oracle; correctness rests on the pure-Python peeling
-    reference unit (tests/test_estimator_references.py) and shape
-    fixtures (tests/test_graph_fixpoint.py).
+    connected-components cadence) so the plan does not unroll.
+    Oracle (r12): because extra peel rounds past convergence are
+    no-ops, the fixpoint IS SQL-expressible by unrolling past the
+    measured depth — graph_kcore_parts' oracle materializes
+    ``_KCORE_PEELS`` fixed peel rounds as chained CTEs (queries.py),
+    with a depth-margin unit pinning the measured depth + slack;
+    a margin shortfall surfaces as a hash mismatch, never silently.
+    Also pinned by the pure-Python peeling reference unit
+    (tests/test_estimator_references.py) and shape fixtures
+    (tests/test_graph_fixpoint.py).
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")

@@ -1662,7 +1662,9 @@ def kcenter_coreset(
         )
     picks = [(1, int(head[0]["id"]), None)]
 
-    def _score_against(df: DataFrame, row) -> Column:
+    def _score_against(row) -> Column:
+        # Column expression over whatever relation it is applied to —
+        # resolves `vec`/`nrm` from the consumer, not a captured df.
         cvec = F.array(*[F.lit(float(x)) for x in row["vec"]])
         return F.round(
             dot_seq(F.col("vec"), cvec)
@@ -1672,7 +1674,7 @@ def kcenter_coreset(
 
     state = (
         base.filter(F.col("id") != picks[0][1])
-        .withColumn("mx", _score_against(base, head[0]))
+        .withColumn("mx", _score_against(head[0]))
         .localCheckpoint(eager=True)
     )
     for r in range(2, k + 1):
@@ -1683,13 +1685,16 @@ def kcenter_coreset(
         picks.append((r, int(row["id"]), float(row["mx"])))
         if r == k:
             break
-        state = (
-            state.filter(F.col("id") != int(row["id"]))
-            .withColumn(
-                "mx", F.greatest(F.col("mx"), _score_against(state, row))
-            )
-            .localCheckpoint(eager=True)
+        state = state.filter(F.col("id") != int(row["id"])).withColumn(
+            "mx", F.greatest(F.col("mx"), _score_against(row))
         )
+        # Checkpoint every OTHER round (r13): the un-checkpointed
+        # lineage is a depth-2 filter+greatest() chain — cheap to
+        # recompute — and halving the eager barriers halves the
+        # cold-session JIT/codegen stalls the driver bench pays
+        # (r12 verdict: 11.99 s driver vs ~2.5 s warm).
+        if r % 2 == 0:
+            state = state.localCheckpoint(eager=True)
     return spark.createDataFrame(
         picks, "rank int, vec_id long, max_sim_to_prior double"
     )

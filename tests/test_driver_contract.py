@@ -43,25 +43,29 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: round 12's window must contain
-    # ALL 23 r5-stale greens (r11-verdict ask #1) plus the two graph
-    # fixpoint queries that gained oracles this round, and the
+    # the driver grades the first 50: round 13's window must contain
+    # ALL 27 remaining r6-stale greens (r12-verdict ask #1 — the end
+    # of the freshness rotation) plus graph_kcore_parts (re-graded:
+    # its parameters changed to 2-core/support>=2 this round so the
+    # sf0.01 driver row is non-empty — r12-verdict ask #2), and the
     # permanently-rows-only entries must NOT burn slots (each would
     # sit as an eternal `no_oracle` row)
     first50 = set(names[:50])
-    for must in ("q8_market_share", "q9_product_profit",
-                 "q12_late_shipment_priority", "q13_order_count_census",
-                 "q14_promo_revenue_share", "q15_top_supplier",
-                 "q16_supplier_part_census", "q18_large_volume_orders",
-                 "q19_disjunctive_revenue", "range_join_error_clicks",
-                 "reorganize_multiassay_merge", "sample_reservoir_groups",
-                 "scd2_status_history", "similarity_pq_topk_det",
-                 "snapshot_delta", "stream_neardup_records",
-                 "text_chunk_documents", "text_pii_scrub",
-                 "text_rolling_hash", "text_token_entropy",
-                 "tfidf_top_terms", "token_crypto_roundtrip",
-                 "window_moving_range_sum",
-                 "graph_kcore_parts", "graph_mst_copurchase"):
+    for must in ("lineitem_shipping_lag_stats", "mine_hard_negatives",
+                 "nation_trade_balance", "orders_backlog_aging",
+                 "pareto_revenue_concentration",
+                 "profile_functional_dependency", "quality_logistic_score",
+                 "report_monthly_top_parts", "report_yoy_growth",
+                 "sample_weighted_orders", "scd2_point_in_time_join",
+                 "search_bm25_topk", "sessions_maintenance_overlap",
+                 "sessions_peak_concurrency", "similarity_ivf_topk_det",
+                 "sketch_cms_heavy_hitters", "sketch_hll_distinct",
+                 "sketch_hll_rolling_users", "sketch_hll_set_algebra",
+                 "skyline_pareto_parts", "stats_chi2_independence",
+                 "stats_correlation_lineitem", "supplier_share_of_wallet",
+                 "text_bigram_perplexity", "text_pmi_collocations",
+                 "window_cume_dist_prices", "zorder_locality_stats",
+                 "graph_kcore_parts"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "source_listing" not in first50
     assert "text_bpe_learn_merges" not in first50

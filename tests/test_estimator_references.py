@@ -284,7 +284,7 @@ def test_kcore_matches_reference(spark):
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
          AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """
     ).fetchall()
     adj: dict[int, set] = {}
@@ -292,7 +292,7 @@ def test_kcore_matches_reference(spark):
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
     while True:
-        bad = [n for n, nb in adj.items() if len(nb) < 3]
+        bad = [n for n, nb in adj.items() if len(nb) < 2]
         if not bad:
             break
         for n in bad:

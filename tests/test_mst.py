@@ -93,8 +93,11 @@ def test_real_copurchase_graph_matches_kruskal(spark):
 def test_unrolled_oracles_match_at_sf0001(spark):
     """The r12 materialized unrolled-round oracles for the two graph
     fixpoint queries, exercised at sf0.001 where BOTH results are
-    non-empty (the driver grades at sf0.01, where the 3-core is empty
-    — this pins the non-trivial case: 100 kcore rows, 188 MSF edges)."""
+    non-empty (100 kcore rows after the LIMIT — 200 2-core survivors —
+    and 188 MSF edges).  Since r13 the kcore query is a
+    2-core/support>=2, so the DRIVER row at sf0.01 is also non-empty
+    (1535 survivors, peel depth 3) — the sf0.001 pin here guards the
+    depth-0 no-peel boundary instead."""
     from ingest_pipeline_spark.queries import oracle_sql, queries
     from tests.oracle_utils import compare_to_oracle
 
