@@ -301,18 +301,68 @@ def main() -> None:
     # pinned for cross-round comparability); tier2_total covers every
     # other registered query; value_single_run is the sum of first
     # headline executions — the r1-r3-comparable single-run number
-    line = json.dumps(
-        dict(
-            summary,
-            timing={
-                "method": "min_of_reps",
-                "reps": reps,
-                "reps_headline": reps_headline,
-            },
-            value_single_run=round(first_total, 3),
-            queries=timings,
-        )
+    payload = dict(
+        summary,
+        timing={
+            "method": "min_of_reps",
+            "reps": reps,
+            "reps_headline": reps_headline,
+        },
+        value_single_run=round(first_total, 3),
+        queries=timings,
     )
+    # two-run evidence (r12 verdict ask #7): the same-code headline
+    # spread on this host is ambient-dominated (PLANS.md: ±11% across
+    # six full runs), so a single run can't distinguish a plan change
+    # from host noise.  When the BENCH_LOCAL artifact on disk came from
+    # the SAME commit, keep its per-query dict alongside this run's and
+    # publish the per-query median + spread so the judge reads medians
+    # instead of re-deriving them from git.
+    try:
+        import subprocess
+
+        payload["code_rev"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        payload["code_rev"] = None
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path) as f:
+            prev = json.load(f)
+    except Exception:
+        prev = None
+    if (
+        prev
+        and payload["code_rev"]
+        and prev.get("code_rev") == payload["code_rev"]
+        and prev.get("queries")
+    ):
+        common = sorted(set(timings) & set(prev["queries"]))
+        payload["queries_run_prev"] = prev["queries"]
+        payload["prev_run_id"] = prev.get("run_id")
+        payload["queries_median"] = {
+            k: round((timings[k] + prev["queries"][k]) / 2, 3) for k in common
+        }
+        ratios = sorted(
+            timings[k] / prev["queries"][k]
+            for k in common
+            if prev["queries"][k] > 0
+        )
+        if ratios:
+            payload["spread"] = {
+                "n_common": len(ratios),
+                "median_ratio_this_vs_prev": round(
+                    ratios[len(ratios) // 2], 4
+                ),
+                "p10_ratio": round(ratios[len(ratios) // 10], 4),
+                "p90_ratio": round(ratios[(len(ratios) * 9) // 10], 4),
+            }
+    line = json.dumps(payload)
     print(line)
     # the driver's artifact keeps only the LAST ~2000 chars of stdout and
     # the big line leads with the headline number — print a second tiny
@@ -322,11 +372,8 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_LOCAL=0 (e.g. a verification re-run that must not
     # clobber the builder's artifact); run_id disambiguates otherwise.
     if os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "1") != "0":
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
         try:
-            with open(out, "w") as f:
+            with open(local_path, "w") as f:
                 f.write(line + "\n")
         except OSError:
             pass  # read-only checkout: stdout line remains the contract
