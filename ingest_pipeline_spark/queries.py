@@ -78,7 +78,7 @@ def register(name: str, oracle: str | None):
 # r13 registrations (graded immediately so r14 inherits no new debt),
 # topped up with the alphabetically-first queries of the 50-strong r7
 # cohort.  r14 rotation input: the remaining r7-graded queries
-# (multimodal_work_plan onward alphabetically — see COVERAGE.md
+# (alphabetically after the last r7 fill below — see COVERAGE.md
 # Round-13 table), then the r8 cohort; any new registration takes a
 # slot from the tail of the current stale block.  Permanently
 # OUT of the window: the rows-only-by-design entries (source_listing,
@@ -119,6 +119,9 @@ _DRIVER_FIRST = [
     "graph_kcore_parts",
     # new r13 registrations (graded immediately so r14 inherits no debt)
     "collect_tsvs_gather",
+    "upload_survey_report",
+    "review_extract_join",
+    "search_maxsim_late_interaction",
     # alphabetically-first r7-graded queries (tail yields to new regs)
     "agg_grouping_sets",
     "basket_item_cosine",
@@ -138,9 +141,6 @@ _DRIVER_FIRST = [
     "experiment_cuped_adjustment",
     "forecast_seasonal_naive_backtest",
     "graph_adamic_adar",
-    "graph_degree_assortativity",
-    "graph_triangle_count",
-    "linkage_surprisal_pairs",
 ]
 
 
@@ -23263,3 +23263,350 @@ def collect_tsvs_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_uuid", "f.*")
     )
     return collect_tsvs(files)
+
+
+@register(
+    "upload_survey_report",
+    """
+    WITH surveyed AS (
+      SELECT o_orderkey AS uuid, o_custkey FROM orders
+      WHERE o_orderkey % 10 = 1),
+    child AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_datasets,
+             CAST(MAX(l_shipdate) AS DATE) AS last_touch,
+             CAST(SUM(CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS md_recs
+      FROM lineitem GROUP BY l_orderkey),
+    claims AS (
+      SELECT DISTINCT l.l_partkey, l.l_orderkey
+      FROM lineitem l JOIN surveyed s ON l.l_orderkey = s.uuid
+      WHERE l.l_quantity >= 48),
+    coll AS (
+      SELECT l_partkey FROM claims
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 2),
+    coll_orders AS (
+      SELECT DISTINCT c.l_orderkey AS uuid
+      FROM claims c JOIN coll ON c.l_partkey = coll.l_partkey),
+    rec AS (
+      SELECT s.uuid,
+             n.n_name AS group_name,
+             COALESCE(ch.n_datasets, 0) AS n_datasets,
+             (s.uuid % 3 <> 0) AS has_metadata,
+             CASE WHEN s.uuid % 3 <> 0 THEN COALESCE(ch.md_recs, 0)
+                  ELSE 0 END AS n_md_recs,
+             (s.uuid % 5 <> 0) AS has_data,
+             COALESCE(TRIM(CASE s.uuid % 4
+                             WHEN 0 THEN 'No errors!'
+                             WHEN 1 THEN '  No errors!  '
+                             WHEN 2 THEN 'Problems found'
+                           END) = 'No errors!', FALSE) AS validated,
+             ch.last_touch,
+             (co.uuid IS NOT NULL) AS uuid_collision,
+             CASE WHEN co.uuid IS NOT NULL THEN 'UUID COLLISION!'
+                  ELSE '' END AS note_x
+      FROM surveyed s
+      LEFT JOIN child ch ON ch.l_orderkey = s.uuid
+      LEFT JOIN customer cu ON cu.c_custkey = s.o_custkey
+      LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      LEFT JOIN coll_orders co ON co.uuid = s.uuid),
+    missing AS (
+      SELECT -o_orderkey AS uuid,
+             CAST(NULL AS VARCHAR) AS group_name,
+             CAST(NULL AS BIGINT) AS n_datasets,
+             CAST(NULL AS BOOLEAN) AS has_metadata,
+             CAST(NULL AS BIGINT) AS n_md_recs,
+             CAST(NULL AS BOOLEAN) AS has_data,
+             CAST(NULL AS BOOLEAN) AS validated,
+             CAST(NULL AS DATE) AS last_touch,
+             CAST(NULL AS BOOLEAN) AS uuid_collision,
+             'not in survey because missing' AS note_x
+      FROM orders WHERE o_orderkey % 100 = 7),
+    unioned AS (
+      SELECT * FROM rec UNION ALL SELECT * FROM missing),
+    noted AS (
+      SELECT u.*,
+             CASE WHEN u.uuid % 91 = 0 THEN 'escalated'
+                  WHEN u.uuid % 7 = 0 THEN 'priority review;needs contact'
+                  WHEN u.uuid % 13 = 0 THEN 'legacy'
+                  ELSE '' END AS note_y
+      FROM unioned u)
+    SELECT uuid, group_name, n_datasets, has_metadata, n_md_recs,
+           has_data, validated, last_touch, uuid_collision,
+           CASE WHEN note_x <> '' AND note_y <> ''
+                  THEN note_x || ';' || note_y
+                WHEN note_x <> '' THEN note_x
+                ELSE note_y END AS note
+    FROM noted
+    """,
+)
+def upload_survey_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upload-flavored survey composition — the reference's
+    new_upload_survey tool (misc/tools/new_upload_survey.py:70-131 +
+    new_dataset_survey.py:39-126 helpers) as one distributed report:
+    per surveyed upload, detect_metadatatsv (has_metadata + record
+    count), detect_otherdata, detect_clean_validation_report (the
+    trim=='No errors!' test on the synthesized report text),
+    get_most_recent_touch (max child timestamp as a date), the
+    UUID-collision sweep (reference: a growing known_uuids set in a
+    driver loop; relationally, a child uuid claimed by >=2 surveyed
+    uploads — one groupBy-HAVING, order-free and exact where the
+    reference's answer depends on input order), 'not in survey'
+    fallback rows for unknown input uuids, and the --notes side-file
+    merge with the reference's exact word semantics (split ';', strip,
+    drop empties, VOLATILE_NOTES dropped from the incoming side only,
+    first-seen dedup — reports/survey.py merge_notes, where the raw
+    messy note strings '  UUID COLLISION!;legacy' exercise strip +
+    volatile-drop + array_distinct).  Scale: one lineitem groupBy for
+    the child census, one claims groupBy for collisions, broadcast
+    dims and notes — no driver loop over uploads.
+    """
+    from .reports.survey import merge_notes
+
+    t = _t(spark, sf_dir)
+    o, li, cu, na = t["orders"], t["lineitem"], t["customer"], t["nation"]
+    u = F.col("o_orderkey")
+    surveyed = o.filter(u % 10 == 1).select(
+        u.alias("uuid"), "o_custkey"
+    )
+    child = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_datasets"),
+        F.max("l_shipdate").cast("date").alias("last_touch"),
+        F.sum(F.when(F.col("l_linenumber") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("md_recs"),
+    )
+    claims = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(surveyed.select(F.col("uuid").alias("l_orderkey")),
+              "l_orderkey", "semi")
+        .select("l_partkey", "l_orderkey")
+        .distinct()
+    )
+    coll = (
+        claims.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .select("l_partkey")
+    )
+    coll_orders = (
+        claims.join(coll, "l_partkey", "semi")
+        .select(F.col("l_orderkey").alias("uuid"))
+        .distinct()
+        .withColumn("__coll", F.lit(True))
+    )
+    uid = F.col("uuid")
+    report_text = (
+        F.when(uid % 4 == 0, F.lit("No errors!"))
+        .when(uid % 4 == 1, F.lit("  No errors!  "))
+        .when(uid % 4 == 2, F.lit("Problems found"))
+    )
+    rec = (
+        surveyed.join(child, surveyed["uuid"] == child["l_orderkey"], "left")
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"),
+              "left")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"),
+              "left")
+        .join(coll_orders, "uuid", "left")
+        .select(
+            "uuid",
+            F.col("n_name").alias("group_name"),
+            F.coalesce("n_datasets", F.lit(0)).cast("bigint")
+            .alias("n_datasets"),
+            (uid % 3 != 0).alias("has_metadata"),
+            F.when(uid % 3 != 0, F.coalesce("md_recs", F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_md_recs"),
+            (uid % 5 != 0).alias("has_data"),
+            F.coalesce(
+                F.trim(report_text) == "No errors!", F.lit(False)
+            ).alias("validated"),
+            "last_touch",
+            F.coalesce("__coll", F.lit(False)).alias("uuid_collision"),
+            F.when(F.col("__coll").isNotNull(), F.lit("UUID COLLISION! "))
+            .otherwise(F.lit(""))
+            .alias("note"),
+        )
+    )
+    missing = o.filter(u % 100 == 7).select(
+        (-u).alias("uuid"),
+        F.lit(None).cast("string").alias("group_name"),
+        F.lit(None).cast("bigint").alias("n_datasets"),
+        F.lit(None).cast("boolean").alias("has_metadata"),
+        F.lit(None).cast("bigint").alias("n_md_recs"),
+        F.lit(None).cast("boolean").alias("has_data"),
+        F.lit(None).cast("boolean").alias("validated"),
+        F.lit(None).cast("date").alias("last_touch"),
+        F.lit(None).cast("boolean").alias("uuid_collision"),
+        F.lit("not in survey because missing").alias("note"),
+    )
+    unioned = rec.unionByName(missing)
+    notes = unioned.select("uuid").withColumn(
+        "note",
+        F.when(uid % 91 == 0, F.lit(" escalated "))
+        .when(uid % 7 == 0, F.lit("priority review; needs contact"))
+        .when(uid % 13 == 0, F.lit("  UUID COLLISION!;legacy")),
+    ).filter(F.col("note").isNotNull())
+    return merge_notes(unioned, notes)
+
+
+@register(
+    "review_extract_join",
+    """
+    WITH surveyed AS (
+      SELECT o_orderkey AS uuid FROM orders WHERE o_orderkey % 10 = 3),
+    parents AS (
+      SELECT DISTINCT l.l_orderkey AS uuid, l.l_suppkey AS parent_uuid
+      FROM lineitem l JOIN surveyed s ON l.l_orderkey = s.uuid),
+    found AS (
+      SELECT CAST(p.uuid AS VARCHAR) AS derived_dataset_uuid,
+             'ID-' || CAST(p.uuid AS VARCHAR) AS derived_id,
+             'https://portal.example.org/browse/dataset/'
+               || CAST(p.uuid AS VARCHAR) AS derived_portal_url,
+             CAST(p.parent_uuid AS VARCHAR) AS primary_dataset_uuid,
+             'ID-S' || CAST(p.parent_uuid AS VARCHAR) AS primary_id,
+             COALESCE(CONCAT_WS(' / ',
+               CASE WHEN p.parent_uuid % 3 <> 0
+                    THEN 'lab-' || CAST(p.parent_uuid AS VARCHAR) END,
+               CASE WHEN p.uuid % 4 <> 0
+                    THEN 'ds-' || CAST(p.uuid AS VARCHAR) END), '')
+               AS primary_dataset_name,
+             'https://portal.example.org/browse/dataset/'
+               || CAST(p.parent_uuid AS VARCHAR) AS primary_portal_url
+      FROM parents p),
+    missing AS (
+      SELECT CAST(-o_orderkey AS VARCHAR) AS derived_dataset_uuid,
+             'not in survey because missing' AS derived_id,
+             'N/A' AS derived_portal_url,
+             'N/A' AS primary_dataset_uuid,
+             'N/A' AS primary_id,
+             'N/A' AS primary_dataset_name,
+             'N/A' AS primary_portal_url
+      FROM orders WHERE o_orderkey % 100 = 11)
+    SELECT * FROM found UNION ALL SELECT * FROM missing
+    """,
+)
+def review_extract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-review extraction — the reference's
+    extract_for_review tool (misc/tools/extract_for_review.py:37-82):
+    for each input dataset uuid, one output row per PARENT with
+    derived/primary ids, portal URLs, and a display name composed as
+    "parent_component / child_component" where each component is the
+    entity's lab_dataset_id-or-provider_info and missing components
+    are skipped (the ' / '.join(c for c in [...] if c) — exactly
+    concat_ws, which drops NULLs in both engines); uuids the survey
+    cannot resolve produce the tool's explicit N/A fallback row
+    instead of being silently dropped.  Parents here are the distinct
+    suppliers behind the order's lineitems (the dataset→parent
+    many-to-many); component nullability is seeded at known modular
+    positions so every branch of the name composition is exercised.
+    Scale: one distinct projection + a semi-filtered equi join; the
+    fallback branch is a filter-project union — no driver loop over
+    uuids (the reference resolves one uuid per REST round-trip).
+    """
+    t = _t(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    u = F.col("o_orderkey")
+    surveyed = o.filter(u % 10 == 3).select(u.alias("uuid"))
+    parents = (
+        li.join(surveyed.select(F.col("uuid").alias("l_orderkey")),
+                "l_orderkey", "semi")
+        .select(F.col("l_orderkey").alias("uuid"),
+                F.col("l_suppkey").alias("parent_uuid"))
+        .distinct()
+    )
+    url = "https://portal.example.org/browse/dataset/"
+    found = parents.select(
+        F.col("uuid").cast("string").alias("derived_dataset_uuid"),
+        F.concat(F.lit("ID-"), F.col("uuid").cast("string"))
+        .alias("derived_id"),
+        F.concat(F.lit(url), F.col("uuid").cast("string"))
+        .alias("derived_portal_url"),
+        F.col("parent_uuid").cast("string").alias("primary_dataset_uuid"),
+        F.concat(F.lit("ID-S"), F.col("parent_uuid").cast("string"))
+        .alias("primary_id"),
+        F.concat_ws(
+            " / ",
+            F.when(F.col("parent_uuid") % 3 != 0,
+                   F.concat(F.lit("lab-"),
+                            F.col("parent_uuid").cast("string"))),
+            F.when(F.col("uuid") % 4 != 0,
+                   F.concat(F.lit("ds-"), F.col("uuid").cast("string"))),
+        ).alias("primary_dataset_name"),
+        F.concat(F.lit(url), F.col("parent_uuid").cast("string"))
+        .alias("primary_portal_url"),
+    )
+    missing = o.filter(u % 100 == 11).select(
+        (-u).cast("string").alias("derived_dataset_uuid"),
+        F.lit("not in survey because missing").alias("derived_id"),
+        F.lit("N/A").alias("derived_portal_url"),
+        F.lit("N/A").alias("primary_dataset_uuid"),
+        F.lit("N/A").alias("primary_id"),
+        F.lit("N/A").alias("primary_dataset_name"),
+        F.lit("N/A").alias("primary_portal_url"),
+    )
+    return found.unionByName(missing)
+
+
+@register(
+    "search_maxsim_late_interaction",
+    f"""
+    WITH tok AS (
+      SELECT vec_id, t,
+             embedding[t * 16 + 1 : t * 16 + 16] AS v
+      FROM embeddings, UNNEST([0, 1, 2, 3]) s(t)),
+    qt AS (SELECT vec_id AS query_id, t AS qtok, v AS qv
+           FROM tok WHERE vec_id < 8),
+    pair AS (
+      SELECT q.query_id, q.qtok, c.vec_id AS doc_id,
+             {_COS6.format(a="c.v", b="q.qv")} AS sim
+      FROM tok c JOIN qt q ON c.vec_id <> q.query_id),
+    per_qt AS (
+      SELECT query_id, doc_id, qtok, MAX(sim) AS mx
+      FROM pair GROUP BY 1, 2, 3),
+    per_doc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+      FROM per_qt GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, maxsim, rank FROM (
+      SELECT query_id, doc_id AS neighbor_id, maxsim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+      FROM per_doc) r WHERE rank <= 3
+    """,
+)
+def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) multi-vector retrieval: each
+    document and query is a BAG of token vectors; score(q, d) = sum
+    over q's tokens of the max cosine against d's tokens (MaxSim),
+    top-3 docs per query — the retrieval model that beats single-vector
+    search on fine-grained matches and the missing member beside the
+    single-vector brute/LSH/IVF/PQ/binary family.  Token vectors are
+    the four 16-dim slices of each embedding (the matryoshka band
+    trick, giving every doc a deterministic 4-token bag from real
+    data).  Per-token maxima are 6-dp-rounded before the max and the
+    final sum runs in DECIMAL(18,6), so engine parity is exact at
+    every step (CLAUDE.md dsum discipline).  Scale: the query-token
+    side (8 queries x 4 tokens) broadcasts; the corpus is one
+    token-explode scan into two keyed aggs — nothing quadratic in the
+    corpus.  operators/similarity.py:late_interaction_maxsim.
+    """
+    from .operators.similarity import late_interaction_maxsim
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    toks = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(t) for t in range(4)])).alias("t"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.col("t").alias("tok"),
+        F.slice("embedding", F.col("t") * 16 + 1, 16).alias("vec"),
+    )
+    ctok = toks.select(F.col("vec_id").alias("doc_id"), "tok", "vec")
+    qtok = toks.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("tok").alias("qtok"), "vec"
+    )
+    return late_interaction_maxsim(ctok, qtok, k=3)

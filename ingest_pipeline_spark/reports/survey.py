@@ -70,3 +70,63 @@ def usage_report(lines: DataFrame, line_col: str = "line") -> DataFrame:
             "n_errors"
         ),
     )
+
+
+# notes the survey itself generates — never propagated from --notes
+# inputs (reference misc/tools/new_dataset_survey.py:22-26)
+VOLATILE_NOTES = (
+    "BAD TYPE NAME",
+    "UUID COLLISION!",
+    "Multiple QA derived datasets",
+    "BAD UUID: No parents?",
+)
+
+
+def merge_notes(
+    df: DataFrame,
+    notes: DataFrame,
+    uuid_col: str = "uuid",
+    note_col: str = "note",
+) -> DataFrame:
+    """Merge a notes side-file into a survey (reference
+    new_dataset_survey.py:104-126 ``join_notes`` + ``_merge_note_pair``):
+    left-join on uuid, split both note strings on ';', strip each word,
+    drop empties, drop VOLATILE_NOTES from the incoming (y) side only,
+    then order-preserving dedup of x-words followed by y-words, re-joined
+    with ';'.
+
+    Spark restatement: the word pipeline is split → transform(trim) →
+    filter over arrays of a few words each (cold path, bounded arrays —
+    the HOF-interpretation cost is irrelevant here), and the reference's
+    first-seen dedup is exactly ``array_distinct`` (keeps the first
+    occurrence in array order).  One broadcast-able left join, no other
+    movement.
+    """
+    notes_y = notes.select(
+        F.col(uuid_col), F.col(note_col).alias("__note_y")
+    )
+    joined = df.withColumnRenamed(note_col, "__note_x").join(
+        F.broadcast(notes_y.dropDuplicates([uuid_col, "__note_y"])),
+        uuid_col,
+        "left",
+    )
+
+    def words(col, drop_volatile: bool):
+        ws = F.filter(
+            F.transform(F.split(F.coalesce(col, F.lit("")), ";"),
+                        lambda w: F.trim(w)),
+            lambda w: w != "",
+        )
+        if drop_volatile:
+            vol = F.array(*[F.lit(v) for v in VOLATILE_NOTES])
+            ws = F.filter(ws, lambda w: ~F.array_contains(vol, w))
+        return ws
+
+    merged = F.array_join(
+        F.array_distinct(
+            F.concat(words(F.col("__note_x"), False),
+                     words(F.col("__note_y"), True))
+        ),
+        ";",
+    )
+    return joined.withColumn(note_col, merged).drop("__note_x", "__note_y")

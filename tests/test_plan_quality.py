@@ -159,6 +159,9 @@ BNLJ_BY_DESIGN = {
     "embedding_binary_hamming_topk",  # broadcast 10-row query words +
                                 # query vectors; exact branch is the
                                 # audited brute baseline
+    "search_maxsim_late_interaction",  # broadcast 32-row query-token
+                                # bag (8 queries x 4 tokens), id<>id
+                                # pred — the cosine_topk baseline shape
     "tfidf_top_terms",          # broadcast 1-row corpus doc count
     "mine_hard_negatives",      # broadcast query vectors, label<>label pred
     "stats_chi2_independence",  # broadcast 1-row N total + 1-row dims
