@@ -434,8 +434,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Columnar ORC source — Spark-native (no extra package), with the
     same predicate-pushdown / column-pruning surface as parquet.  ORC
     is the interchange format warehouse stacks (Hive/Trino) hand us;
-    reading it natively avoids a convert-to-parquet staging hop."""
-    return spark.read.orc(path)
+    reading it natively avoids a convert-to-parquet staging hop.
+    Timestamp discipline matches tables.load_table: TIMESTAMP_NTZ
+    fields are cast to session-tz timestamp (session tz pinned UTC) so
+    ORC-fed relations join/compare cleanly against parquet-fed ones
+    (r13; previously an NTZ column leaked through and compared
+    unequal to the same value loaded via load_table)."""
+    df = spark.read.orc(path)
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:

@@ -267,10 +267,17 @@ def xlsx_write_bytes(sheet_title: str, rows: "list[list]") -> bytes:
     return buf.getvalue()
 
 
-def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
     """Columnar ORC sink (Spark-native).  Distributed write — one file
-    per partition; repartition upstream to control file count."""
-    df.write.mode(mode).orc(path)
+    per partition; repartition upstream to control file count, or pass
+    single_file for report-sized outputs (the write_tsv contract)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).orc(path)
 
 
 def write_parquet(
