@@ -1560,24 +1560,37 @@ def ivf_knn_indegree(
     anchors = (
         corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            _norm(F.col(vec_col)).alias("a_nrm"),
+        )
     )
+    # assignment scoring on the Arrow path too (r13): the interpreted
+    # cosine() fold over |corpus| x n_cells rows was ~0.6 s of the
+    # query at sf0.1; dot_seq is bit-identical to the fold, and the
+    # row norm computed here is carried into the pair stage (one
+    # _norm per row total, the cosine_topk discipline)
     scored = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
     ).crossJoin(F.broadcast(anchors)).select(
         "id",
         "vec",
+        "nrm",
         "anchor_id",
-        F.round(cosine(F.col("vec"), F.col("a_vec")), 6).alias("a_sim"),
+        F.round(
+            dot_seq(F.col("vec"), F.col("a_vec"))
+            / (F.col("nrm") * F.col("a_nrm")),
+            6,
+        ).alias("a_sim"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("a_sim"), F.asc("anchor_id"))
     cells = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "id", "vec", _norm(F.col("vec")).alias("nrm"),
-            F.col("anchor_id").alias("cell"),
-        )
+        .select("id", "vec", "nrm", F.col("anchor_id").alias("cell"))
     )
     cells = cells.localCheckpoint(eager=True)  # both join sides share it
     a = cells.select(

@@ -73,3 +73,32 @@ def test_merge_notes_keeps_other_columns_and_row_count(spark):
         (1, "a", "x;y;z"),
         (2, "b", ""),
     }
+
+
+def test_merge_notes_random_property(spark):
+    """Property sweep: random note strings over an alphabet of words,
+    semicolons, blanks, and VOLATILE_NOTES must merge exactly as the
+    pure-Python reference replay (catches word-boundary/strip/dedup
+    edge cases the 8 hand cases miss)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["a", "bb", "c c", " d ", "", "UUID COLLISION!",
+             "BAD TYPE NAME", "x;y", ";", "  "]
+
+    def rand_note():
+        if rng.random() < 0.15:
+            return None
+        return ";".join(rng.choice(vocab) for _ in range(rng.randrange(5)))
+
+    cases = [(i, rand_note(), rand_note()) for i in range(200)]
+    df = spark.createDataFrame(
+        [(u, x) for u, x, _ in cases], "uuid bigint, note string"
+    )
+    notes = spark.createDataFrame(
+        [(u, y) for u, _, y in cases if y is not None],
+        "uuid bigint, note string",
+    )
+    got = {r["uuid"]: r["note"] for r in merge_notes(df, notes).collect()}
+    for u, x, y in cases:
+        assert got[u] == _reference_merge(x, y), (u, x, y, got[u])
