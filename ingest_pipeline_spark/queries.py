@@ -19160,54 +19160,68 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = aug.select(
         F.col("doc_id").alias("id"), tokenize_ws(F.col("text")).alias("__toks")
     ).localCheckpoint(eager=True)
-    out = None
+    # fuse the three k-passes into ONE k-tagged relation (r13): the
+    # per-k version ran 3x (checkpoint + pair join + 2 groupBys) as
+    # 3 sequential job chains; tagging rows with k and keying every
+    # join/agg on (k, ...) runs the identical work as one chain over a
+    # 3x relation — one checkpoint, one posting-list join, full-width
+    # parallelism (4.1 -> 3.1 s at sf0.1, output identical)
+    sh_all = None
     for k in (2, 3, 5):
-        sh = (
+        shk = (
             NGram(n=k, inputCol="__toks", outputCol="__sh")
             .transform(tok)
-            .select("id", F.explode(F.array_distinct("__sh")).alias("shingle"))
-            .localCheckpoint(eager=True)
-        )  # stats + sizes + both pair sides
-        sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= 100)
-            .select("shingle")
-        )
-        shc = sh.join(keep, "shingle")
-        a = shc.select(F.col("id").alias("ia"), "shingle")
-        b = shc.select(F.col("id").alias("ib"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("ia") < F.col("ib"))
-            .groupBy("ia", "ib")
-            .agg(F.count("*").alias("ni"))
-        )
-        za = sizes.select(F.col("id").alias("ia"), F.col("n").alias("na"))
-        zb = sizes.select(F.col("id").alias("ib"), F.col("n").alias("nb"))
-        hits = (
-            inter.join(za, "ia")
-            .join(zb, "ib")
-            .filter(
-                F.col("ni").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
-                >= F.lit(0.8)
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "id",
+                F.explode(F.array_distinct("__sh")).alias("shingle"),
             )
-            .agg(F.count("*").cast("bigint").alias("n_pairs_ge_thr"))
         )
-        stats = sh.agg(
-            F.countDistinct("id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("n_shingle_rows"),
+        sh_all = shk if sh_all is None else sh_all.unionByName(shk)
+    sh = sh_all.localCheckpoint(eager=True)  # stats + sizes + pair sides
+    sizes = sh.groupBy("k", "id").agg(F.count("*").alias("n"))
+    keep = (
+        sh.groupBy("k", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("k", "shingle")
+    )
+    shc = sh.join(keep, ["k", "shingle"])
+    a = shc.select("k", F.col("id").alias("ia"), "shingle")
+    b = shc.select("k", F.col("id").alias("ib"), "shingle")
+    inter = (
+        a.join(b, ["k", "shingle"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("k", "ia", "ib")
+        .agg(F.count("*").alias("ni"))
+    )
+    za = sizes.select("k", F.col("id").alias("ia"), F.col("n").alias("na"))
+    zb = sizes.select("k", F.col("id").alias("ib"), F.col("n").alias("nb"))
+    hits = (
+        inter.join(za, ["k", "ia"])
+        .join(zb, ["k", "ib"])
+        .filter(
+            F.col("ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+            >= F.lit(0.8)
         )
-        row = stats.crossJoin(F.broadcast(hits)).select(
-            F.lit(k).cast("int").alias("shingle_k"),
-            "n_docs",
-            "n_shingle_rows",
-            "n_pairs_ge_thr",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_pairs_ge_thr"))
+    )
+    stats = sh.groupBy("k").agg(
+        F.countDistinct("id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_shingle_rows"),
+    )
+    # a k with zero clearing pairs has no hits row — that's the
+    # per-k agg's count 0, not a missing chart point
+    return stats.join(hits, "k", "left").select(
+        F.col("k").alias("shingle_k"),
+        "n_docs",
+        "n_shingle_rows",
+        F.coalesce("n_pairs_ge_thr", F.lit(0).cast("bigint")).alias(
+            "n_pairs_ge_thr"
+        ),
+    )
 
 
 @register(
