@@ -435,3 +435,80 @@ def boruvka_mst(
     if tree is None:
         return e.select("a", "b", "w").limit(0)
     return tree.distinct()
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every edge
+    participates in >= k-2 triangles (Cohen 2008) — the EDGE-based
+    cousin of the k-core vertex peel, and the standard community-core
+    extractor that survives the degree-hub noise k-core keeps.
+    Requires k >= 3 (at k <= 2 every edge trivially survives).
+
+    Returns the surviving canonical edges with their in-truss triangle
+    support: (u, v, support), u < v.
+
+    Execution shape per peel round, all on the ORIENTED canonical edge
+    list (u < v — each triangle enumerated exactly once as a<b<c, the
+    O(m^1.5)-style join, never the symmetric wedge blow-up):
+
+    1. triangles: e(a,b) |><| e(b,c) on b, closed by a semi-join on the
+       (a,c) edge — one hash join + one semi-join;
+    2. per-edge support: each triangle row contributes its three edges
+       ((a,b), (b,c), (a,c)) to a (u,v)-keyed count — explode + one
+       keyed agg, no shuffle beyond the count;
+    3. drop edges with support < k-2; converged when nothing drops.
+
+    Rounds remove ALL light edges at once (round count = peeling
+    depth); the edge relation is localCheckpointed every round (it
+    feeds three join sides + the convergence count).  Like kcore,
+    rounds at or past the fixpoint are no-ops, which is what makes the
+    unrolled-CTE oracle exact (queries.graph_ktruss_copurchase).
+    """
+    if k < 3:
+        raise ValueError(f"ktruss requires k >= 3, got {k}")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tri = (
+            e1.join(e2, "b")
+            .join(
+                canon.select(F.col("u").alias("a"), F.col("v").alias("c")),
+                ["a", "c"],
+                "semi",
+            )
+        )
+        contrib = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        )
+        supp = contrib.groupBy("u", "v").agg(
+            F.count("*").cast("bigint").alias("support")
+        )
+        # checkpoint the SCORED relation first, then probe it: the
+        # triangle join executes exactly once per round (a count on the
+        # un-checkpointed relation plus a later checkpoint would run it
+        # twice).  Left join: an edge in no triangle scores 0 < k-2
+        # and drops (k >= 3 guarantees that's the correct fate).
+        scored = (
+            canon.join(supp, ["u", "v"], "left")
+            .withColumn("support", F.coalesce("support", F.lit(0).cast("bigint")))
+            .localCheckpoint(eager=True)
+        )
+        if scored.filter(F.col("support") < k - 2).isEmpty():
+            return scored
+        canon = scored.filter(F.col("support") >= k - 2).select("u", "v")

@@ -122,6 +122,7 @@ _DRIVER_FIRST = [
     "upload_survey_report",
     "review_extract_join",
     "search_maxsim_late_interaction",
+    "graph_ktruss_copurchase",
     # alphabetically-first r7-graded queries (tail yields to new regs)
     "agg_grouping_sets",
     "basket_item_cosine",
@@ -140,7 +141,6 @@ _DRIVER_FIRST = [
     "events_interarrival_stats",
     "experiment_cuped_adjustment",
     "forecast_seasonal_naive_backtest",
-    "graph_adamic_adar",
 ]
 
 
@@ -23624,3 +23624,93 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("query_id"), F.col("tok").alias("qtok"), "vec"
     )
     return late_interaction_maxsim(ctok, qtok, k=3)
+
+
+def _ktruss_peel(i: int, thr: int = 1) -> str:
+    """One unrolled k-truss peel round: enumerate each triangle once
+    (a<b<c oriented join), count per-edge support via the 3-edge
+    contribution union, keep edges with support >= k-2.  Rounds at or
+    past the fixpoint are no-ops (every surviving edge already clears
+    the threshold), so a fixed unroll with margin reproduces the
+    fixpoint exactly — the _kcore_peel discipline, on edges."""
+    return f"""
+    tri{i} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM te{i} e1
+        JOIN te{i} e2 ON e2.u = e1.v
+        JOIN te{i} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    supp{i} AS MATERIALIZED (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT b AS u, c AS v FROM tri{i}
+        UNION ALL SELECT a AS u, c AS v FROM tri{i}) c GROUP BY 1, 2),
+    te{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM te{i} e
+        JOIN supp{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.s >= {thr})"""
+
+
+_KTRUSS_PEELS = 4
+
+
+@register(
+    "graph_ktruss_copurchase",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    te0 AS MATERIALIZED (SELECT u, v FROM pairs WHERE c >= 2),
+    {",".join(_ktruss_peel(i) for i in range(_KTRUSS_PEELS))},
+    ftri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM te{_KTRUSS_PEELS} e1
+        JOIN te{_KTRUSS_PEELS} e2 ON e2.u = e1.v
+        JOIN te{_KTRUSS_PEELS} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    fsupp AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM ftri
+        UNION ALL SELECT b AS u, c AS v FROM ftri
+        UNION ALL SELECT a AS u, c AS v FROM ftri) c GROUP BY 1, 2)
+    SELECT e.u, e.v, s.support
+    FROM te{_KTRUSS_PEELS} e JOIN fsupp s ON s.u = e.u AND s.v = e.v
+    ORDER BY s.support DESC, e.u ASC, e.v ASC LIMIT 200
+    """,
+)
+def graph_ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-purchase graph (parts bought together in >=2
+    orders): iteratively drop every edge in fewer than k-2 = 1
+    triangles until all survivors are triangle-supported — the
+    EDGE-peeling community-core extractor (Cohen 2008) beside the
+    vertex-peeling k-core, immune to the degree-hub noise a core
+    keeps (a star survives a 2-core via its hub but has no triangles
+    at all).  Returns the 200 highest-support truss edges with their
+    in-truss triangle counts (full (support desc, u, v) tiebreak).
+    Non-empty at every SF (sf0.001: 2244 truss edges, sf0.01: 181,
+    sf0.1: 3; measured peel depth 1 — _KTRUSS_PEELS=4 carries a 4x
+    no-op margin; a real multi-round cascade is pinned by the
+    strip+K5 fixture in tests/test_ktruss.py).  Oracle: the peel loop
+    unrolled as MATERIALIZED CTE rounds, each enumerating every
+    triangle once via the oriented a<b<c join — the _kcore_peel
+    discipline on edges.  Scale: triangles come from the oriented
+    edge join (one hash join + a semi-join closure per round, never a
+    symmetric wedge blow-up); support is one keyed count; rounds
+    remove all light edges at once.  operators/graph.py:ktruss.
+    """
+    from .operators.baskets import copurchase_pairs
+    from .operators.graph import ktruss
+
+    li = _t(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 2).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    return (
+        ktruss(edges, 3)
+        .orderBy(F.desc("support"), F.asc("u"), F.asc("v"))
+        .limit(200)
+    )
