@@ -342,12 +342,29 @@ def main() -> None:
         and prev.get("code_rev") == payload["code_rev"]
         and prev.get("queries")
     ):
+        import statistics
+
+        # explicit run list: this run + every same-commit run the on-disk
+        # artifact already accumulated (its own queries dict, plus any runs
+        # IT folded in) — a TRUE median however many runs pile up at one
+        # commit, not a pairwise mean that silently degrades into a
+        # running mean on the third run (r13 ADVICE).
+        runs = [timings, prev["queries"]] + [
+            r for r in prev.get("queries_runs_prev", []) if isinstance(r, dict)
+        ]
         common = sorted(set(timings) & set(prev["queries"]))
         payload["queries_run_prev"] = prev["queries"]
+        payload["queries_runs_prev"] = [prev["queries"]] + [
+            r for r in prev.get("queries_runs_prev", []) if isinstance(r, dict)
+        ][:3]  # bound artifact growth; 4 runs is plenty of evidence
         payload["prev_run_id"] = prev.get("run_id")
         payload["queries_median"] = {
-            k: round((timings[k] + prev["queries"][k]) / 2, 3) for k in common
+            k: round(
+                statistics.median(r[k] for r in runs if k in r), 3
+            )
+            for k in common
         }
+        payload["n_runs_median"] = len(runs)
         ratios = sorted(
             timings[k] / prev["queries"][k]
             for k in common

@@ -185,8 +185,12 @@ def collect_tsvs(files: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             # the reference KEEPS the first df for the stem; later
-            # matching copies are dropped, so rows = representative's
-            F.min_by("n_rows", F.struct("src_uuid", "fingerprint"))
+            # matching copies are dropped, so rows = representative's.
+            # Tiebreak by src_uuid ALONE (r13 ADVICE): the registered
+            # oracle is ARG_MIN(n_rows, u), so a src_uuid contributing
+            # two same-stem files must resolve by first-seen uuid, not
+            # by fingerprint content.
+            F.min_by("n_rows", F.col("src_uuid"))
             .cast("bigint")
             .alias("n_rows"),
             F.array_join(F.array_sort(F.collect_set("u")), ",").alias(

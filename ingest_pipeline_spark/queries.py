@@ -11114,9 +11114,12 @@ def _kcore_peel(i: int, k: int = 2) -> str:
     whose BOTH endpoints still have degree >= k.  A round at or past
     the true peeling depth is a no-op (every vertex already >= k), so
     unrolling MORE rounds than the data needs is harmless —
-    _KCORE_PEELS carries a >2x margin over the measured depth
-    (2-core/support>=2, r13: depth 0 at sf0.001, 3 at sf0.01 — the
-    driver scale now exercises real peeling, the r12 verdict's
+    _KCORE_PEELS = 8 vs measured depth (2-core/support>=2, r13/r14):
+    0 at sf0.001, 3 at sf0.01, 5 at sf0.1 — a >2x margin at every SF
+    the oracle actually runs (sweeps are <= sf0.01), and still 1.6x
+    headroom at sf0.1 should an oracle run ever move there (r13
+    ADVICE: the old blanket ">2x" claim overstated the sf0.1 margin).
+    The driver scale exercises real peeling (the r12 verdict's
     vacuous-row fix).  MATERIALIZED for the same reason as
     _lpa_round."""
     return f"""

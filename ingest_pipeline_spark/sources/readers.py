@@ -439,11 +439,39 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     fields are cast to session-tz timestamp (session tz pinned UTC) so
     ORC-fed relations join/compare cleanly against parquet-fed ones
     (r13; previously an NTZ column leaked through and compared
-    unequal to the same value loaded via load_table)."""
+    unequal to the same value loaded via load_table).  The rewrite
+    RECURSES through struct/array/map types (r13 ADVICE): an NTZ
+    timestamp nested inside a complex column is normalized by casting
+    the whole column to its NTZ-free type — the exact leak class the
+    top-level fix targeted."""
+
+    def _ntz_free(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.TimestampNTZType):
+            return T.TimestampType()
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(
+                        f.name, _ntz_free(f.dataType), f.nullable, f.metadata
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_ntz_free(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _ntz_free(dt.keyType),
+                _ntz_free(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
     df = spark.read.orc(path)
     for f in df.schema.fields:
-        if f.dataType.typeName() == "timestamp_ntz":
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        fixed = _ntz_free(f.dataType)
+        if fixed != f.dataType:
+            df = df.withColumn(f.name, F.col(f.name).cast(fixed))
     return df
 
 
