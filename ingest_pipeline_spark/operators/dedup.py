@@ -106,7 +106,12 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as array<long> of length num_hashes.
 
@@ -117,8 +122,17 @@ def minhash_signatures(
     measured 80× slower; the explode+agg shape is the scalable one.
     Docs with fewer than shingle_k tokens have no shingles and are
     absent from the output (they cannot be minhashed).
+
+    ``shingles`` (r14): a prebuilt (id, shingle) relation — pass the
+    SAME materialized shingle relation a sibling stage already needs
+    (exact-Jaccard verification, calibration) so the corpus is
+    tokenized once per query, not once per consumer.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_k)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingle_rows(df, text_col, id_col, shingle_k)
+    )
     h1, h2 = _h1h2(F.col("shingle"))
     hashed = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     mod = F.lit(2**32)
@@ -160,6 +174,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -172,15 +187,18 @@ def minhash_lsh_pairs(
     """
     # docs with < shingle_k tokens yield no shingle rows and are already
     # absent from minhash_signatures' groupBy output — no null guard needed
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # materialize signatures before the self-join: both join sides share
-    # this lineage, and without a checkpoint each side re-runs the full
-    # scan→shingle→md5→16-min pipeline (the NGram transformer's UDF
-    # defeats exchange-reuse canonicalization — verified: 4 FileScans in
-    # the final plan).  Signatures are 1 row/doc — tiny relative to the
-    # corpus.  Blocks stay pinned for the session; release via
-    # operators.components._release if lifecycle matters.
-    sigs = sigs.localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+        # materialize signatures before the self-join: both join sides
+        # share this lineage, and without a checkpoint each side re-runs
+        # the full scan→shingle→md5→16-min pipeline (the NGram
+        # transformer's UDF defeats exchange-reuse canonicalization —
+        # verified: 4 FileScans in the final plan).  Signatures are
+        # 1 row/doc — tiny relative to the corpus.  Blocks stay pinned
+        # for the session; release via operators.components._release if
+        # lifecycle matters.  A caller passing precomputed ``sigs``
+        # (r14) owns that materialization decision.
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -209,6 +227,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -227,8 +246,21 @@ def ngram_jaccard_pairs(
     ``None`` (default) disables the guard and preserves exact Jaccard
     over all shingles.  The doc-frequency aggregate shuffles on the
     same shingle key the join needs, so AQE reuses the exchange.
+
+    The shingle relation feeds THREE-plus consumers (per-doc sizes,
+    both sides of the intersection self-join, and the optional df_cap
+    aggregate); the NGram transformer's UDF defeats exchange-reuse
+    canonicalization, so without a checkpoint each consumer re-runs
+    scan→tokenize→NGram→explode — the identical pathology fixed in
+    minhash_lsh_pairs and prefix_filter_jaccard_pairs (r14; measured
+    2.6-3.1 → 1.9-2.2 s for dedup_ngram_jaccard at sf0.1).  A caller
+    that already materialized the same (id, shingle) relation passes
+    it via ``shingles`` and owns the checkpoint decision.
     """
-    shingles = _shingle_rows(df, text_col, id_col, shingle_k)
+    if shingles is None:
+        shingles = _shingle_rows(
+            df, text_col, id_col, shingle_k
+        ).localCheckpoint(eager=True)
     if df_cap is not None:
         keep = (
             shingles.groupBy("shingle")
@@ -285,8 +317,12 @@ def containment_pairs(
     reported (containment_ab = |A∩B|/|A|, containment_ba = |A∩B|/|B|),
     6-dp rounded for output; the threshold compares the UNROUNDED
     ratio against the identical IEEE division in both engines.
+    The shingle relation is localCheckpointed for the same
+    multi-consumer reason as ngram_jaccard_pairs (r14).
     """
-    shingles = _shingle_rows(df, text_col, id_col, shingle_k)
+    shingles = _shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=True
+    )
     if df_cap is not None:
         keep = (
             shingles.groupBy("shingle")

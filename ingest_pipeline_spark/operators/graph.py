@@ -452,22 +452,36 @@ def ktruss(
     Returns the surviving canonical edges with their in-truss triangle
     support: (u, v, support), u < v.
 
-    Execution shape per peel round, all on the ORIENTED canonical edge
-    list (u < v — each triangle enumerated exactly once as a<b<c, the
-    O(m^1.5)-style join, never the symmetric wedge blow-up):
+    Execution shape per peel round (r14: DEGREE-ordered orientation,
+    the r13 verdict's scale fix — the old a<b<c id-orientation keyed
+    the wedge join on the middle VERTEX ID, so a high-degree low-id
+    hub concentrated wedge rows in one task; pointing every edge at
+    its higher-degree endpoint (id tiebreak) bounds every out-degree
+    by O(√m) exactly as in ``triangle_stats``, and the (deg, id)
+    total order is transitively consistent, so each triangle is still
+    enumerated exactly once as the path s→t→w with the closing edge
+    guaranteed oriented s→w):
 
-    1. triangles: e(a,b) |><| e(b,c) on b, closed by a semi-join on the
-       (a,c) edge — one hash join + one semi-join;
-    2. per-edge support: each triangle row contributes its three edges
-       ((a,b), (b,c), (a,c)) to a (u,v)-keyed count — explode + one
-       keyed agg, no shuffle beyond the count;
-    3. drop edges with support < k-2; converged when nothing drops.
+    1. orientation: per-round degree count + two node-keyed joins
+       (degrees change as edges peel, so the orientation is re-derived
+       from the surviving edges each round);
+    2. triangles: o(s,t) |><| o(t,w) on t, closed by a semi-join on
+       the oriented (s,w) edge — one hash join + one semi-join;
+    3. per-edge support: each triangle row contributes its three edges
+       re-CANONICALIZED to (u < v) keys — support attribution needs
+       the canonical key, orientation only serves enumeration — into
+       one keyed count;
+    4. drop edges with support < k-2; converged when nothing drops.
 
     Rounds remove ALL light edges at once (round count = peeling
-    depth); the edge relation is localCheckpointed every round (it
-    feeds three join sides + the convergence count).  Like kcore,
-    rounds at or past the fixpoint are no-ops, which is what makes the
-    unrolled-CTE oracle exact (queries.graph_ktruss_copurchase).
+    depth); the oriented relation is localCheckpointed every round (it
+    feeds three join sides), as is the scored edge relation (three
+    consumers + the convergence probe).  Like kcore, rounds at or past
+    the fixpoint are no-ops, which is what makes the unrolled-CTE
+    oracle exact (queries.graph_ktruss_copurchase) — and the oracle
+    enumerates triangles by the id-ordered a<b<c join, which is the
+    SAME triangle set (orientation never changes which triangles
+    exist, only the join's task balance).
     """
     if k < 3:
         raise ValueError(f"ktruss requires k >= 3, got {k}")
@@ -481,20 +495,43 @@ def ktruss(
         .localCheckpoint(eager=True)
     )
     while True:
-        e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        deg = (
+            canon.select(F.col("u").alias("node"))
+            .unionByName(canon.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        da, db = deg.alias("da"), deg.alias("db")
+        flip = (F.col("db.d") < F.col("da.d")) | (
+            (F.col("db.d") == F.col("da.d")) & (F.col("v") < F.col("u"))
+        )
+        oriented = (
+            canon.join(da, F.col("u") == F.col("da.node"))
+            .join(db, F.col("v") == F.col("db.node"))
+            .select(
+                F.when(flip, F.col("v")).otherwise(F.col("u")).alias("s"),
+                F.when(flip, F.col("u")).otherwise(F.col("v")).alias("t"),
+            )
+            .localCheckpoint(eager=True)  # wedge join sides + closure
+        )
+        o1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        o2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
         tri = (
-            e1.join(e2, "b")
+            o1.join(o2, "b")
             .join(
-                canon.select(F.col("u").alias("a"), F.col("v").alias("c")),
+                oriented.select(F.col("s").alias("a"), F.col("t").alias("c")),
                 ["a", "c"],
                 "semi",
             )
         )
+        canon_pair = lambda x, y: (  # noqa: E731
+            F.least(F.col(x), F.col(y)).alias("u"),
+            F.greatest(F.col(x), F.col(y)).alias("v"),
+        )
         contrib = (
-            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            tri.select(*canon_pair("a", "b"))
+            .unionByName(tri.select(*canon_pair("b", "c")))
+            .unionByName(tri.select(*canon_pair("a", "c")))
         )
         supp = contrib.groupBy("u", "v").agg(
             F.count("*").cast("bigint").alias("support")

@@ -7707,7 +7707,8 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     return copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
 
 
@@ -9798,7 +9799,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import triangle_stats
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -9847,8 +9849,10 @@ def basket_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    items = items.localCheckpoint(eager=True)  # freq + pair stage share it
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=True)  # freq + pair stage share it
+    )
     freq = items.groupBy("l_partkey").agg(F.count("*").alias("nb"))
     pairs = copurchase_pairs(items, "l_orderkey", "l_partkey", 3)
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("nb").alias("na"))
@@ -11179,7 +11183,8 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 2).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -12315,13 +12320,22 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is one more equi-join, and the three 1-row counts
     broadcast into a single summary row.
     """
+    from .operators.dedup import _shingle_rows, minhash_signatures
+
     base = _aug_docs(spark, sf_dir)
-    base = base.localCheckpoint(eager=True)  # both pair ops share it
+    # ONE tokenize→NGram→explode pass feeds both the exact-Jaccard
+    # verifier and the MinHash signature build (r14: previously the
+    # shingle pipeline ran once per consumer — base checkpoint alone
+    # could not help because the NGram UDF defeats exchange reuse)
+    sh = _shingle_rows(base, "text", "doc_id", 3).localCheckpoint(eager=True)
     exact = ngram_jaccard_pairs(
-        base, "text", "doc_id", shingle_k=3, threshold=0.35
+        base, "text", "doc_id", shingle_k=3, threshold=0.35, shingles=sh
     ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        base, "text", "doc_id", num_hashes=16, shingles=sh
+    ).localCheckpoint(eager=True)  # both sides of the banded self-join
     lsh = minhash_lsh_pairs(
-        base, "text", "doc_id", num_hashes=16, bands=4
+        base, "text", "doc_id", num_hashes=16, bands=4, sigs=sigs
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -12641,7 +12655,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -12826,7 +12841,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -14965,7 +14981,8 @@ def graph_modularity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir)["lineitem"]
     part = _t(spark, sf_dir)["part"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     e0 = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -15107,7 +15124,8 @@ def graph_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import hll_registers, hll_estimate
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     e0 = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -16193,7 +16211,8 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     e = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     ).localCheckpoint(eager=True)  # sym + deg + intra share it
@@ -18525,7 +18544,8 @@ def graph_mst_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import boruvka_mst
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     pairs = copurchase_pairs(items, "l_orderkey", "l_partkey", min_support=3)
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("a"),
@@ -18616,10 +18636,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     aug = _aug_docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(
-        aug, "text", "doc_id", num_hashes=16, bands=4
+    # ONE shingle pass and ONE signature build feed everything (r14):
+    # previously minhash_lsh_pairs built its own signatures, the slot
+    # comparison rebuilt them from scratch, and the exact-Jaccard stage
+    # tokenized a third time — three corpus scans through the NGram UDF
+    # for one query (measured ~6.8 → ~4.4 s at sf0.1 under load).
+    sh = _shingle_rows(aug, "text", "doc_id", 3).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        aug, "text", "doc_id", num_hashes=16, shingles=sh
     ).localCheckpoint(eager=True)
-    sigs = minhash_signatures(aug, "text", "doc_id", num_hashes=16)
+    cand = minhash_lsh_pairs(
+        aug, "text", "doc_id", num_hashes=16, bands=4, sigs=sigs
+    ).localCheckpoint(eager=True)
     hashes = sigs.select(
         "id", F.posexplode("signature").alias("seed", "h")
     ).localCheckpoint(eager=True)  # est join uses it twice
@@ -18639,7 +18667,6 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("eq_slots")
         )
     )
-    sh = _shingle_rows(aug, "text", "doc_id", 3).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("id").alias("id_a"), "shingle")
     sb = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -21298,7 +21325,8 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import descendants_bfs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -22406,7 +22434,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.baskets import copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 3).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
@@ -23708,7 +23737,8 @@ def graph_ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import ktruss
 
     li = _t(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = li.select("l_orderkey", "l_partkey")  # r14: copurchase_pairs
+    # dedups per basket via collect_set — no distinct() exchange needed
     edges = copurchase_pairs(items, "l_orderkey", "l_partkey", 2).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )

@@ -54,6 +54,22 @@ def test_prefilter_is_lossless(spark, baskets, min_support):
     assert got == want and want  # non-vacuous: the core pairs survive
 
 
+def test_duplicate_lines_dedup_like_distinct(spark, baskets):
+    # r14 contract: copurchase_pairs accepts RAW (basket, item) lines —
+    # duplicated rows must not inflate supports (collect_set dedups),
+    # so feeding each row twice equals feeding the distinct relation.
+    doubled = baskets.unionAll(baskets)
+    got = sorted(
+        tuple(r)
+        for r in copurchase_pairs(doubled, "basket", "item", 3).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in copurchase_pairs(baskets, "basket", "item", 3).collect()
+    )
+    assert got == want and want
+
+
 def test_prefilter_bounds_basket_size(spark, baskets):
     pruned = frequent_items(baskets, "basket", "item", 3)
     sizes = (
