@@ -122,17 +122,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def langid_scores(col: Column) -> dict[str, Column]:
-    """Per-language marker-hit-ratio scores (n-gram-free heuristic)."""
-    toks = tokenize_ws(normalize_text(col))
-    safe = F.greatest(F.size(toks), F.lit(1))
+    """Per-language marker-hit-ratio scores (n-gram-free heuristic).
 
-    def marker_pred(markers: tuple[str, ...]):
-        # single-arg lambda required: extra (default) params would be
-        # mis-detected as higher-order-function arity by PySpark
-        return lambda t: t.isin(*markers)
-
+    r14 perf shape: marker hits are counted with ONE codegen
+    ``regexp_count`` per language over the normalized text instead of
+    five interpreted higher-order array filters over a token array
+    (hot per-element work — the CLAUDE.md HOF rule).  Counts are
+    identical: ``normalize_text`` yields space-separated ``[a-z0-9]``
+    runs, so a whole-token occurrence of marker ``w`` is exactly a
+    ``\\bw\\b`` regex match (no marker contains a non-word char, so
+    the boundary cannot fire inside a token).  The token-count
+    denominator comes from the collapsed single-space form:
+    ``spaces + 1`` when non-empty — byte-equal to
+    ``size(tokenize_ws(norm))`` because the normalized string has no
+    leading/trailing/double spaces.  NULL text: every count is NULL →
+    every score NULL → langid_best falls through to 'und', same as
+    the array shape.
+    """
+    norm = normalize_text(col)
+    n_toks = F.when(norm == "", F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+    safe = F.greatest(n_toks, F.lit(1))
     return {
-        lang: F.size(F.filter(toks, marker_pred(markers))).cast("double")
+        lang: F.regexp_count(
+            norm, F.lit(r"\b(" + "|".join(markers) + r")\b")
+        ).cast("double")
         / safe.cast("double")
         for lang, markers in LANG_MARKERS.items()
     }

@@ -233,8 +233,52 @@ def learn_bpe_merges(
     rounds = 0
     pending = 0  # regex passes since the last checkpoint
     while len(merges) < n_merges:
+        # the alias probe rides INSIDE the census action (r14): the old
+        # shape collected the census, then issued a SECOND sequential
+        # driver job probing candidate concatenations with up-to-16
+        # contains() scans over the live rep — at bench scale the loop
+        # is driver-round-trip-bound (22 rounds for the 30-merge corpus
+        # run) and the serial probe scan sat on the critical path every
+        # late round.  Folding it into the census action as a join
+        # against the exploded distinct symbol set removes that serial
+        # scan (interleaved same-session A/B at sf0.1: 7.1-7.6 s ->
+        # 6.6-6.7 s, merges identical).  Equivalence: a concat c (SEP-free by
+        # construction) occurs as SEP+c+SEP in some row's symbol
+        # string iff c equals one of that row's symbols, so a left
+        # join of census pairs against the exploded distinct symbol
+        # set of the SAME live rep computes exactly the old
+        # per-concat contains() probe.  2-char concats keep their
+        # probe-free contract (a+b single chars: the only merge that
+        # builds ab is (a, b) itself, after which its census count is
+        # zero — see _accept_batch) via the length mask below.
+        symbols = (
+            rep.select(
+                F.explode(
+                    F.split(
+                        F.regexp_replace("s", f"^{SEP}|{SEP}$", ""), SEP
+                    )
+                ).alias("__cc")
+            )
+            .distinct()
+            .withColumn("__alias", F.lit(True))
+        )
         top = (
             (census if delta_mode else pair_counts(rep))
+            .withColumn("__cc", F.concat("a", "b"))
+            .join(
+                symbols,
+                ["__cc"],
+                "left",
+            )
+            .select(
+                "a",
+                "b",
+                "cnt",
+                (
+                    F.coalesce(F.col("__alias"), F.lit(False))
+                    & (F.length("__cc") > 2)
+                ).alias("alias_hit"),
+            )
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(batch_cap + 1)
             .collect()
@@ -242,27 +286,9 @@ def learn_bpe_merges(
         rounds += 1
         if not top or int(top[0]["cnt"]) < min_count:
             break
-        # one-scan probe: which candidate concatenations already exist
-        # as vocabulary symbols in the LIVE histogram?  A 2-char concat
-        # can never alias — the only merge that builds it is that same
-        # pair, after which its census count is zero — so early rounds
-        # (all single-char symbols) skip the probe job entirely.
-        concats = sorted(
-            {c for r in top[:batch_cap] if len(c := r["a"] + r["b"]) > 2}
-        )
-        alias_exists: "dict[str, bool]" = {}
-        if concats:
-            probe = rep.agg(
-                *[
-                    F.max(
-                        F.col("s").contains(SEP + c + SEP).cast("int")
-                    ).alias(f"c{k}")
-                    for k, c in enumerate(concats)
-                ]
-            ).collect()[0]
-            alias_exists = {
-                c: bool(probe[f"c{k}"]) for k, c in enumerate(concats)
-            }
+        alias_exists = {
+            r["a"] + r["b"]: bool(r["alias_hit"]) for r in top
+        }
         batch = _accept_batch(
             top, min(batch_cap, n_merges - len(merges)), min_count,
             alias_exists,

@@ -1557,41 +1557,58 @@ def ivf_knn_indegree(
     cell, the semantic_dedup shape); vectors never retrieved appear as
     in_degree 0 via the left join.  Returns (in_degree, n_vectors).
     """
-    anchors = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).alias("a_vec"),
-            _norm(F.col(vec_col)).alias("a_nrm"),
-        )
-    )
-    # assignment scoring on the Arrow path too (r13): the interpreted
-    # cosine() fold over |corpus| x n_cells rows was ~0.6 s of the
-    # query at sf0.1; dot_seq is bit-identical to the fold, and the
-    # row norm computed here is carried into the pair stage (one
-    # _norm per row total, the cosine_topk discipline)
+    # assignment on the one-pass multi-anchor Arrow path (r14): the r13
+    # shape crossJoined corpus x n_cells (each vec shipped through the
+    # Python boundary n_cells times) and ran a corpus-wide row_number
+    # window whose exchange carried the vec payload 8-fold; the
+    # ivf_assign pattern computes every anchor cosine in ONE Arrow
+    # projection (anchor_cosines_seq — bit-identical to the
+    # dot_seq/_norm folds, norms inside the UDF use the same
+    # index-order accumulation) and takes the argmax with an n_cells
+    # struct sort, so assignment is shuffle-free.  Window-equivalence
+    # of the struct sort (NaN greatest, -0.0 == +0.0, anchor-id
+    # tiebreak) follows ivf_assign's normalization, pinned in
+    # tests/test_hubness_assign.py.  Zero-norm and NULL vectors are
+    # outside the operator's domain either way (ANSI divide-by-zero /
+    # dot_seq null-intolerance in the replaced shape and in the pair
+    # stage below); null vecs among the lowest ids are skipped when
+    # freezing the anchor set.
+    a_rows = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.select(id_col, vec_col).orderBy(id_col)
+        .limit(n_cells).collect()
+        if r[1] is not None
+    )  # bounded: n_cells rows
+    if not a_rows:
+        scored0 = corpus.select(F.col(id_col).alias("id")).limit(0)
+        return scored0.groupBy(
+            F.lit(0).cast("bigint").alias("in_degree")
+        ).agg(F.count("*").cast("bigint").alias("n_vectors"))
+    cos = anchor_cosines_seq([v for (_aid, v) in a_rows])
     scored = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).crossJoin(F.broadcast(anchors)).select(
-        "id",
-        "vec",
-        "nrm",
-        "anchor_id",
-        F.round(
-            dot_seq(F.col("vec"), F.col("a_vec"))
-            / (F.col("nrm") * F.col("a_nrm")),
-            6,
-        ).alias("a_sim"),
+        cos(F.col(vec_col)).alias("__cs"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("a_sim"), F.asc("anchor_id"))
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", "nrm", F.col("anchor_id").alias("cell"))
-    )
+
+    def _key(r):
+        # SortExec normalizes -0.0 to 0.0 and ranks NaN greatest
+        # (DESC -> first); sort_array's struct ordering does neither
+        # (the ivf_assign normalization)
+        return F.when(F.isnan(r), F.lit(float("-inf"))).otherwise(
+            -(r + F.lit(0.0))
+        )
+
+    cands = [
+        F.struct(
+            _key(F.round(F.col("__cs")[i], 6)).alias("ns"),
+            F.lit(aid).alias("aid"),
+        )
+        for i, (aid, _v) in enumerate(a_rows)
+    ]
+    best = F.element_at(F.sort_array(F.array(*cands)), 1)
+    cells = scored.select("id", "vec", "nrm", best["aid"].alias("cell"))
     cells = cells.localCheckpoint(eager=True)  # both join sides share it
     a = cells.select(
         F.col("id").alias("qid"), F.col("vec").alias("qv"),
