@@ -191,7 +191,11 @@ def _cms_bucket(col: "F.Column", j: int, w: int) -> "F.Column":
 
 
 def cms_counters(
-    df: DataFrame, key_col: str, d: int = 4, w: int = 256
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Build the d×w counter grid: ``(j, bucket, cnt)``.
 
@@ -199,12 +203,28 @@ def cms_counters(
     aggregate with map-side partials — the shuffle carries at most d*w
     rows per input partition regardless of data size, and two grids
     merge by adding counters (same keyed agg).
+
+    ``weight_col`` (int64) builds the identical grid from a
+    pre-aggregated (key, count) census instead of raw rows: the
+    per-(j, bucket) SUM of per-key counts equals the raw-row COUNT
+    exactly (every raw row of a key lands in the same bucket), so
+    callers that already hold a key census hash d×|distinct keys|
+    md5s instead of d×|rows| (r14, sketch_join_size_estimate).
     """
     buckets = F.array(*[_cms_bucket(F.col(key_col), j, w) for j in range(d)])
+    if weight_col is None:
+        return (
+            df.select(F.posexplode(buckets).alias("j", "bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
     return (
-        df.select(F.posexplode(buckets).alias("j", "bucket"))
+        df.select(
+            F.posexplode(buckets).alias("j", "bucket"),
+            F.col(weight_col).alias("__w"),
+        )
         .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 

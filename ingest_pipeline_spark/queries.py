@@ -15789,9 +15789,22 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir)["lineitem"]
     part = _t(spark, sf_dir)["part"]
-    ca = cms_counters(li, "l_partkey", d=4, w=4096).localCheckpoint(
-        eager=True
-    )  # self inner product + fk join read it
+    # ONE data-proportional lineitem pass (r14, guide §2.3 aggregate
+    # before you expand): the per-key census feeds the sketch build
+    # (weight-summed — d×|distinct keys| md5s instead of d×|rows|,
+    # exactly the same grid since every row of a key shares its
+    # buckets), the exact F2 (Σ n²), and the exact FK join size
+    # (Σ n·m over part-key counts — COUNT(*) of the raw join by the
+    # grouping identity, dup-safe on either side).  Previously three
+    # full lineitem scans.
+    census = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ca = cms_counters(
+        census, "l_partkey", d=4, w=4096, weight_col="n"
+    ).localCheckpoint(eager=True)  # self inner product + fk join read it
     cb = cms_counters(part, "p_partkey", d=4, w=4096)
     self_est = (
         ca.groupBy("j")
@@ -15805,14 +15818,20 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
         .agg(F.min("ip").cast("bigint").alias("est"))
     )
-    self_exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").alias("n"))
-        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact"))
+    self_exact = census.agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact")
     )
-    fk_exact = li.join(
-        part, part["p_partkey"] == li["l_partkey"]
-    ).agg(F.count("*").alias("exact"))
+    fk_exact = (
+        census.join(
+            part.groupBy("p_partkey").agg(F.count("*").alias("m")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("n") * F.col("m")), F.lit(0))
+            .cast("bigint")
+            .alias("exact")
+        )  # COALESCE: the replaced COUNT(*) gave 0, not NULL, on no match
+    )
     row = lambda nm, e, x: (  # noqa: E731
         e.crossJoin(F.broadcast(x)).select(
             F.lit(nm).alias("pair"), "est", "exact"
