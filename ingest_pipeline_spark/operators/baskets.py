@@ -78,7 +78,21 @@ def copurchase_pairs(
         .select(item_col)
     )
     pruned = items.join(F.broadcast(counts), item_col, "left_semi")
-    baskets = pruned.groupBy(basket_col).agg(
+    return (
+        _exploded_pairs(pruned, basket_col, item_col)
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def _exploded_pairs(
+    items: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """One (part_a, part_b) row (a < b) per basket-deduplicated
+    co-occurrence: basket-keyed ``collect_set`` + row-local sorted-array
+    pair expansion (the shape shared by every co-purchase query)."""
+    baskets = items.groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("__it")
     )
     it = F.col("__it")
@@ -95,12 +109,20 @@ def copurchase_pairs(
             ),
         )
     )
-    return (
-        baskets.select(F.explode(pair_arr).alias("__p"))
-        .groupBy(
-            F.col("__p.part_a").alias("part_a"),
-            F.col("__p.part_b").alias("part_b"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= min_support)
+    return baskets.select(F.explode(pair_arr).alias("__p")).select(
+        F.col("__p.part_a").alias("part_a"),
+        F.col("__p.part_b").alias("part_b"),
     )
+
+
+def copurchase_pair_sets(
+    items: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """DISTINCT unordered co-occurring item pairs (part_a < part_b), no
+    support threshold — e.g. the held-out test relation of a
+    recommender eval.  Same row-local expansion as
+    ``copurchase_pairs`` (one basket-keyed exchange + one pair-keyed
+    distinct, replacing the basket self-join over distinct (basket,
+    item) rows + a distinct over DIRECTED pairs — two data-proportional
+    exchanges and a doubled pair relation)."""
+    return _exploded_pairs(items, basket_col, item_col).distinct()

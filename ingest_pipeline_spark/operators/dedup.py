@@ -495,13 +495,13 @@ def prefix_filter_jaccard_pairs(
     from pyspark.sql.window import Window
 
     toks = _shingle_rows(df, text_col, id_col, shingle_k)  # distinct (id, shingle)
-    # The shingle relation feeds FIVE consumers (doc-frequency, sizes,
-    # the ranked prefix, and both sides of the verify join); without a
+    # The shingle relation feeds FOUR consumers (the doc-frequency/
+    # set-size windows, the ranked prefix, and both sides of the
+    # verify join); without a
     # checkpoint each re-runs scan→NGram→explode (the transformer's UDF
     # defeats exchange-reuse canonicalization, same pathology fixed in
     # minhash_lsh_pairs).  Measured 6.3s → ~2s at sf0.1.
     toks = toks.localCheckpoint(eager=True)
-    sizes = toks.groupBy("id").agg(F.count("*").alias("set_size"))
     # doc-frequency and set-size as WINDOW counts instead of agg+join
     # pairs: two exchanges (shingle, then id — the rank window reuses
     # the id partitioning) versus four; measured 3.2s → 1.5s for the
@@ -545,7 +545,17 @@ def prefix_filter_jaccard_pairs(
                 >= F.col("a.set_size") * F.lit(t_num)
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # set_size is functionally dependent on id, so carrying both
+        # sides' sizes through the distinct leaves its cardinality
+        # unchanged — and saves the separate per-doc sizes agg plus
+        # the two size joins after the intersection count (r14:
+        # 4 fewer data-proportional operators for two longs per row)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .distinct()
     )
     # Verify only touches shingles of docs that appear in some candidate
@@ -569,20 +579,12 @@ def prefix_filter_jaccard_pairs(
             (F.col("id_b") == F.col("tb.id"))
             & (F.col("ta.shingle") == F.col("tb.shingle")),
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_inter"))
     )
     thr = F.lit(float(t_num)) / F.lit(float(t_den))
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b")),
-            "id_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard_raw",
             F.col("n_inter").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
@@ -758,12 +760,56 @@ def span_coverage_audit(
     )
 
 
+def _cdc_cuts_udf(k: int, divisor: int):
+    """Arrow-vectorized CDC boundary detector: per normalized doc, the
+    sorted distinct 1-indexed cut offsets — every position whose
+    base-257 mod-1e9+7 k-gram rolling hash is ≡ 0 (mod divisor), plus
+    the sentinel n.  Exact integer parity with the relational LEAD
+    formulation this replaces: normalize_text output is pure ASCII
+    ([a-z0-9 ]), so the byte codes ARE the char codes, and the int64
+    window dot (max term 255·(1e9+7), k-term sum < 2.1e12) never
+    overflows.  Marked nondeterministic so projection collapse cannot
+    clone the Python stage (dot_seq precedent)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import ROLLING_BASE, ROLLING_MOD
+
+    pows = [pow(ROLLING_BASE, j, ROLLING_MOD) for j in range(k)]
+
+    def fn(texts):
+        import numpy as np
+
+        pw = np.asarray(pows, dtype=np.int64)
+
+        def cuts(s: str) -> list[int]:
+            n = len(s)
+            if n >= k:
+                codes = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(codes, k)
+                h = (win @ pw) % ROLLING_MOD
+                c = (np.nonzero(h % divisor == 0)[0] + k).tolist()
+            else:
+                c = []
+            # sentinel: every doc ends at its last char (a hash cut at
+            # exactly n would duplicate it — the guard dedups)
+            if not c or c[-1] != n:
+                c.append(n)
+            return c
+
+        return texts.map(cuts)
+
+    return pandas_udf(fn, "array<int>").asNondeterministic()
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 8,
     divisor: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Content-defined chunking (Rabin-boundary rule — the rsync /
     LBFS / FastCDC family): cut after any char position whose rolling
@@ -773,75 +819,57 @@ def cdc_chunks(
     content-defined grid re-synchronizes at the next boundary, which
     is what makes chunk-level dedup work on near-identical documents.
 
-    Returns (id, start, end, chunk_len, digest) — 1-indexed inclusive
-    spans over the NORMALIZED text, digest = md5(chunk).  Distributed
-    shape: boundary detection explodes CHARACTERS to narrow (id, pos,
-    code) rows and builds each window hash from k-1 LEADs over ONE
-    doc-keyed window — the positions-explode formulation duplicated
-    the full document string into every position row (~chars × doclen
-    bytes materialized; measured 13 s → 3 s at sf0.1); chunk assembly
-    is ONE keyed window over the per-doc cut offsets (rows ∝ cuts);
-    chunk text is a codegen substring at extraction (the string is
-    carried per CHUNK, not per position).  Every step is
-    engine-portable integer arithmetic (md5 digests, base-257 mod
-    1e9+7 hashes).
+    Returns (id, *carry_cols, start, end, chunk_len, digest) —
+    1-indexed inclusive spans over the NORMALIZED text, digest =
+    md5(chunk).  Distributed shape (r14): boundary detection is ONE
+    Arrow batch stage computing each doc's cut-offset array row-locally
+    (numpy int64 sliding-window dot — guide §4.2), and chunk assembly
+    zips the cut array against its own shift — so the whole
+    chunker is shuffle-free (the LEAD-window formulation it replaces
+    exploded chars to rows and paid a doc-keyed exchange + sort, plus
+    a distinct and a window over the cut rows and a join back to the
+    text: 4 data-proportional exchanges → 0).  ``carry_cols`` ride
+    along row-locally so callers need no join to re-attach doc
+    attributes.  The per-doc payload crosses the Python boundary once
+    (the normalized string in, the cut ints out); chunk text is a
+    codegen substring at extraction.  Exact integer arithmetic
+    end-to-end (tests/test_cdc_chunks.py pins parity with a pure-Python
+    reference, including a hypothesis sweep over arbitrary unicode).
     """
-    from pyspark.sql.window import Window
-
-    from ..functions.text import ROLLING_BASE, ROLLING_MOD, normalize_text
+    from ..functions.text import normalize_text
+    from .multimodal import _spread
 
     s = normalize_text(F.col(text_col))
     base = df.select(
-        F.col(id_col).alias("id"), s.alias("__s"), F.length(s).alias("__n")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
+        s.alias("__s"),
+        F.length(s).alias("__n"),
     ).filter(F.col("__n") >= 1)
-    # two consumers (cut detection + chunk extraction) share the
-    # normalized relation; without this the regex pipeline re-runs
-    base = base.localCheckpoint(eager=True)
-
-    chars = base.filter(F.col("__n") >= k).select(
-        "id",
-        "__n",
-        F.posexplode(F.split(F.col("__s"), "")).alias("pos0", "ch"),
-    ).filter(
-        # enforce (not assume) that split('') emitted exactly __n
-        # elements: if a Spark version ever appended a trailing ''
-        # (Java split(-1) semantics), ascii('')=0 would yield a
-        # non-null rolling hash one position past the doc end and
-        # could emit a phantom cut at n+1
-        F.col("pos0") < F.col("__n")
-    ).select("id", "pos0", F.ascii("ch").cast("long").alias("code"))
-    wseq = Window.partitionBy("id").orderBy("pos0")
-    terms = [
-        (F.col("code") if j == 0 else F.lead("code", j).over(wseq))
-        * F.lit(pow(ROLLING_BASE, j, ROLLING_MOD))
-        for j in range(k)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    # the last k-1 positions have NULL leads → NULL hash → filtered
-    rhash = F.pmod(total, F.lit(ROLLING_MOD))
-    cuts = (
-        chars.select("id", (F.col("pos0") + k).alias("cut"), rhash.alias("__h"))
-        .filter(F.col("__h").isNotNull() & (F.pmod(F.col("__h"), F.lit(divisor)) == 0))
-        .select("id", "cut")
+    # single-file corpora are one scan split: fan out before the
+    # normalize+Arrow stage so it isn't one core's problem (_spread
+    # no-ops at real scale where the scan is already wide)
+    base = _spread(base, "id")
+    cuts_arr = _cdc_cuts_udf(k, divisor)(F.col("__s"))
+    prevs = F.concat(
+        F.array(F.lit(0)), F.slice(F.col("__cuts"), 1, F.size("__cuts") - 1)
     )
-    # sentinel: every doc ends at its last char (may duplicate a hash
-    # cut at exactly n — distinct collapses it)
-    allc = cuts.unionByName(
-        base.select("id", F.col("__n").alias("cut"))
-    ).distinct()
-    w = Window.partitionBy("id").orderBy("cut")
-    iv = allc.select(
+    d = base.withColumn("__cuts", cuts_arr).select(
         "id",
-        (F.coalesce(F.lag("cut").over(w), F.lit(0)) + 1).alias("start"),
-        F.col("cut").alias("end"),
+        *carry_cols,
+        "__s",
+        F.explode(
+            F.arrays_zip(prevs.alias("p"), F.col("__cuts").alias("c"))
+        ).alias("__iv"),
     )
-    ln = F.col("end") - F.col("start") + 1
-    return iv.join(base, "id").select(
+    start = F.col("__iv.p") + 1
+    end = F.col("__iv.c")
+    ln = end - start + 1
+    return d.select(
         "id",
-        "start",
-        "end",
+        *carry_cols,
+        start.alias("start"),
+        end.alias("end"),
         ln.alias("chunk_len"),
-        F.md5(F.col("__s").substr(F.col("start"), ln)).alias("digest"),
+        F.md5(F.col("__s").substr(start, ln)).alias("digest"),
     )

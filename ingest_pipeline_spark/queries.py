@@ -7639,7 +7639,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form tile over a distributed global rank
     (operators/prefix.py:global_ntile — range-partitioned local row
     numbers + broadcast count offsets), bit-identical to SQL NTILE and
-    never a single-task global window.
+    never a single-task global window; the three independent scan
+    chains run overlapped from a driver thread pool (guide §2.6) off
+    one materialized per-customer relation.
     """
     from .operators.prefix import global_ntile
 
@@ -7658,16 +7660,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    scored = global_ntile(
-        per_cust, [F.asc("recency_days"), F.asc("o_custkey")], 5, "r"
+    # r14: the three quintile scorings are INDEPENDENT given the
+    # per-customer relation — materialize it once, then run the three
+    # prefix-scan chains from a small thread pool so their internal
+    # checkpoint/sample actions overlap (guide §2.6) instead of
+    # serializing ~6 driver barriers, each ranging an ever-wider
+    # relation.  Each chain ranges a NARROW (custkey, metric)
+    # projection; the 1:1 custkey joins reassemble the scores.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pc = per_cust.localCheckpoint(eager=True)
+
+    def _tile(order_cols, out, metric, carry):
+        cols = ["o_custkey", out] + ([metric] if carry else [])
+        return global_ntile(
+            pc.select("o_custkey", metric), order_cols, 5, out
+        ).select(*cols)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_r = pool.submit(
+            _tile, [F.asc("recency_days"), F.asc("o_custkey")], "r",
+            "recency_days", False,
+        )
+        f_f = pool.submit(
+            _tile, [F.desc("frequency"), F.asc("o_custkey")], "f",
+            "frequency", False,
+        )
+        f_m = pool.submit(
+            _tile, [F.desc("monetary"), F.asc("o_custkey")], "m",
+            "monetary", True,
+        )
+    scored = (
+        f_m.result()
+        .join(f_r.result(), "o_custkey")
+        .join(f_f.result(), "o_custkey")
+        .select("o_custkey", "monetary", "r", "f", "m")
     )
-    scored = global_ntile(
-        scored, [F.desc("frequency"), F.asc("o_custkey")], 5, "f"
-    )
-    scored = global_ntile(
-        scored, [F.desc("monetary"), F.asc("o_custkey")], 5, "m"
-    )
-    scored = scored.select("o_custkey", "monetary", "r", "f", "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),
         F.round(
@@ -10500,12 +10528,22 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty")
     )
-    tot = q.groupBy("l_partkey").agg(
-        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("tot_qty"),
-        F.count("*").alias("n_suppliers"),
+    # per-part totals as WINDOW aggregates over the part partition
+    # instead of a second agg + join back (r14): one part-keyed
+    # exchange feeds the window, the (part, n_suppliers) groupBy
+    # reuses its partitioning, and the decimal window sum is
+    # order-proof so tot_qty is bit-identical to the agg it replaces
+    w_part = Window.partitionBy("l_partkey")
+    tot_qty = (
+        F.sum(F.col("qty").cast("decimal(18,2)")).over(w_part).cast("double")
     )
     share = F.col("qty") / F.col("tot_qty")
-    terms = q.join(tot, "l_partkey").select(
+    terms = q.select(
+        "l_partkey",
+        F.count("*").over(w_part).alias("n_suppliers"),
+        "qty",
+        tot_qty.alias("tot_qty"),
+    ).select(
         "l_partkey",
         "n_suppliers",
         F.round(share * share, 12).alias("term"),
@@ -14272,9 +14310,10 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = sum of member word scores; global top-25 phrases.
     Determinism: word scores are int/int IEEE divisions rounded 6 dp,
     phrase scores decimal-sum them (order-proof), 6-dp rounded before
-    the fully-tiebroken top-25.  Shape: phrase segmentation is ONE
-    doc-keyed prefix-sum window over per-doc token positions (bounded
-    by doc length, never global); everything downstream is
+    the fully-tiebroken top-25.  Shape (r14): phrase segmentation is
+    ROW-LOCAL (codegen regex split on space-anchored whole-token
+    stopword matches — no token explode, no doc-keyed window, plen
+    carried on the instance row); everything downstream is
     (doc,phrase)/(word)-keyed aggs and equi-joins; the final top-25 is
     TakeOrderedAndProject.  Scale: identical to the BM25/tf-idf
     inverted-index build — the corpus shuffles only on its natural
@@ -14282,40 +14321,33 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus keyphrase mining).
     """
     docs = _t(spark, sf_dir)["documents"]
-    tk = docs.select(
+    # r14: phrase segmentation is ROW-LOCAL — split the
+    # whitespace-normalized text on full-token stopword matches (the
+    # alternation is space-anchored with a lookahead, so only whole
+    # tokens match and adjacent stopwords each match) instead of
+    # exploding every token through a doc-keyed prefix-sum window.
+    # Kills the token-rows exchange+sort AND the token-level plen
+    # join-back (plen rides the instance row).  Token sequences are
+    # identical to filter(split(trim(text), '\\s+'), != ''): \\s+ →
+    # one space first, so split-on-space re-yields the tokens.
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    pieces = F.split(padded, r" (?:the|a|of|and|to)(?= )")
+    phrases = F.filter(
+        F.transform(pieces, lambda p: F.trim(p)), lambda p: p != ""
+    )
+    inst = docs.select(
+        "doc_id", F.posexplode(phrases).alias("pid", "phrase")
+    ).withColumn("plen", F.size(F.split(F.col("phrase"), " ")).cast("long"))
+    # occ (word explode) + the final phrase agg share the instance
+    # relation — materialize once (the NGram-fan-out discipline)
+    inst = inst.localCheckpoint(eager=True)
+    occ = inst.select(
         "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-        ).alias("pos0", "w"),
-    ).select(
-        "doc_id",
-        "w",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.col("w").isin("the", "a", "of", "and", "to").alias("is_stop"),
+        "pid",
+        "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
     )
-    w_doc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    nw = (
-        tk.withColumn(
-            "pid", F.sum(F.col("is_stop").cast("int")).over(w_doc)
-        )
-        .filter(~F.col("is_stop"))
-        .select("doc_id", "w", "pos", "pid")
-    )
-    ph = nw.groupBy("doc_id", "pid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count("*").alias("plen"),
-    )
-    occ = nw.join(ph.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
     ws = occ.groupBy("w").agg(
         F.round(
             F.sum("plen").cast("double") / F.count("*").cast("double"), 6
@@ -14331,7 +14363,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        ph.join(pscore, ["doc_id", "pid"])
+        inst.join(pscore, ["doc_id", "pid"])
         .groupBy("phrase")
         .agg(
             F.count("*").alias("phrase_count"),
@@ -15660,20 +15692,19 @@ def rec_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     are basket-keyed (never cross-catalog); recs are top-k bounded;
     nothing data-proportional meets anything unkeyed.
     """
-    from .operators.baskets import copurchase_pairs
+    from .operators.baskets import copurchase_pair_sets, copurchase_pairs
 
     li = _t(spark, sf_dir)["lineitem"]
     split = "1999-01-01 00:00:00"
-    train = (
-        li.filter(F.col("l_shipdate") < F.lit(split).cast("timestamp"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    test = (
-        li.filter(F.col("l_shipdate") >= F.lit(split).cast("timestamp"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # r14: no caller-side distinct() on either period — both pair
+    # builds dedup per basket via collect_set (the basket_copurchase
+    # precedent), killing two data-proportional exchanges
+    train = li.filter(
+        F.col("l_shipdate") < F.lit(split).cast("timestamp")
+    ).select("l_orderkey", "l_partkey")
+    test = li.filter(
+        F.col("l_shipdate") >= F.lit(split).cast("timestamp")
+    ).select("l_orderkey", "l_partkey")
     tr = copurchase_pairs(train, "l_orderkey", "l_partkey", min_support=2)
     both = tr.select(
         F.col("part_a").alias("antecedent"),
@@ -15694,13 +15725,14 @@ def rec_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 3)
         .select("antecedent", "consequent", "r")
     )
-    te = test.alias("a").join(
-        test.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-    ).distinct()
+    # distinct directed test pairs = both directions of the distinct
+    # unordered co-occurrence set (u <> v, so no direction collides)
+    und = copurchase_pair_sets(test, "l_orderkey", "l_partkey")
+    te = und.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionByName(
+        und.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
     scored = recs.join(
         te,
         (F.col("u") == F.col("antecedent"))
@@ -20731,12 +20763,15 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup against their originals (visible as dup_bytes ≫ the copies'
     own prefix bytes).
 
-    Shape: boundary detection is the shuffle-free rolling-hash
-    Generate (operators/dedup.cdc_chunks); chunk assembly is one
-    keyed window over per-doc CUT OFFSETS (rows ∝ cuts ≈ chars/64,
-    never per char); first-occurrence attribution is the MIN-struct
-    inverted index (corpus_line_dedup's discipline) — no pairwise
-    join anywhere.  All-integer output except the final ratio.
+    Shape (r14): boundary detection AND chunk assembly are row-local —
+    one Arrow batch stage computes each doc's cut array, zipped
+    against its own shift (operators/dedup.cdc_chunks; the char
+    explode + doc-keyed LEAD window + cut-offset window + text join it
+    replaces paid 4 data-proportional exchanges); ``source`` rides
+    through the chunker so no join re-attaches it; first-occurrence
+    attribution is a MIN-struct window over the digest partition (one
+    exchange, vs the agg + join-back pair).  No pairwise join
+    anywhere.  All-integer output except the final ratio.
     """
     from .operators.dedup import cdc_chunks
 
@@ -20747,13 +20782,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("zq9 "), F.col("text")).alias("text"),
     )
     u = docs.select("doc_id", "source", "text").unionByName(copies)
-    ch = cdc_chunks(u, "text", "doc_id", k=8, divisor=64)
-    src = u.select(F.col("doc_id").alias("id"), "source")
-    ch = ch.join(src, "id")
-    canon = ch.groupBy("digest").agg(
-        F.min(F.struct("id", "start")).alias("first_key")
-    )
-    marked = ch.join(canon, "digest").withColumn(
+    ch = cdc_chunks(u, "text", "doc_id", k=8, divisor=64, carry_cols=("source",))
+    w_dig = Window.partitionBy("digest")
+    marked = ch.withColumn(
+        "first_key", F.min(F.struct("id", "start")).over(w_dig)
+    ).withColumn(
         "dup",
         (F.col("id") != F.col("first_key.id"))
         | (F.col("start") != F.col("first_key.start")),

@@ -62,6 +62,8 @@ def main() -> None:
             print(f"plan -> {out} ({len(plan)} chars)")
             sweep()
         times = []
+        if args.reps <= 0:
+            continue
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"r14:{name}")
             t0 = time.perf_counter()

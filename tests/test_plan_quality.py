@@ -348,13 +348,27 @@ def test_dsir_bucket_models_broadcast(spark, sf_dir):
     assert not _global_windows(plan)
 
 
-def test_cdc_boundary_stage_is_one_keyed_window(spark, sf_dir):
-    """dedup_cdc_chunks' rolling-hash boundary detection runs as
-    narrow char rows + LEADs under doc-keyed windows — never a
-    Python UDF, never an empty-partition window."""
+def test_cdc_boundary_stage_is_row_local_arrow(spark, sf_dir):
+    """dedup_cdc_chunks' boundary detection + chunk assembly are
+    row-local (ONE Arrow batch stage, never a row-at-a-time Python
+    UDF, never an empty-partition window), and the only
+    data-proportional exchange left is the digest window — the char
+    explode + doc-keyed LEAD window shape it replaced paid 4."""
     plan = _plan(queries()["dedup_cdc_chunks"](spark, sf_dir))
     assert "BatchEvalPython" not in plan
+    def _nodes(prefix: str) -> list[str]:
+        return [
+            ln
+            for ln in plan.splitlines()
+            if ln.lstrip(" +-*:(0123456789)").startswith(prefix)
+        ]
+    arrow = _nodes("ArrowEvalPython")
+    assert len(arrow) == 1, f"cut detection not fused: {arrow}"
     assert not _global_windows(plan), "CDC must not plan a global window"
+    # digest window + final source agg + the _spread fan-out: the
+    # doc-keyed boundary/assembly exchanges are gone
+    exchanges = _nodes("Exchange")
+    assert len(exchanges) <= 3, exchanges
 
 
 def test_rocchio_second_pass_reuses_checkpointed_postings(spark, sf_dir):
