@@ -434,7 +434,12 @@ def boruvka_mst(
         )
     if tree is None:
         return e.select("a", "b", "w").limit(0)
-    return tree.distinct()
+    # no cross-round distinct needed (r14): within a round ``sel`` is
+    # already distinct, and an edge picked in round r joins its two
+    # endpoints into one component, so every later round's ca != cb
+    # filter excludes it — the union is duplicate-free by construction
+    # (tests/test_mst.py holds the edge set to exact Kruskal equality)
+    return tree
 
 
 def ktruss(

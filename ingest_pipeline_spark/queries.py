@@ -12366,20 +12366,42 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle pipeline ran once per consumer — base checkpoint alone
     # could not help because the NGram UDF defeats exchange reuse)
     sh = _shingle_rows(base, "text", "doc_id", 3).localCheckpoint(eager=True)
-    exact = ngram_jaccard_pairs(
-        base, "text", "doc_id", shingle_k=3, threshold=0.35, shingles=sh
-    ).select("id_a", "id_b")
-    sigs = minhash_signatures(
-        base, "text", "doc_id", num_hashes=16, shingles=sh
-    ).localCheckpoint(eager=True)  # both sides of the banded self-join
-    lsh = minhash_lsh_pairs(
-        base, "text", "doc_id", num_hashes=16, bands=4, sigs=sigs
-    ).select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-    )
-    exact = exact.localCheckpoint(eager=True)  # count + intersection
-    lsh = lsh.localCheckpoint(eager=True)
+
+    # r14: the ground-truth chain and the signature→LSH chain are
+    # INDEPENDENT given the shared shingle relation — run them
+    # overlapped from a 2-thread driver pool (guide §2.6) so the
+    # exact inverted-index self-join and the banded candidate build
+    # stop serializing (was 4 sequential checkpoint barriers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact_chain():
+        return (
+            ngram_jaccard_pairs(
+                base, "text", "doc_id", shingle_k=3, threshold=0.35,
+                shingles=sh,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)  # count + intersection
+        )
+
+    def _lsh_chain():
+        sigs = minhash_signatures(
+            base, "text", "doc_id", num_hashes=16, shingles=sh
+        ).localCheckpoint(eager=True)  # both sides of the banded self-join
+        return (
+            minhash_lsh_pairs(
+                base, "text", "doc_id", num_hashes=16, bands=4, sigs=sigs
+            )
+            .select(
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact, f_lsh = pool.submit(_exact_chain), pool.submit(_lsh_chain)
+    exact, lsh = f_exact.result(), f_lsh.result()
     ne = exact.agg(F.count("*").alias("n_exact"))
     nl = lsh.agg(F.count("*").alias("n_lsh"))
     nh = exact.join(lsh, ["id_a", "id_b"]).agg(
@@ -15445,6 +15467,11 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("j"),
         F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("val"),
     )
+    # Checkpoint cadence measured r14: every-other-round (the kcenter
+    # precedent) was a same-session WASH (2.535 vs 2.534 s min-of-3 at
+    # sf0.1) — the saved barrier is repaid by the doubled per-round
+    # BroadcastExchange builds.  Keep one checkpoint per round (the
+    # simpler lineage).
     for _ in range(_PI_ROUNDS):
         y = (
             cmat.join(F.broadcast(v), "j")
@@ -18699,9 +18726,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(
         aug, "text", "doc_id", num_hashes=16, bands=4, sigs=sigs
     ).localCheckpoint(eager=True)
+    # NOT checkpointed (r14): both est sides re-derive the explode
+    # from the already-checkpointed sigs — a row-local Generate per
+    # consumer is cheaper than another serial materialization barrier
     hashes = sigs.select(
         "id", F.posexplode("signature").alias("seed", "h")
-    ).localCheckpoint(eager=True)  # est join uses it twice
+    )
     ha = hashes.select(
         F.col("id").alias("id_a"), "seed", F.col("h").alias("h_a")
     )
@@ -21854,6 +21884,11 @@ def similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean-of-4 quotients land on the 6-dp half grid, the rounding class
     # the two engines resolve differently (CLAUDE.md product rule)
     micro = F.round(F.col("sim") * 1000000.0, 0).cast("bigint")
+    # r14: each side's k-NN stats AND its reciprocal best partner come
+    # from ONE ranked pass — row_number is unique per partition, so
+    # MIN(struct(r, partner)) over the r<=4 rows IS the r==1 partner
+    # (tests/test_margin_fuse.py) — collapsing 4 windows + 4 joins
+    # into 2 windows + 2 joins over the checkpointed pair relation
     ka = (
         pairs.withColumn("r", F.row_number().over(wa))
         .filter(F.col("r") <= 4)
@@ -21861,6 +21896,7 @@ def similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(micro).cast("bigint").alias("na"),
             F.count("*").cast("bigint").alias("da"),
+            F.min(F.struct("r", "idb")).getField("idb").alias("best_b"),
         )
     )
     kb = (
@@ -21870,23 +21906,12 @@ def similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(micro).cast("bigint").alias("nb"),
             F.count("*").cast("bigint").alias("db"),
+            F.min(F.struct("r", "ida")).getField("ida").alias("best_a"),
         )
-    )
-    besta = (
-        pairs.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("ida", F.col("idb").alias("best_b"))
-    )
-    bestb = (
-        pairs.withColumn("r", F.row_number().over(wb))
-        .filter(F.col("r") == 1)
-        .select("idb", F.col("ida").alias("best_a"))
     )
     scored = (
         pairs.join(ka, "ida")
         .join(kb, "idb")
-        .join(besta, "ida")
-        .join(bestb, "idb")
         .filter(F.col("na") * F.col("db") + F.col("nb") * F.col("da") > 0)
         .select(
             "ida",
