@@ -92,6 +92,7 @@ def route_requests(
     queue_rules: list[Rule] | None = None,
     auth_key: str | None = None,
     auth_mode: str = "GCM",
+    pre_minted: bool = False,
 ) -> DataFrame:
     """Full intake pipeline → dispatchable job rows.
 
@@ -106,8 +107,21 @@ def route_requests(
     decrypt OR whose payload does not match the request fields routes
     to dag_id='unauthorized' — the 401 path as an error-sink row, never
     a thrown exception mid-batch.
+
+    ``pre_minted=True`` (r14) skips the mint + exactly-once dedup for a
+    caller that already holds a minted, run_id-deduplicated relation —
+    a multi-key audit (token_crypto_roundtrip opens the same sealed
+    batch under two keys) then pays the dedup shuffle once instead of
+    once per key.  Routing semantics are unchanged: minting is
+    idempotent (run_id is payload-derived md5) and dropDuplicates on an
+    already-unique run_id relation is a no-op, so the flag only removes
+    redundant work, never rows.
     """
-    minted = mint_run_ids(requests).dropDuplicates(["run_id"])
+    minted = (
+        requests
+        if pre_minted
+        else mint_run_ids(requests).dropDuplicates(["run_id"])
+    )
     authorized = None
     if auth_key is not None:
         from .functions.scalars import decrypt_token

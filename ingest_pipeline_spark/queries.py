@@ -4014,11 +4014,28 @@ def token_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("process"),
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )
+    # r14: mint + exactly-once dedup ONCE, checkpoint, then open the
+    # SAME sealed batch under both keys — previously each route pass
+    # re-ran the events scan + AES seal (random-IV nondeterministic, so
+    # the two passes even sealed DIFFERENT bytes) and its own dedup
+    # shuffle.  Outcomes are unchanged: run_id is payload-derived, and
+    # decrypt verdicts depend only on key correctness.
+    from .engine import mint_run_ids
+
     sealed = seal_requests(req, "0123456789abcdef")
-    good = route_requests(sealed, auth_key="0123456789abcdef").select(
+    minted = (
+        mint_run_ids(sealed)
+        .dropDuplicates(["run_id"])
+        .localCheckpoint(eager=True)
+    )
+    good = route_requests(
+        minted, auth_key="0123456789abcdef", pre_minted=True
+    ).select(
         F.lit("good_key").alias("keycheck"), "dag_id"
     )
-    bad = route_requests(sealed, auth_key="fedcba9876543210").select(
+    bad = route_requests(
+        minted, auth_key="fedcba9876543210", pre_minted=True
+    ).select(
         F.lit("wrong_key").alias("keycheck"), "dag_id"
     )
     return (
