@@ -381,8 +381,35 @@ def main() -> None:
             }
     line = json.dumps(payload)
     print(line)
-    # the driver's artifact keeps only the LAST ~2000 chars of stdout and
-    # the big line leads with the headline number — print a second tiny
+    # Driver per-query visibility (r14 verdict ask #2): the driver keeps
+    # only the LAST ~2000 chars of stdout, so the 334-entry queries dict
+    # in the big payload line above never survives its tail capture
+    # (PERF_r14.per_query came back empty).  Emit the same timings again
+    # as SMALL self-contained JSON lines — each parseable on its own —
+    # sorted ASCENDING by time so the tail always ends with the slowest
+    # (most grading-relevant) queries, then one consolidated line with
+    # the ~40 slowest, then the tiny summary line (the parse contract,
+    # unchanged and still last).  Additions only: the payload line, its
+    # queries dict, and the summary line are byte-identical in content
+    # to the r14 format.
+    asc = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    chunk: dict[str, float] = {}
+    parts: list[dict[str, float]] = []
+    for k, v in asc:
+        chunk[k] = v
+        if len(json.dumps(chunk)) > 160:
+            parts.append(chunk)
+            chunk = {}
+    if chunk:
+        parts.append(chunk)
+    for i, p in enumerate(parts):
+        print(json.dumps({"metric": "per_query_sec",
+                          "part": i + 1, "n_parts": len(parts),
+                          "queries": p}))
+    top = dict(asc[-40:])
+    print(json.dumps({"metric": "per_query_sec_top",
+                      "n_top": len(top), "queries": top}))
+    # the big line leads with the headline number — print a final tiny
     # summary line so any tail capture still contains the totals
     print(json.dumps(summary))
     # also persist in-repo: the judge diffs per-query timings.  Skip with

@@ -68,79 +68,71 @@ def register(name: str, oracle: str | None):
 # rotated out keeps its green row from the round it was graded in, and
 # the full-registry oracle sweep in tests/test_queries_oracle.py remains
 # the mandatory local gate for ALL queries regardless of window).
-# Round-13 window (r12-verdict ask #1 — finish the freshness
-# rotation): ALL 27 remaining queries whose newest driver grade dates
-# to r6 (the r12 comment's documented r13 input), plus
-# graph_kcore_parts (re-graded immediately: its parameters changed
-# this round from 3-core/support>=3 to 2-core/support>=2 so the
-# driver row at sf0.01 is non-empty — verdict ask #2 — which makes
-# its r12 green row stale evidence for the NEW semantics), plus any
-# r13 registrations (graded immediately so r14 inherits no new debt),
-# topped up with the alphabetically-first queries of the 50-strong r7
-# cohort.  r14 rotation input: the remaining r7-graded queries
-# (alphabetically after the last r7 fill below — see COVERAGE.md
-# Round-13 table), then the r8 cohort; any new registration takes a
-# slot from the tail of the current stale block.  Permanently
-# OUT of the window: the rows-only-by-design entries (source_listing,
-# text_bpe_learn_merges, corpus_pack_ffd) — each would burn a slot as
-# an eternal `no_oracle`.
+# Round-15 window (r14-verdict ask #7 — continue the freshness
+# rotation): ALL 33 remaining queries whose newest driver grade dates
+# to r7 (verified against CORRECTNESS_r01..r14: the per-query latest
+# grade histogram is r7:33, r8:50, r9:49, r10:50, r11:50, r12:49,
+# r14:50), topped up with the 17 alphabetically-first queries of the
+# 50-strong r8 cohort.  r16 rotation input: the remaining 33 r8-graded
+# queries (dedup_exact_docs onward alphabetically), then the r9
+# cohort; any new registration takes a slot from the tail of the
+# current stale block.  Permanently OUT of the window: the
+# rows-only-by-design entries (source_listing, text_bpe_learn_merges,
+# corpus_pack_ffd) — each would burn a slot as an eternal `no_oracle`.
 # List EXACTLY 50 names (sized by test_driver_contract).
 _DRIVER_FIRST = [
-    # all 27 remaining r6-stale greens (newest driver grade = r6)
-    "lineitem_shipping_lag_stats",
-    "mine_hard_negatives",
-    "nation_trade_balance",
-    "orders_backlog_aging",
-    "pareto_revenue_concentration",
-    "profile_functional_dependency",
-    "quality_logistic_score",
-    "report_monthly_top_parts",
-    "report_yoy_growth",
-    "sample_weighted_orders",
-    "scd2_point_in_time_join",
-    "search_bm25_topk",
-    "sessions_maintenance_overlap",
-    "sessions_peak_concurrency",
-    "similarity_ivf_topk_det",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_hll_rolling_users",
-    "sketch_hll_set_algebra",
-    "skyline_pareto_parts",
-    "stats_chi2_independence",
-    "stats_correlation_lineitem",
-    "supplier_share_of_wallet",
-    "text_bigram_perplexity",
-    "text_pmi_collocations",
-    "window_cume_dist_prices",
-    "zorder_locality_stats",
-    # re-graded this round: parameters changed r13 (2-core/support>=2,
-    # non-empty at sf0.01 — the r12 vacuous-row fix)
-    "graph_kcore_parts",
-    # new r13 registrations (graded immediately so r14 inherits no debt)
-    "collect_tsvs_gather",
-    "upload_survey_report",
-    "review_extract_join",
-    "search_maxsim_late_interaction",
-    "graph_ktruss_copurchase",
-    # alphabetically-first r7-graded queries (tail yields to new regs)
-    "agg_grouping_sets",
-    "basket_item_cosine",
-    "cdc_apply_changes",
-    "compliance_delete_cascade",
-    "corpus_token_shards",
-    "customer_gini_by_nation",
-    "customer_lorenz_curve",
-    "customer_theil_by_nation",
-    "dedup_lsh_quality_audit",
-    "docs_quantile_normalize",
-    "events_anomaly_mad_days",
-    "events_attribution_last_touch",
-    "events_cusum_changepoint",
-    "events_debounce_dedup",
-    "events_interarrival_stats",
-    "experiment_cuped_adjustment",
-    "forecast_seasonal_naive_backtest",
+    # all 33 remaining r7-stale greens (newest driver grade = r7)
+    "graph_adamic_adar",
+    "graph_degree_assortativity",
+    "graph_triangle_count",
+    "linkage_surprisal_pairs",
+    "market_concentration_hhi",
+    "multimodal_work_plan",
+    "orders_autocorr_daily",
+    "orders_benford_digit_audit",
+    "orders_cohort_ltv",
+    "orders_price_decile_stats",
+    "orders_runs_test",
+    "orders_seasonal_index",
+    "quality_roc_auc",
+    "quantiles_exact_global",
+    "quantiles_histogram_estimate",
+    "similarity_ann_recall",
+    "stats_anova_oneway",
+    "stats_group_mad",
+    "stats_group_median",
+    "stats_kendall_tau",
+    "stats_ks_two_sample",
+    "stats_linear_trend",
+    "stats_mannwhitney_u",
+    "stats_mode_per_group",
+    "stats_spearman_rank",
+    "stats_weighted_median_brand",
+    "stats_winsorized_mean",
+    "survival_customer_churn",
+    "text_bpe_pair_stats",
+    "text_bpe_token_budget",
+    "text_source_kl_divergence",
+    "text_vocab_coverage",
+    "text_zipf_slope",
+    # alphabetically-first r8-graded queries (tail yields to new regs)
+    "basket_association_rules",
+    "checksum_manifest",
+    "corpus_filter_funnel",
+    "corpus_mix_temperature",
+    "corpus_source_jaccard_matrix",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "embedding_outlier_scores",
+    "embedding_top_component",
+    "events_attribution_position",
+    "forecast_ewma_daily",
+    "graph_bfs_descendants",
+    "graph_hyperball_neighborhood",
 ]
 
 

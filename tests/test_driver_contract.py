@@ -43,29 +43,30 @@ def test_driver_first_block_is_registered_and_sized():
     assert len(q._DRIVER_FIRST) == 50, len(q._DRIVER_FIRST)
     missing = [n for n in q._DRIVER_FIRST if n not in qs]
     assert not missing, f"_DRIVER_FIRST references unknown queries: {missing}"
-    # the driver grades the first 50: round 13's window must contain
-    # ALL 27 remaining r6-stale greens (r12-verdict ask #1 — the end
-    # of the freshness rotation) plus graph_kcore_parts (re-graded:
-    # its parameters changed to 2-core/support>=2 this round so the
-    # sf0.01 driver row is non-empty — r12-verdict ask #2), and the
-    # permanently-rows-only entries must NOT burn slots (each would
-    # sit as an eternal `no_oracle` row)
+    # the driver grades the first 50: round 15's window must contain
+    # ALL 33 remaining r7-stale greens (r14-verdict ask #7 — the
+    # freshness rotation continues; verified against
+    # CORRECTNESS_r01..r14), and the permanently-rows-only entries
+    # must NOT burn slots (each would sit as an eternal `no_oracle`
+    # row)
     first50 = set(names[:50])
-    for must in ("lineitem_shipping_lag_stats", "mine_hard_negatives",
-                 "nation_trade_balance", "orders_backlog_aging",
-                 "pareto_revenue_concentration",
-                 "profile_functional_dependency", "quality_logistic_score",
-                 "report_monthly_top_parts", "report_yoy_growth",
-                 "sample_weighted_orders", "scd2_point_in_time_join",
-                 "search_bm25_topk", "sessions_maintenance_overlap",
-                 "sessions_peak_concurrency", "similarity_ivf_topk_det",
-                 "sketch_cms_heavy_hitters", "sketch_hll_distinct",
-                 "sketch_hll_rolling_users", "sketch_hll_set_algebra",
-                 "skyline_pareto_parts", "stats_chi2_independence",
-                 "stats_correlation_lineitem", "supplier_share_of_wallet",
-                 "text_bigram_perplexity", "text_pmi_collocations",
-                 "window_cume_dist_prices", "zorder_locality_stats",
-                 "graph_kcore_parts"):
+    for must in ("graph_adamic_adar", "graph_degree_assortativity",
+                 "graph_triangle_count", "linkage_surprisal_pairs",
+                 "market_concentration_hhi", "multimodal_work_plan",
+                 "orders_autocorr_daily", "orders_benford_digit_audit",
+                 "orders_cohort_ltv", "orders_price_decile_stats",
+                 "orders_runs_test", "orders_seasonal_index",
+                 "quality_roc_auc", "quantiles_exact_global",
+                 "quantiles_histogram_estimate", "similarity_ann_recall",
+                 "stats_anova_oneway", "stats_group_mad",
+                 "stats_group_median", "stats_kendall_tau",
+                 "stats_ks_two_sample", "stats_linear_trend",
+                 "stats_mannwhitney_u", "stats_mode_per_group",
+                 "stats_spearman_rank", "stats_weighted_median_brand",
+                 "stats_winsorized_mean", "survival_customer_churn",
+                 "text_bpe_pair_stats", "text_bpe_token_budget",
+                 "text_source_kl_divergence", "text_vocab_coverage",
+                 "text_zipf_slope"):
         assert must in first50, f"{must} fell out of the driver's window"
     assert "source_listing" not in first50
     assert "text_bpe_learn_merges" not in first50
